@@ -1,0 +1,370 @@
+"""The nine analytical query shapes of the reference's gold layer.
+
+Parity targets (reference files):
+  q1  monthly sales by product           exploratory_data_analysis.sql:3-13,  materialized_view.sql:2-14
+  q2  sales per customer per country     exploratory_data_analysis.sql:15-26, materialized_view.sql:17-27
+  q3  customer lifetime value            exploratory_data_analysis.sql:29-43, materialized_view.sql:30-40
+  q4  running cumulative sales           exploratory_data_analysis.sql:46-59, materialized_view.sql:43-55
+  q5  top-3 products per month/country   exploratory_data_analysis.sql:62-83, materialized_view.sql:58-76
+  q6  churn (first/last purchase)        exploratory_data_analysis.sql:85-97, materialized_view.sql:79-92
+  q7  avg gap between orders             exploratory_data_analysis.sql:100-131, materialized_view.sql:96-111
+  q8  ROLLUP product hierarchy           exploratory_data_analysis.sql:134-143, materialized_view.sql:114-122
+  (q9 recursive delayed chain lives in operators/recursive.py)
+
+Each Spark implementation has a DuckDB oracle built on the same star
+CTEs (star.STAR_SQL_PRELUDE), with identical aliases so the driver's
+sorted-column value-hash matches.
+
+Determinism notes:
+  * Aggregate money math is exact DECIMAL(18,4) (see star.py), cast to
+    DOUBLE only in the final projection -> hash-stable under any
+    partitioning/parallelism on either engine.
+  * Window ORDER BYs carry a full (order_date, order_number,
+    line_number) tiebreaker: the reference's ORDER BY order_date alone
+    is nondeterministic under ties (SURVEY.md §7 "hard parts"), which
+    an oracle comparison cannot tolerate.
+  * q6's churn cutoff pins an AS-OF literal instead of the reference's
+    CURRENT_DATE so reruns hash identically.
+
+Scale notes (100 TB design point):
+  * No query collects to the driver; everything is a DataFrame plan.
+  * Dims join the fact via broadcast (nation/region always; part/
+    customer under Catalyst's threshold + AQE runtime switch).
+  * Grouped aggregates are partial-aggregated map-side by Spark's
+    hash-aggregate; rollup adds grouping-set expansion before the
+    shuffle, still one exchange.
+  * q4/q7 window partitions are per-customer: shuffle by customer_key,
+    no global sort. Skewed customers are handled by AQE skew shuffle
+    only on the join side; the window itself is bounded by a
+    customer's own history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..star import STAR_SQL_PRELUDE, dim_customers, dim_products, fact_sales
+
+# Fixed as-of for q6 so Spark / oracle / rerun all agree (the
+# reference uses CURRENT_DATE, materialized_view.sql:86).
+CHURN_AS_OF = "2026-08-01"
+
+
+def _fact_with_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fact_sales(spark, sf_dir).join(
+        dim_customers(spark, sf_dir), "customer_key", "inner"
+    )
+
+
+def _fact_with_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fact_sales(spark, sf_dir).join(
+        dim_products(spark, sf_dir), "product_key", "inner"
+    )
+
+
+# -- q1: total sales per month per product ---------------------------
+def q1_monthly_sales_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _fact_with_product(spark, sf_dir)
+        .groupBy(
+            F.trunc("order_date", "month").alias("month"),
+            "product_name",
+            "category",
+            "sub_category",
+        )
+        .agg(F.sum("sales").cast("double").alias("total_sales"))
+    )
+
+
+Q1_ORACLE = (
+    STAR_SQL_PRELUDE
+    + """
+SELECT
+    CAST(DATE_TRUNC('month', fs.order_date) AS DATE) AS month,
+    dp.product_name,
+    dp.category,
+    dp.sub_category,
+    CAST(SUM(fs.sales) AS DOUBLE) AS total_sales
+FROM fact_sales fs
+JOIN dim_products dp ON fs.product_key = dp.product_key
+GROUP BY 1, 2, 3, 4
+"""
+)
+
+
+# -- q2: total sales per customer per country ------------------------
+def q2_sales_customer_country(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = _fact_with_customer(spark, sf_dir)
+    return (
+        f.groupBy(
+            "country",
+            "customer_id",
+            # reference concatenates first||' '||last; exercised here
+            # as name + market segment (TPC-H has a single name col).
+            F.concat_ws(" ", F.col("customer_name"), F.col("market_segment")).alias(
+                "customer_label"
+            ),
+        )
+        .agg(F.sum("sales").cast("double").alias("total_sales"))
+    )
+
+
+Q2_ORACLE = (
+    STAR_SQL_PRELUDE
+    + """
+SELECT
+    dc.country,
+    dc.customer_id,
+    dc.customer_name || ' ' || dc.market_segment AS customer_label,
+    CAST(SUM(fs.sales) AS DOUBLE) AS total_sales
+FROM fact_sales fs
+JOIN dim_customers dc ON fs.customer_key = dc.customer_key
+GROUP BY 1, 2, 3
+"""
+)
+
+
+# -- q3: customer lifetime value -------------------------------------
+def q3_customer_lifetime_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = _fact_with_customer(spark, sf_dir)
+    return (
+        f.groupBy("customer_id", "customer_name")
+        .agg(
+            F.sum("sales").cast("double").alias("lifetime_value"),
+            F.countDistinct("order_number").alias("order_count"),
+        )
+    )
+
+
+Q3_ORACLE = (
+    STAR_SQL_PRELUDE
+    + """
+SELECT
+    dc.customer_id,
+    dc.customer_name,
+    CAST(SUM(fs.sales) AS DOUBLE) AS lifetime_value,
+    COUNT(DISTINCT fs.order_number) AS order_count
+FROM fact_sales fs
+JOIN dim_customers dc ON fs.customer_key = dc.customer_key
+GROUP BY 1, 2
+"""
+)
+
+
+# -- q4: running cumulative sales per customer -----------------------
+def q4_running_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = _fact_with_customer(spark, sf_dir)
+    # (order_number, line_number) is NOT unique in the synthetic data
+    # (duplicate pairs with different measures exist), so `sales` joins
+    # the sort key: any rows still tied are fully interchangeable and
+    # the running-sum multiset is deterministic on both engines.
+    w = (
+        Window.partitionBy("customer_id")
+        .orderBy("order_date", "order_number", "line_number", "sales")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return f.select(
+        "customer_id",
+        "order_date",
+        "order_number",
+        "line_number",
+        F.sum("sales").over(w).cast("double").alias("running_sales"),
+    )
+
+
+Q4_ORACLE = (
+    STAR_SQL_PRELUDE
+    + """
+SELECT
+    dc.customer_id,
+    fs.order_date,
+    fs.order_number,
+    fs.line_number,
+    CAST(SUM(fs.sales) OVER (
+        PARTITION BY dc.customer_id
+        ORDER BY fs.order_date, fs.order_number, fs.line_number, fs.sales
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS DOUBLE) AS running_sales
+FROM fact_sales fs
+JOIN dim_customers dc ON fs.customer_key = dc.customer_key
+"""
+)
+
+
+# -- q5: top-3 products per month per country ------------------------
+def q5_top3_products_month_country(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = fact_sales(spark, sf_dir).join(
+        dim_customers(spark, sf_dir), "customer_key"
+    ).join(dim_products(spark, sf_dir), "product_key")
+    per_product = f.groupBy(
+        F.trunc("order_date", "month").alias("month"),
+        "country",
+        "product_name",
+    ).agg(F.sum("sales").alias("total_sales_dec"))
+    w = Window.partitionBy("month", "country").orderBy(F.desc("total_sales_dec"))
+    return (
+        per_product.withColumn("rank_sales", F.rank().over(w))
+        .filter(F.col("rank_sales") <= 3)
+        .select(
+            "month",
+            "country",
+            "product_name",
+            F.col("total_sales_dec").cast("double").alias("total_sales"),
+            "rank_sales",
+        )
+    )
+
+
+Q5_ORACLE = (
+    STAR_SQL_PRELUDE
+    + """,
+sales_per_product AS (
+    SELECT
+        CAST(DATE_TRUNC('month', fs.order_date) AS DATE) AS month,
+        dc.country,
+        dp.product_name,
+        SUM(fs.sales) AS total_sales_dec
+    FROM fact_sales fs
+    JOIN dim_customers dc ON fs.customer_key = dc.customer_key
+    JOIN dim_products dp  ON fs.product_key = dp.product_key
+    GROUP BY 1, 2, 3
+)
+SELECT month, country, product_name,
+       CAST(total_sales_dec AS DOUBLE) AS total_sales,
+       rank_sales
+FROM (
+    SELECT s.*,
+           RANK() OVER (PARTITION BY month, country
+                        ORDER BY total_sales_dec DESC) AS rank_sales
+    FROM sales_per_product s
+) ranked
+WHERE rank_sales <= 3
+"""
+)
+
+
+# -- q6: churn --------------------------------------------------------
+def q6_customer_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = _fact_with_customer(spark, sf_dir)
+    return (
+        f.groupBy("customer_id")
+        .agg(
+            F.min("order_date").alias("first_purchase"),
+            F.max("order_date").alias("last_purchase"),
+        )
+        .withColumn(
+            "is_churn",
+            F.col("last_purchase") < F.add_months(F.lit(CHURN_AS_OF).cast("date"), -6),
+        )
+    )
+
+
+Q6_ORACLE = (
+    STAR_SQL_PRELUDE
+    + f"""
+SELECT
+    dc.customer_id,
+    MIN(fs.order_date) AS first_purchase,
+    MAX(fs.order_date) AS last_purchase,
+    CASE WHEN MAX(fs.order_date) < DATE '{CHURN_AS_OF}' - INTERVAL 6 MONTH
+         THEN TRUE ELSE FALSE END AS is_churn
+FROM fact_sales fs
+JOIN dim_customers dc ON fs.customer_key = dc.customer_key
+GROUP BY dc.customer_id
+"""
+)
+
+
+# -- q7: average gap between orders ----------------------------------
+def q7_customer_order_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = _fact_with_customer(spark, sf_dir)
+    w = Window.partitionBy("customer_id").orderBy(
+        "order_date", "order_number", "line_number"
+    )
+    gaps = f.select(
+        "customer_id",
+        "order_date",
+        F.lag("order_date").over(w).alias("prev_date"),
+    ).withColumn("order_gap", F.datediff("order_date", "prev_date"))
+    return (
+        gaps.filter(F.col("prev_date").isNotNull())
+        .groupBy("customer_id")
+        .agg(F.avg("order_gap").alias("avg_gap_days"))
+    )
+
+
+Q7_ORACLE = (
+    STAR_SQL_PRELUDE
+    + """
+SELECT
+    customer_id,
+    AVG(order_gap) AS avg_gap_days
+FROM (
+    SELECT
+        dc.customer_id,
+        fs.order_date,
+        LAG(fs.order_date) OVER (
+            PARTITION BY dc.customer_id
+            ORDER BY fs.order_date, fs.order_number, fs.line_number
+        ) AS prev_date,
+        DATE_DIFF('day',
+                  LAG(fs.order_date) OVER (
+                      PARTITION BY dc.customer_id
+                      ORDER BY fs.order_date, fs.order_number, fs.line_number
+                  ),
+                  fs.order_date) AS order_gap
+    FROM fact_sales fs
+    JOIN dim_customers dc ON fs.customer_key = dc.customer_key
+) g
+WHERE prev_date IS NOT NULL
+GROUP BY customer_id
+"""
+)
+
+
+# -- q8: ROLLUP over the product hierarchy ---------------------------
+def q8_sales_rollup_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = _fact_with_product(spark, sf_dir)
+    return (
+        f.rollup("product_line", "category", "sub_category")
+        .agg(F.sum("sales").cast("double").alias("total_sales"))
+    )
+
+
+Q8_ORACLE = (
+    STAR_SQL_PRELUDE
+    + """
+SELECT
+    dp.product_line,
+    dp.category,
+    dp.sub_category,
+    CAST(SUM(fs.sales) AS DOUBLE) AS total_sales
+FROM fact_sales fs
+JOIN dim_products dp ON fs.product_key = dp.product_key
+GROUP BY ROLLUP (dp.product_line, dp.category, dp.sub_category)
+"""
+)
+
+
+QUERIES = {
+    "q1_monthly_sales_product": q1_monthly_sales_product,
+    "q2_sales_customer_country": q2_sales_customer_country,
+    "q3_customer_lifetime_value": q3_customer_lifetime_value,
+    "q4_running_sales": q4_running_sales,
+    "q5_top3_products_month_country": q5_top3_products_month_country,
+    "q6_customer_churn": q6_customer_churn,
+    "q7_customer_order_gap": q7_customer_order_gap,
+    "q8_sales_rollup_product": q8_sales_rollup_product,
+}
+
+ORACLES = {
+    "q1_monthly_sales_product": Q1_ORACLE,
+    "q2_sales_customer_country": Q2_ORACLE,
+    "q3_customer_lifetime_value": Q3_ORACLE,
+    "q4_running_sales": Q4_ORACLE,
+    "q5_top3_products_month_country": Q5_ORACLE,
+    "q6_customer_churn": Q6_ORACLE,
+    "q7_customer_order_gap": Q7_ORACLE,
+    "q8_sales_rollup_product": Q8_ORACLE,
+}

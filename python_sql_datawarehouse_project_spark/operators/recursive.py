@@ -1,0 +1,139 @@
+"""Recursive delayed-orders chain (reference materialized_view.sql:127-149,
+exploratory_data_analysis.sql:148-169 — the WITH RECURSIVE query).
+
+Spark SQL has no recursive CTE, so the fixpoint is a driver-side loop
+of join + filter + unionByName over a bounded number of levels
+(SURVEY.md §4.2).  Semantics mirror Postgres/DuckDB UNION ALL
+recursion exactly: each iteration joins the *previous level's* rows
+("working table") against the full order set, so the same order can
+appear at several levels via different chains.
+
+Order-grain adaptation: the reference's fact carries shipping_date and
+due_date per sales row; the TPC-H-ish test schema derives
+  shipping_date = MAX(l_shipdate) per order
+  due_date      = order_date + 30 days
+and a chain step is "a later order of the same customer placed after
+the delayed order shipped".
+
+The recursion is level-capped (default 3).  The reference's query is
+uncapped, but on data where most orders chain, the row count grows
+geometrically (~fanout^level); a cap keeps both the Spark run and the
+DuckDB oracle identical AND tractable, and the cap is part of the
+declared semantics here (the oracle SQL carries the same cap).
+
+Scale notes: each iteration is one shuffle join on customer_key; the
+frontier is persisted per level to stop Spark re-deriving level k-1
+while building level k, and lineage stays shallow because every level
+re-reads the persisted frontier, not the whole recursion tree.  On a
+real cluster, checkpointing every ~5 levels would bound lineage for
+deep recursions (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..star import STAR_SQL_CTES
+
+MAX_LEVEL = 3
+
+
+def order_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    order_date = F.col("o_orderdate").cast("date")
+    return (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"], "inner")
+        .groupBy(
+            F.col("o_orderkey").alias("order_number"),
+            F.col("o_custkey").alias("customer_key"),
+            order_date.alias("order_date"),
+            F.date_add(order_date, 30).alias("due_date"),
+        )
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("shipping_date"))
+    )
+
+
+def q9_delayed_orders_chain(
+    spark: SparkSession, sf_dir: str, max_level: int = MAX_LEVEL
+) -> DataFrame:
+    out_cols = ["order_number", "customer_key", "shipping_date", "due_date", "level"]
+    ships = order_shipments(spark, sf_dir).persist()
+    seed = (
+        ships.filter(F.col("shipping_date") > F.col("due_date"))
+        .select(
+            "order_number",
+            "customer_key",
+            "shipping_date",
+            "due_date",
+            F.lit(1).alias("level"),
+        )
+        .persist()
+    )
+    levels = [seed]
+    frontier = seed
+    for lvl in range(2, max_level + 1):
+        prev = frontier.select(
+            F.col("customer_key").alias("d_customer_key"),
+            F.col("shipping_date").alias("d_shipping_date"),
+        )
+        frontier = (
+            ships.join(
+                prev,
+                (ships["customer_key"] == prev["d_customer_key"])
+                & (ships["order_date"] > prev["d_shipping_date"]),
+                "inner",
+            )
+            .select(
+                "order_number",
+                "customer_key",
+                "shipping_date",
+                "due_date",
+                F.lit(lvl).alias("level"),
+            )
+            .persist()
+        )
+        levels.append(frontier)
+    return reduce(lambda a, b: a.unionByName(b), levels).select(*out_cols)
+
+
+Q9_ORACLE = (
+    "WITH RECURSIVE "
+    + STAR_SQL_CTES
+    + f""",
+order_shipments AS (
+    SELECT
+        o_orderkey AS order_number,
+        o_custkey  AS customer_key,
+        CAST(o_orderdate AS DATE) AS order_date,
+        CAST(o_orderdate AS DATE) + 30 AS due_date,
+        MAX(CAST(l_shipdate AS DATE)) AS shipping_date
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1, 2, 3, 4
+),
+delayed_orders AS (
+    SELECT order_number, customer_key, shipping_date, due_date, 1 AS level
+    FROM order_shipments
+    WHERE shipping_date > due_date
+    UNION ALL
+    SELECT os.order_number, os.customer_key, os.shipping_date, os.due_date,
+           d.level + 1 AS level
+    FROM order_shipments os
+    JOIN delayed_orders d
+      ON os.customer_key = d.customer_key
+     AND os.order_date > d.shipping_date
+    WHERE d.level < {MAX_LEVEL}
+)
+SELECT order_number, customer_key, shipping_date, due_date, level
+FROM delayed_orders
+"""
+)
+
+QUERIES = {"q9_delayed_orders_chain": q9_delayed_orders_chain}
+ORACLES = {"q9_delayed_orders_chain": Q9_ORACLE}

@@ -1,0 +1,36 @@
+"""Central query/oracle registry aggregated from the operator modules.
+
+Contract (driver): every key in queries() takes (spark, sf_dir) and
+returns a DataFrame; oracles() maps the same key to DuckDB SQL over
+the pre-registered views (region nation customer supplier part orders
+lineitem events documents embeddings) producing identical column
+names.  Keys present in queries() but absent from oracles() get a
+weaker rows-only check (reserved for non-SQL-expressible operators).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import analytics, recursive, windows
+
+_MODULES = (analytics, recursive, windows)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable] = {}
+    for m in _MODULES:
+        dupes = set(out) & set(m.QUERIES)
+        if dupes:
+            raise ValueError(f"duplicate query keys: {dupes}")
+        out.update(m.QUERIES)
+    return out
+
+
+def oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for m in _MODULES:
+        out.update(getattr(m, "ORACLES", {}))
+    return out

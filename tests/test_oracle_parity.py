@@ -1,0 +1,37 @@
+"""Replicates the driver's DuckDB-oracle gate locally at sf0.001:
+every registry query with an oracle must match on row count, columns
+and order-insensitive canonicalized values."""
+
+from __future__ import annotations
+
+import pytest
+
+from python_sql_datawarehouse_project_spark import registry
+from python_sql_datawarehouse_project_spark.testing import compare
+
+_QUERIES = registry.queries()
+_ORACLES = registry.oracles()
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES))
+def test_query_matches_oracle(name, spark, sf_dir):
+    res = compare(name, _QUERIES[name], _ORACLES[name], spark, sf_dir)
+    assert res.ok, (
+        f"{name}: rows spark={res.spark_rows} oracle={res.oracle_rows}, "
+        f"columns_match={res.columns_match}, values_match={res.values_match}; "
+        + "; ".join(res.mismatches)
+    )
+
+
+def test_every_query_has_entry_or_documented_gap():
+    missing = set(_QUERIES) - set(_ORACLES)
+    # Only non-SQL-expressible operators may omit an oracle.
+    allowed_gaps = {n for n in missing if n.startswith(("stream_", "lsh_", "mm_"))}
+    assert missing == allowed_gaps, f"queries without oracle: {missing - allowed_gaps}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
