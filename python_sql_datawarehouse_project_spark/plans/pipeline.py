@@ -1,0 +1,109 @@
+"""Batch orchestrator: the Spark analogue of the reference's three
+driver scripts (silver_clean_transform.py, gold_integration.py,
+refresh_mv.py — SURVEY.md §3.2), collapsed into one in-process plan.
+
+Lifecycle per batch:
+  run_silver  -> every silver transform, logged to transformation_log
+  run_gold    -> dims first, then facts gated on dim SUCCESS rows
+                 (integration_dependencies semantics; SKIPPED rows are
+                 logged exactly like gold_integration.py:276-290)
+  run_mvs     -> FULL refresh of each registered MV, mv_refresh_log
+
+Batch IDs follow the reference's "BATCH" + 6-digit counter
+(batch_processing.py:49-56).
+"""
+
+from __future__ import annotations
+
+from .gold import DEPENDENCIES, INTEGRATIONS
+from .mv import MVS, refresh_mv
+from .runlog import RunLog
+from .silver import TRANSFORMS
+from .warehouse import Warehouse
+
+
+def next_batch_id(last: str | None) -> str:
+    """BATCH###### counter (reference batch_processing.py:49-56)."""
+    n = int(last.removeprefix("BATCH")) if last else 0
+    return f"BATCH{n + 1:06d}"
+
+
+def run_silver(wh: Warehouse, log: RunLog, batch_id: str) -> dict[str, tuple]:
+    results = {}
+    for name, fn in TRANSFORMS.items():
+        ok, err, n = fn(wh, batch_id)
+        results[name] = (ok, err, n)
+        log.append(
+            "transformation_log",
+            proc_name=name,
+            batch_id=batch_id,
+            status="SUCCESS" if ok else "FAILED",
+            record_count=n,
+            message=err,
+        )
+    return results
+
+
+def run_gold(wh: Warehouse, log: RunLog, batch_id: str) -> dict[str, tuple]:
+    """Dims before facts; facts skipped unless all deps SUCCESS."""
+    results = {}
+    ordered = sorted(
+        INTEGRATIONS, key=lambda k: (k in DEPENDENCIES, k)
+    )  # no-dep (dims) first, then dependent (facts)
+    for name in ordered:
+        deps = DEPENDENCIES.get(name, ())
+        done = log.successes("integration_log", batch_id)
+        missing = [d for d in deps if d not in done]
+        if missing:
+            results[name] = (False, f"SKIPPED: deps not satisfied {missing}", 0)
+            log.append(
+                "integration_log",
+                proc_name=name,
+                batch_id=batch_id,
+                status="SKIPPED",
+                record_count=0,
+                message=f"dependencies not satisfied: {missing}",
+            )
+            continue
+        ok, err, n = INTEGRATIONS[name](wh, batch_id)
+        results[name] = (ok, err, n)
+        log.append(
+            "integration_log",
+            proc_name=name,
+            batch_id=batch_id,
+            status="SUCCESS" if ok else "FAILED",
+            record_count=n,
+            message=err,
+        )
+    return results
+
+
+def run_mvs(wh: Warehouse, log: RunLog, batch_id: str) -> dict[str, tuple]:
+    results = {}
+    for name in MVS:
+        ok, err, n = refresh_mv(wh, name, batch_id)
+        results[name] = (ok, err, n)
+        log.append(
+            "mv_refresh_log",
+            proc_name=name,
+            batch_id=batch_id,
+            status="SUCCESS" if ok else "FAILED",
+            record_count=n,
+            message=err,
+        )
+    return results
+
+
+def run_batch(wh: Warehouse, log: RunLog, batch_id: str) -> dict[str, dict]:
+    """Full silver -> gold -> MV pass for one batch (the reference's
+    three CLI entry points chained, minus the manifest file dance)."""
+    silver = run_silver(wh, log, batch_id)
+    gold = run_gold(wh, log, batch_id)
+    mvs = run_mvs(wh, log, batch_id)
+    status = (
+        "SUCCESS"
+        if all(ok for ok, *_ in [*silver.values(), *gold.values(), *mvs.values()])
+        else "FAILED"
+    )
+    log.append("job_execution_log", batch_id=batch_id, status=status)
+    return {"silver": silver, "gold": gold, "mv": mvs}

@@ -64,6 +64,12 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Pin loopback: the sandbox resolver is a black hole, so any
+        # JVM hostname lookup that misses /etc/hosts stalls for the
+        # full DNS timeout.  Irrelevant on a real cluster (overridden
+        # by spark-submit), critical for local determinism.
+        .config("spark.driver.host", "127.0.0.1")
+        .config("spark.driver.bindAddress", "127.0.0.1")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
