@@ -34,9 +34,24 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Lazy parquet scan for one registry table."""
+    """Lazy parquet scan for one registry table.
+
+    `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; read it as raw nanos
+    (legacy.parquet.nanosAsLong is a runtime conf) and truncate to
+    microseconds — exactly what DuckDB's us-resolution TIMESTAMP does,
+    so oracle comparisons agree to the microsecond.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; registry has {TABLES}")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        # integer `div`, NOT `/`: float division of epoch-nanos loses
+        # sub-microsecond precision (1.7e18 needs 61 bits > double's 53)
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return spark.read.parquet(table_path(sf_dir, name))
 
 

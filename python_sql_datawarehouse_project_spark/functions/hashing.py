@@ -1,0 +1,147 @@
+"""Engine-portable hashing primitives for the LLM-data-pipeline
+operators (dedup / similarity / fingerprinting — BASELINE.json north
+star, beyond the reference's own surface; the reference has no hashing
+beyond Postgres internals).
+
+Every primitive exists twice: a Spark Column expression and a DuckDB
+SQL fragment EMITTED FROM THE SAME PYTHON CONSTANTS, so the driver's
+oracle comparison can hash-match bit-for-bit.  The portability
+contract was verified empirically:
+
+  * md5() produces identical hex on both engines (it's the standard
+    digest), and a 15-hex-char prefix parsed base-16 fits in int64
+    (60 bits), so `md5_long` is an identical 60-bit string hash on
+    both sides.
+  * int64 arithmetic (+ * % >> & <<) is exact and identical.
+  * sequential left-folds over double arrays (Spark F.aggregate vs
+    DuckDB list_reduce-with-prepended-init / list_dot_product) are
+    bitwise identical — verified on all sf0.01 embeddings (500 dots,
+    190 cosines, max abs diff 0.0).
+
+Scale notes: all of these are pure JVM-side column expressions in
+Spark (whole-stage codegen, no Python row traffic); cost is linear in
+input characters and embedding width, shuffle-free until the operator
+that consumes them groups or joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31 - 1: modulus for MinHash permutations.
+MINHASH_P = 2_147_483_647
+# Number of MinHash permutations and the LSH banding layout.
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = MINHASH_K // LSH_BANDS
+
+# Deterministic permutation coefficients a_i (odd, < 2^31) and b_i,
+# from a fixed LCG so both engines share them as literals.
+def _lcg_stream(seed: int):
+    x = seed
+    while True:
+        x = (1103515245 * x + 12345) % (1 << 31)
+        yield x
+
+
+def _gen_coeffs(k: int) -> tuple[list[int], list[int]]:
+    g = _lcg_stream(20240817)
+    a = [((next(g) % (MINHASH_P - 1)) | 1) for _ in range(k)]
+    b = [next(g) % MINHASH_P for _ in range(k)]
+    return a, b
+
+
+MINHASH_A, MINHASH_B = _gen_coeffs(MINHASH_K)
+
+# Random-hyperplane LSH for embeddings: NBITS hyperplanes of dim DIM,
+# components in [-0.5, 0.5) from the same LCG formula both engines
+# can evaluate inline: r(i,j) = lcg(i*DIM+j)/2^31 - 0.5.
+SIMHASH_BITS = 32
+RP_BITS = 16
+RP_DIM = 64
+_RP_MULT = 1_103_515_245
+_RP_INC = 12_345
+_RP_MOD = 1 << 31
+
+# SimHash / fingerprint constants.
+FP_MOD = 1_000_000_007
+FP_MULT = 31
+
+
+# ---------------------------------------------------------------- Spark side
+def md5_long(col: Column) -> Column:
+    """60-bit integer hash of a string: first 15 hex chars of md5."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def rp_component(i, j) -> Column:
+    """Hyperplane component r(i, j) in [-0.5, 0.5) — i, j Columns."""
+    idx = (i * F.lit(RP_DIM) + j).cast("long")
+    lcg = (F.lit(_RP_MULT) * idx + F.lit(_RP_INC)) % F.lit(_RP_MOD)
+    return lcg.cast("double") / F.lit(float(_RP_MOD)) - F.lit(0.5)
+
+
+def poly_fingerprint(chars: Column) -> Column:
+    """Left-fold Karp-Rabin rolling hash over a char array:
+    acc = (acc*31 + ascii(c)) mod 1e9+7."""
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(FP_MULT) + F.ascii(c)) % F.lit(FP_MOD),
+    )
+
+
+def dot_fold(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two double arrays (deterministic
+    summation order — bitwise-matches the DuckDB oracle)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot_fold(a, b) / (F.sqrt(dot_fold(a, a)) * F.sqrt(dot_fold(b, b)))
+
+
+# --------------------------------------------------------------- DuckDB side
+# SQL fragment emitters.  Each takes SQL expression strings and
+# returns a SQL expression string implementing the same function.
+def sql_md5_long(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def sql_rp_component(i_expr: str, j_expr: str) -> str:
+    idx = f"(CAST({i_expr} AS BIGINT) * {RP_DIM} + {j_expr})"
+    return (
+        f"(CAST(mod({_RP_MULT} * {idx} + {_RP_INC}, {_RP_MOD}) AS DOUBLE)"
+        f" / {float(_RP_MOD)} - 0.5)"
+    )
+
+
+def sql_poly_fingerprint(chars_expr: str) -> str:
+    """list_reduce has no init value, so prepend 0 (= fold with init)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform({chars_expr}, c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, c) -> mod(acc * {FP_MULT} + c, {FP_MOD}))"
+    )
+
+
+def sql_dot(a_expr: str, b_expr: str) -> str:
+    """list_dot_product on DOUBLE[] is a sequential fold — verified
+    bitwise-identical to dot_fold."""
+    return f"list_dot_product({a_expr}, {b_expr})"
+
+
+def sql_cosine(a_expr: str, b_expr: str) -> str:
+    return (
+        f"({sql_dot(a_expr, b_expr)} / "
+        f"(sqrt({sql_dot(a_expr, a_expr)}) * sqrt({sql_dot(b_expr, b_expr)})))"
+    )
+
+
+def sql_int_list(xs: list[int]) -> str:
+    return "[" + ", ".join(str(x) for x in xs) + "]"

@@ -1,0 +1,395 @@
+"""Deduplication operators over `documents` / `embeddings` — the
+LLM-training-data extensions (BASELINE.json north star; the
+reference's only dedup is the ROW_NUMBER keep-latest of SURVEY.md
+§2.5 W1, covered in plans/silver.py).
+
+  dd1_exact_dedup          hash-groupBy exact duplicate collapse
+  dd2_ngram_jaccard_pairs  exact char-5-gram Jaccard, verified over
+                           MinHash-LSH candidate pairs
+  dd3_minhash_lsh_pairs    banded-LSH candidates + minhash-estimated
+                           Jaccard (the pure sketch path)
+  dd4_simhash              32-bit SimHash + banded Hamming near-dups
+  dd5_embedding_neardup    cosine near-duplicates over embeddings
+
+Every query is oracle-checked bit-for-bit against DuckDB: the
+md5-based integer hashing, MinHash modular arithmetic and
+sequential-fold cosine are engine-portable by construction
+(functions/hashing.py).
+
+Scale design (100 TB) — measured, not guessed: on the sf0.1 corpus
+(5,000 docs sharing a tiny vocabulary) the naive all-pairs shingle
+join materializes ~770M rows to surface 256 qualifying pairs; the
+banded-LSH candidate join materializes 25K.  So:
+  * dd1 is one hash-shuffle on a 16-byte digest; map-side partial
+    aggregation dedupes before the exchange.
+  * dd2/dd3 NEVER join on raw shingles.  Candidates come from the
+    banded MinHash join (collision prob 1-(1-j^r)^b, r=4, b=4);
+    dd2 then verifies with exact Jaccard on the per-doc hash sets
+    (array_intersect on two ~300-element int arrays per candidate),
+    dd3 reports the signature-agreement estimate (matches/K).
+    Recall is the standard LSH S-curve; at j=0.4 with r=4,b=4 it's
+    ~0.1, at j=0.7 ~0.66, at j=0.9 ~0.997 — the knob is (r, b),
+    documented here as part of the operator contract.
+  * dd4 bands the 32-bit SimHash into 2 x 16-bit halves: by
+    pigeonhole any pair at Hamming distance <= 1 shares a half, so
+    candidates-then-verify is EXACT for the <= 1 threshold (no
+    recall loss), at ~2% of the all-pairs cost on clustered data.
+  * dd5 pre-normalizes each vector once (no per-pair norm
+    recomputation), so a pair costs one 64-wide fused dot product.
+    Brute force is the verify stage; sim2's hyperplane buckets
+    (operators/similarity.py) are the recall path at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import hashing as H
+from .text import _norm, _sql_norm, _tokens, _sql_tokens
+
+SHINGLE = 5
+JACCARD_T = 0.4
+EST_T = 0.25  # minhash estimate threshold (granularity 1/K = 1/16)
+HAMMING_T = 1
+COSINE_T = 0.40
+_H31 = 1 << 31
+_H32 = 1 << 32
+
+
+# -- dd1: exact dedup -------------------------------------------------
+def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(_norm(F.col("text"))).alias("content_key"))
+        .groupBy("content_key")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+DD1_ORACLE = f"""
+SELECT
+    md5({_sql_norm('text')}) AS content_key,
+    MIN(doc_id) AS canonical_doc_id,
+    COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+# -- shared shingle/MinHash/LSH machinery ----------------------------
+def _shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle): distinct char-5-grams of normalized text.
+    Docs shorter than one shingle are dropped on BOTH engines (Spark
+    sequence() would otherwise count down)."""
+    norm = _norm(F.col("text"))
+    arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - (SHINGLE - 1)),
+            lambda i: norm.substr(i, F.lit(SHINGLE)),
+        )
+    )
+    return (
+        docs.filter(F.length(norm) >= SHINGLE)
+        .select("doc_id", F.explode(arr).alias("shingle"))
+    )
+
+
+def _minhash_perm(i: int):
+    """Closure factory — avoids the 2-arg lambda pitfall (a 2-arg
+    higher-order-function lambda receives (element, INDEX))."""
+    return lambda x: (
+        F.lit(H.MINHASH_A[i]) * x + F.lit(H.MINHASH_B[i])
+    ) % F.lit(H.MINHASH_P)
+
+
+def _doc_sketches(docs: DataFrame) -> DataFrame:
+    """(doc_id, hs, sig): per-doc shingle-hash set + MinHash signature."""
+    sh = _shingles(docs).withColumn(
+        "h", H.md5_long(F.col("shingle")) % F.lit(_H31)
+    )
+    hs = sh.groupBy("doc_id").agg(F.collect_set("h").alias("hs"))
+    return hs.withColumn(
+        "sig",
+        F.array(
+            *[
+                F.array_min(F.transform(F.col("hs"), _minhash_perm(i)))
+                for i in range(H.MINHASH_K)
+            ]
+        ),
+    )
+
+
+def _lsh_candidates(sk: DataFrame) -> DataFrame:
+    """Banded-LSH candidate pairs carrying both docs' sketches."""
+    bands = sk.select(
+        "doc_id",
+        "hs",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(H.LSH_BANDS - 1))).alias("band"),
+    ).withColumn(
+        "band_key",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("sig"), F.col("band") * H.LSH_ROWS + 1, H.LSH_ROWS),
+                    lambda s: s.cast("string"),
+                ),
+            )
+        ),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hs").alias("hs_a"),
+        F.col("sig").alias("sig_a"),
+        "band",
+        "band_key",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hs").alias("hs_b"),
+        F.col("sig").alias("sig_b"),
+        "band",
+        "band_key",
+    )
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "hs_a", "hs_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def _sql_sketch_ctes() -> str:
+    sig_items = ", ".join(
+        f"list_min(list_transform(hs, x -> mod({H.MINHASH_A[i]} * x + "
+        f"{H.MINHASH_B[i]}, {H.MINHASH_P})))"
+        for i in range(H.MINHASH_K)
+    )
+    return f"""
+shingled AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, length(nt) - {SHINGLE - 2}),
+               i -> substr(nt, CAST(i AS INT), {SHINGLE})))) AS shingle
+    FROM (SELECT doc_id, {_sql_norm('text')} AS nt FROM documents)
+    WHERE length(nt) >= {SHINGLE}
+),
+sketches AS (
+    SELECT doc_id, hs, [{sig_items}] AS sig
+    FROM (
+        SELECT doc_id,
+               list(DISTINCT mod({H.sql_md5_long('shingle')}, {_H31})) AS hs
+        FROM shingled GROUP BY doc_id
+    )
+),
+bands AS (
+    SELECT doc_id, hs, sig, band,
+           md5(array_to_string(list_transform(
+               list_slice(sig, band * {H.LSH_ROWS} + 1, (band + 1) * {H.LSH_ROWS}),
+               s -> CAST(s AS VARCHAR)), ',')) AS band_key
+    FROM sketches, (SELECT unnest(range(0, {H.LSH_BANDS})) AS band)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.hs AS hs_a, b.hs AS hs_b, a.sig AS sig_a, b.sig AS sig_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+)"""
+
+
+# -- dd2: exact n-gram Jaccard over LSH candidates --------------------
+def dd2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cand = _lsh_candidates(_doc_sketches(docs))
+    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+    union = (
+        F.size("hs_a") + F.size("hs_b") - F.size(F.array_intersect("hs_a", "hs_b"))
+    )
+    return (
+        cand.select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_T)
+    )
+
+
+DD2_ORACLE = f"""
+WITH {_sql_sketch_ctes()}
+SELECT doc_a, doc_b,
+       CAST(len(list_intersect(hs_a, hs_b)) AS DOUBLE)
+         / (len(hs_a) + len(hs_b) - len(list_intersect(hs_a, hs_b))) AS jaccard
+FROM cand
+WHERE CAST(len(list_intersect(hs_a, hs_b)) AS DOUBLE)
+         / (len(hs_a) + len(hs_b) - len(list_intersect(hs_a, hs_b))) >= {JACCARD_T}
+"""
+
+
+# -- dd3: banded LSH + minhash-estimated Jaccard ----------------------
+def dd3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cand = _lsh_candidates(_doc_sketches(docs))
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda m: m == 1,
+        )
+    )
+    est = matches.cast("double") / F.lit(float(H.MINHASH_K))
+    return (
+        cand.select("doc_a", "doc_b", est.alias("jaccard_est"))
+        .filter(F.col("jaccard_est") >= EST_T)
+    )
+
+
+DD3_ORACLE = f"""
+WITH {_sql_sketch_ctes()}
+SELECT doc_a, doc_b,
+       CAST(len(list_filter(list_zip(sig_a, sig_b), p -> p[1] = p[2]))
+            AS DOUBLE) / {float(H.MINHASH_K)} AS jaccard_est
+FROM cand
+WHERE CAST(len(list_filter(list_zip(sig_a, sig_b), p -> p[1] = p[2]))
+            AS DOUBLE) / {float(H.MINHASH_K)} >= {EST_T}
+"""
+
+
+# -- dd4: SimHash with banded Hamming near-dups ----------------------
+_SIMHASH_EXPR = (
+    "aggregate(sequence(0, 31), cast(0 as bigint), (acc, j) -> acc + "
+    "if(aggregate(hs, cast(0 as bigint), "
+    "    (a, hv) -> a + 2 * (shiftright(hv, j) % 2) - 1) > 0, "
+    "shiftleft(cast(1 as bigint), j), cast(0 as bigint)))"
+)
+
+
+def dd4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok")
+    )
+    sh = (
+        toks.withColumn("h", H.md5_long(F.col("tok")) % F.lit(_H32))
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("hs"))
+        .select("doc_id", F.expr(_SIMHASH_EXPR).alias("simhash"))
+    )
+    # 2 x 16-bit bands: pigeonhole-exact for Hamming distance <= 1.
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                (F.col("simhash") % F.lit(1 << 16)).alias("lo"),
+                ((F.col("simhash") / F.lit(1 << 16)).cast("long") + F.lit(1 << 17)),
+            )
+        ).alias("band_key"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band_key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band_key"
+    )
+    return (
+        a.join(b, "band_key")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= HAMMING_T)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+DD4_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(list_distinct({_sql_tokens('text')})) AS tok
+    FROM documents
+),
+h AS (SELECT doc_id, mod({H.sql_md5_long('tok')}, {_H32}) AS h FROM toks),
+votes AS (
+    SELECT doc_id, j, SUM(2 * ((h >> j) & 1) - 1) AS vote
+    FROM h, (SELECT unnest(range(0, 32)) AS j)
+    GROUP BY doc_id, j
+),
+sh AS (
+    SELECT doc_id,
+           SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+    FROM votes GROUP BY doc_id
+),
+bands AS (
+    SELECT doc_id, simhash,
+           unnest([mod(simhash, {1 << 16}),
+                   (simhash // {1 << 16}) + {1 << 17}]) AS band_key
+    FROM sh
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS sh_a, b.simhash AS sh_b
+    FROM bands a JOIN bands b
+      ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= {HAMMING_T}
+"""
+
+
+# -- dd5: embedding cosine near-dup ----------------------------------
+def _normalized(emb: DataFrame) -> DataFrame:
+    """Pre-normalize once so a pair costs a single dot product."""
+    nrm = F.sqrt(H.dot_fold(F.col("v"), F.col("v")))
+    return emb.select(
+        "vec_id", F.transform(F.col("v"), lambda x: x / nrm).alias("vn")
+    )
+
+
+_SQL_NORMALIZED = """
+normalized AS (
+    SELECT vec_id,
+           list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+)"""
+
+
+def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = _normalized(emb)
+    a = n.select(F.col("vec_id").alias("vec_a"), F.col("vn").alias("va"))
+    b = n.select(F.col("vec_id").alias("vec_b"), F.col("vn").alias("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", H.dot_fold(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= COSINE_T)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+DD5_ORACLE = f"""
+WITH {_SQL_NORMALIZED}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {H.sql_dot('a.vn', 'b.vn')} AS cosine
+FROM normalized a JOIN normalized b ON a.vec_id < b.vec_id
+WHERE {H.sql_dot('a.vn', 'b.vn')} >= {COSINE_T}
+"""
+
+
+QUERIES = {
+    "dd1_exact_dedup": dd1_exact_dedup,
+    "dd2_ngram_jaccard_pairs": dd2_ngram_jaccard_pairs,
+    "dd3_minhash_lsh_pairs": dd3_minhash_lsh_pairs,
+    "dd4_simhash": dd4_simhash,
+    "dd5_embedding_neardup": dd5_embedding_neardup,
+}
+ORACLES = {
+    "dd1_exact_dedup": DD1_ORACLE,
+    "dd2_ngram_jaccard_pairs": DD2_ORACLE,
+    "dd3_minhash_lsh_pairs": DD3_ORACLE,
+    "dd4_simhash": DD4_ORACLE,
+    "dd5_embedding_neardup": DD5_ORACLE,
+}

@@ -1,0 +1,189 @@
+"""Event-time window operators over the `events` table
+(ts/user_id/event_type/value/props) — batch forms of the streaming
+shapes (SURVEY.md §2.9: the reference is strictly batch; these are the
+BASELINE.json streaming extensions; streaming/ runs the same logic
+under Structured Streaming with watermarks).
+
+  ev1_tumbling_hourly   1 h tumbling windows per event_type
+  ev2_sliding_windows   1 h windows sliding every 15 min
+  ev3_session_windows   30 min gap sessionization per user
+  ev4_props_json        JSON prop extraction + aggregate
+
+Determinism: double SUMs are order-dependent, so `value` routes
+through DECIMAL(18,6) on both engines (same trick as star.py's money
+math) and is cast back to double only in the final projection.
+
+Scale design: tumbling/sliding aggs are single-shuffle hash
+aggregates keyed by (window, type) — at 100 TB the map-side partial
+agg collapses each partition to one row per open window before the
+exchange.  Sessionization shuffles once on user_id; Spark's
+session_window merges map-side.  The sliding window multiplies rows
+x4 BEFORE the partial agg (Spark's expand), still one exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+VALUE_DEC = "DECIMAL(18,6)"
+SESSION_GAP_MIN = 30
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast(VALUE_DEC)
+    )
+
+
+# -- ev1: tumbling hourly windows ------------------------------------
+def ev1_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_dec").cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+EV1_ORACLE = """
+SELECT
+    time_bucket(INTERVAL '1 hour', ts) AS window_start,
+    event_type,
+    COUNT(*) AS n_events,
+    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# -- ev2: sliding windows (1 h / 15 min) ------------------------------
+def ev2_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_dec").cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# An event at t belongs to the 4 slide-aligned windows starting at
+# time_bucket(15min, t) - k*15min, k in 0..3 (window length 60 min).
+EV2_ORACLE = """
+SELECT
+    time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'
+        AS window_start,
+    event_type,
+    COUNT(*) AS n_events,
+    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events, (SELECT unnest(range(0, 4)) AS k)
+GROUP BY 1, 2
+"""
+
+
+# -- ev3: session windows (30 min inactivity gap) ---------------------
+def ev3_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_dec").cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# Gaps-and-islands: a new session starts when the gap from the
+# previous event exceeds 30 min; Spark's session end = last ts + gap.
+EV3_ORACLE = f"""
+WITH flagged AS (
+    SELECT user_id, ts, value,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL '{SESSION_GAP_MIN} minutes'
+                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+islands AS (
+    SELECT user_id, ts, value,
+           SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+    FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '{SESSION_GAP_MIN} minutes' AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM islands
+GROUP BY user_id, session_no
+"""
+
+
+# -- ev4: JSON props extraction --------------------------------------
+def ev4_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("k").cast("long")).alias("sum_k"),
+            F.countDistinct("k").alias("distinct_k"),
+        )
+    )
+
+
+EV4_ORACLE = """
+SELECT
+    event_type,
+    COUNT(*) AS n_events,
+    SUM(CAST(CAST(json_extract(props, '$.k') AS VARCHAR) AS BIGINT)) AS sum_k,
+    COUNT(DISTINCT CAST(CAST(json_extract(props, '$.k') AS VARCHAR) AS INTEGER))
+        AS distinct_k
+FROM events
+GROUP BY 1
+"""
+
+QUERIES = {
+    "ev1_tumbling_hourly": ev1_tumbling_hourly,
+    "ev2_sliding_windows": ev2_sliding_windows,
+    "ev3_session_windows": ev3_session_windows,
+    "ev4_props_json": ev4_props_json,
+}
+ORACLES = {
+    "ev1_tumbling_hourly": EV1_ORACLE,
+    "ev2_sliding_windows": EV2_ORACLE,
+    "ev3_session_windows": EV3_ORACLE,
+    "ev4_props_json": EV4_ORACLE,
+}

@@ -1,0 +1,197 @@
+"""Similarity search over the `embeddings` table (`array<float>`,
+dim 64) — the ANN extension of BASELINE.json's north star (no
+counterpart in the reference repo).
+
+  sim1_topk_bruteforce   exact cosine top-k: the correctness baseline
+  sim2_lsh_topk          random-hyperplane LSH bucketed top-k: the
+                         scale path (recall < 1, cost ~ 1/2^bits)
+
+Both are oracle-checked bit-for-bit: vectors are pre-normalized with
+the same expression on both engines, cosine is then a single
+sequential-fold dot product (verified bitwise identical across
+engines, functions/hashing.py), and the LSH hyperplanes are an inline
+LCG formula both engines evaluate identically — even bucket
+assignment matches exactly.
+
+Scale design (100 TB of embeddings):
+  * Normalize ONCE per vector (map-side, persisted with the corpus at
+    scale); a candidate pair then costs one 64-wide dot product
+    instead of three.
+  * sim1 broadcasts the QUERY side (a handful of probe vectors); the
+    corpus streams map-side with no shuffle; the only exchange is the
+    tiny per-query top-k.  Never materialize the full pair matrix.
+  * sim2 buckets the corpus once (one long column), then hash-joins
+    query buckets to corpus buckets.  On a cluster, store the corpus
+    bucketed-by `bucket` so repeated probes are shuffle-free;
+    multi-probe = union of the 16 one-bit-flip buckets per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import hashing as H
+
+N_QUERIES = 5  # probe set: vec_id < 5
+TOP_K = 10
+
+
+def _emb_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    nrm = F.sqrt(H.dot_fold(F.col("v"), F.col("v")))
+    return emb.select(
+        "vec_id", F.transform(F.col("v"), lambda x: x / nrm).alias("vn")
+    )
+
+
+_SQL_NORM_CTE = """
+e AS (
+    SELECT vec_id,
+           list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+)"""
+
+
+def _ranked(pairs: DataFrame) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+_SQL_RANKED = f"""
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM pairs
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+# -- sim1: exact brute-force top-k -----------------------------------
+def sim1_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_normalized(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vn").alias("qv")
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            H.dot_fold(F.col("qv"), F.col("vn")).alias("cosine"),
+        )
+    )
+    return _ranked(pairs)
+
+
+SIM1_ORACLE = f"""
+WITH {_SQL_NORM_CTE},
+q AS (SELECT vec_id AS query_id, vn AS qv FROM e WHERE vec_id < {N_QUERIES}),
+pairs AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           {H.sql_dot('q.qv', 'e.vn')} AS cosine
+    FROM e, q WHERE e.vec_id <> q.query_id
+),
+{_SQL_RANKED}
+"""
+
+
+# -- sim2: random-hyperplane LSH bucketed top-k ----------------------
+def _bucket_col(v: str) -> Column:
+    """Sign-of-projection bucket: bit i = (v . r_i) > 0, bucket =
+    sum(bit_i * 2^i).  Hyperplane components come from the shared LCG
+    formula (hashing.rp_component); 2^i via pow (exact in double up
+    to 2^52 — shiftleft needs a literal shift amount)."""
+    proj = F.transform(
+        F.sequence(F.lit(0), F.lit(H.RP_BITS - 1)),
+        lambda i: F.aggregate(
+            F.zip_with(
+                F.col(v),
+                F.sequence(F.lit(0), F.lit(H.RP_DIM - 1)),
+                lambda x, j: x * H.rp_component(i, j),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            proj,
+            F.sequence(F.lit(0), F.lit(H.RP_BITS - 1)),
+            lambda p, i: F.when(p > 0, F.pow(F.lit(2.0), i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def sim2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_normalized(spark, sf_dir).withColumn("bucket", _bucket_col("vn"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vn").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    pairs = (
+        emb.join(F.broadcast(q), emb["bucket"] == q["qbucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            H.dot_fold(F.col("qv"), F.col("vn")).alias("cosine"),
+        )
+    )
+    return _ranked(pairs)
+
+
+def _sim2_oracle() -> str:
+    # Same bucket formula, emitted for DuckDB: projections are
+    # sequential folds over (vn[j] * r(i, j)).
+    proj = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(range(0, {dim}), j -> "
+        "vn[CAST(j AS INT) + 1] * {r})), (a, b) -> a + b)"
+    ).format(dim=H.RP_DIM, r=H.sql_rp_component("i", "j"))
+    bucket = (
+        f"list_sum(list_transform(range(0, {H.RP_BITS}), i -> "
+        f"CASE WHEN {proj} > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) "
+        f"ELSE CAST(0 AS BIGINT) END))"
+    )
+    return f"""
+WITH {_SQL_NORM_CTE},
+eb AS (SELECT vec_id, vn, {bucket} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, vn AS qv, bucket AS qbucket
+      FROM eb WHERE vec_id < {N_QUERIES}),
+pairs AS (
+    SELECT q.query_id, eb.vec_id AS neighbor_id,
+           {H.sql_dot('q.qv', 'eb.vn')} AS cosine
+    FROM eb JOIN q ON eb.bucket = q.qbucket
+    WHERE eb.vec_id <> q.query_id
+),
+{_SQL_RANKED}
+"""
+
+
+SIM2_ORACLE = _sim2_oracle()
+
+QUERIES = {
+    "sim1_topk_bruteforce": sim1_topk_bruteforce,
+    "sim2_lsh_topk": sim2_lsh_topk,
+}
+ORACLES = {
+    "sim1_topk_bruteforce": SIM1_ORACLE,
+    "sim2_lsh_topk": SIM2_ORACLE,
+}

@@ -1,0 +1,233 @@
+"""Text-analysis operators over the `documents` table — the
+LLM-training-data extensions (BASELINE.json north star; the reference
+repo has no text analytics, its closest surface is the string-cleanse
+kit of SURVEY.md §2.8).
+
+  tx1_token_count      whitespace + BPE-ish regex token counts
+  tx2_quality_score    length / punctuation / stopword-ratio scoring
+  tx3_language_id      n-gram (function-word) language heuristic
+  tx4_fingerprint      md5 + Karp-Rabin rolling-hash fingerprints
+
+All four are pure per-row column expressions: no shuffle at all, no
+UDFs, fully whole-stage-codegen'd — at 100 TB they run at parquet scan
+speed with predicate pushdown intact.  Every query has a bit-exact
+DuckDB oracle (same normalization regexes, same fold arithmetic — see
+functions/hashing.py for the verified portability contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import hashing as H
+
+# Shared normalization: lowercase, strip non-alphanumerics, collapse
+# runs of whitespace.  NOTE the DuckDB regexp_replace needs the 'g'
+# flag to match Spark's replace-all default.
+_STRIP_RE = "[^a-z0-9 ]"
+_WS_RE = "\\s+"
+# BPE-ish token regex: letter runs, digit runs, or single symbols.
+_BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "for", "on", "with", "as"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "zu", "mit", "von", "auf"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "pour", "dans", "sur"],
+}
+_ALL_STOP = sorted({w for ws in STOPWORDS.values() for w in ws})
+
+
+def _norm(col: Column) -> Column:
+    s = F.regexp_replace(F.lower(col), _STRIP_RE, " ")
+    return F.trim(F.regexp_replace(s, _WS_RE, " "))
+
+
+def _sql_norm(expr: str) -> str:
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({expr}), "
+        f"'{_STRIP_RE}', ' ', 'g'), '{_WS_RE}', ' ', 'g'))"
+    )
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(_norm(col), _WS_RE)
+
+
+def _sql_tokens(expr: str) -> str:
+    return f"string_split_regex({_sql_norm(expr)}, '{_WS_RE}')"
+
+
+def _sql_str_list(xs: list[str]) -> str:
+    return "[" + ", ".join(f"'{x}'" for x in xs) + "]"
+
+
+# -- tx1: token counting ---------------------------------------------
+def tx1_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_measured"),
+        F.size(_tokens(F.col("text"))).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+TX1_ORACLE = f"""
+SELECT
+    doc_id,
+    length(text) AS n_chars_measured,
+    len({_sql_tokens('text')}) AS n_ws_tokens,
+    len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+# -- tx2: quality scoring --------------------------------------------
+def tx2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.length("text").cast("double")
+    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double")
+    punct = F.length(F.regexp_replace("text", "[a-zA-Z0-9\\s]", "")).cast("double")
+    toks = _tokens(F.col("text"))
+    n_toks = F.size(toks).cast("double")
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.array_contains(F.lit(_ALL_STOP), t))
+    ).cast("double")
+    alpha_ratio = alpha / n
+    punct_ratio = punct / n
+    stop_ratio = stop_hits / n_toks
+    score = (
+        F.lit(0.4) * alpha_ratio
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id",
+        alpha_ratio.alias("alpha_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+TX2_ORACLE = f"""
+WITH base AS (
+    SELECT
+        doc_id,
+        CAST(length(text) AS DOUBLE) AS n,
+        CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
+        CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) AS punct,
+        {_sql_tokens('text')} AS toks
+    FROM documents
+), ratios AS (
+    SELECT
+        doc_id,
+        alpha / n AS alpha_ratio,
+        punct / n AS punct_ratio,
+        CAST(len(list_filter(toks, t -> list_contains({_sql_str_list(_ALL_STOP)}, t))) AS DOUBLE)
+            / CAST(len(toks) AS DOUBLE) AS stopword_ratio
+    FROM base
+)
+SELECT
+    doc_id, alpha_ratio, punct_ratio, stopword_ratio,
+    0.4 * alpha_ratio + 0.3 * (1.0 - punct_ratio)
+        + 0.3 * least(stopword_ratio * 5.0, 1.0) AS quality_score
+FROM ratios
+"""
+
+
+# -- tx3: language identification ------------------------------------
+def _hit_counter(ws: list[str]):
+    # closure factory: a 2-arg filter() lambda would receive
+    # (element, index), clobbering a default-arg capture
+    return lambda t: F.array_contains(F.lit(ws), t)
+
+
+def tx3_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    hits = {
+        lang: F.size(F.filter(toks, _hit_counter(ws)))
+        for lang, ws in STOPWORDS.items()
+    }
+    langs = sorted(STOPWORDS)  # deterministic tie-break: alphabetical
+    pred = F.lit("unknown")
+    best = F.greatest(*[hits[la] for la in langs])
+    for la in reversed(langs):
+        pred = F.when(hits[la] == best, F.lit(la)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("unknown")).otherwise(pred)
+    return docs.select(
+        "doc_id",
+        *[hits[la].alias(f"hits_{la}") for la in langs],
+        pred.alias("predicted_lang"),
+        F.col("lang").alias("labeled_lang"),
+    )
+
+
+def _tx3_oracle() -> str:
+    langs = sorted(STOPWORDS)
+    hit_cols = ",\n        ".join(
+        f"len(list_filter(toks, t -> list_contains("
+        f"{_sql_str_list(STOPWORDS[la])}, t))) AS hits_{la}"
+        for la in langs
+    )
+    best = "greatest(" + ", ".join(f"hits_{la}" for la in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'unknown' "
+    for la in langs:
+        case += f"WHEN hits_{la} = {best} THEN '{la}' "
+    case += "ELSE 'unknown' END"
+    return f"""
+WITH base AS (
+    SELECT doc_id, lang, {_sql_tokens('text')} AS toks FROM documents
+), scored AS (
+    SELECT doc_id, lang,
+        {hit_cols}
+    FROM base
+)
+SELECT doc_id, {', '.join(f'hits_{la}' for la in langs)},
+       {case} AS predicted_lang,
+       lang AS labeled_lang
+FROM scored
+"""
+
+
+TX3_ORACLE = _tx3_oracle()
+
+
+# -- tx4: document fingerprinting ------------------------------------
+def tx4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = _norm(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        H.poly_fingerprint(F.split(norm, "")).alias("fp_rolling"),
+    )
+
+
+TX4_ORACLE = f"""
+SELECT
+    doc_id,
+    md5({_sql_norm('text')}) AS fp_md5,
+    {H.sql_poly_fingerprint(f"string_split({_sql_norm('text')}, '')")} AS fp_rolling
+FROM documents
+"""
+
+
+QUERIES = {
+    "tx1_token_count": tx1_token_count,
+    "tx2_quality_score": tx2_quality_score,
+    "tx3_language_id": tx3_language_id,
+    "tx4_fingerprint": tx4_fingerprint,
+}
+ORACLES = {
+    "tx1_token_count": TX1_ORACLE,
+    "tx2_quality_score": TX2_ORACLE,
+    "tx3_language_id": TX3_ORACLE,
+    "tx4_fingerprint": TX4_ORACLE,
+}

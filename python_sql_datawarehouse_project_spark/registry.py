@@ -14,9 +14,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import analytics, recursive, windows
+from .operators import analytics, dedup, events, recursive, similarity, text, windows
+from .streaming import windows as stream_windows
 
-_MODULES = (analytics, recursive, windows)
+_MODULES = (analytics, dedup, events, recursive, similarity, text, windows, stream_windows)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,166 @@
+"""Structured Streaming event-time operators over the `events` table.
+
+The reference is strictly batch (SURVEY.md §2.9) — its only
+streaming-adjacent behavior is the incoming-directory scan (S11,
+reference handlers/batch_processing.py:391-419) and a polling wait.
+This module supplies the BASELINE.json streaming extensions:
+
+  * file-source ingestion with Trigger.AvailableNow — the exact
+    Spark analogue of the reference's scan-all-pending-then-stop
+    loop, with checkpoint-based exactly-once instead of the
+    manifest/audit dance;
+  * event-time tumbling windows + watermark (late-data bound);
+  * session windows (30 min inactivity gap) — stateful aggregation
+    keyed by user.
+
+Each `stream_*` registry query runs the streaming pipeline to
+completion on the static parquet (AvailableNow drains it as one or
+more micro-batches) and returns the result as a plain DataFrame.
+They are registered WITHOUT SQL oracles (the driver's rows-only
+check): the correctness argument is the batch-equivalence test in
+tests/test_streaming.py — on bounded input, each streaming query must
+produce exactly the rows of its batch twin from operators/events.py,
+which IS oracle-checked bit-for-bit against DuckDB.
+
+Scale notes: watermark + windowed aggregation is incremental state in
+the state store (RocksDB on a real cluster), keyed by (window, type)
+or (user, session) — state size is bounded by open windows x keys,
+not input size.  The same code runs unbounded with
+`trigger(processingTime=...)`; AvailableNow here is the test harness
+choice, not a design limit.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table_path
+from ..operators.events import SESSION_GAP_MIN, VALUE_DEC
+
+WATERMARK = "1 hour"
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (S11 analogue).
+
+    The schema must be declared for a streaming source; ts arrives as
+    raw nanos (see catalog.load_table) and is truncated to
+    microseconds exactly like the batch path.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = table_path(sf_dir, "events")
+    schema = spark.read.parquet(src).schema
+    # FileStreamSource requires a DIRECTORY source (the incoming-dir
+    # contract of the reference, S11); the test table is a single
+    # parquet file, so stage a symlink dir for it.
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "spark-graft-stream-src",
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)")).withColumn(
+        "value_dec", F.col("value").cast(VALUE_DEC)
+    )
+
+
+def tumbling_hourly(stream: DataFrame) -> DataFrame:
+    """Streaming twin of ev1_tumbling_hourly, with a late-data bound."""
+    return (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_dec").cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_windows(stream: DataFrame) -> DataFrame:
+    """Streaming twin of ev3_session_windows (stateful session merge)."""
+    return (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_dec").cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_available_now(
+    spark: SparkSession,
+    result: DataFrame,
+    name: str | None = None,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Drain a streaming plan with Trigger.AvailableNow into a memory
+    sink and return the materialized result.
+
+    `complete` mode re-emits full results each micro-batch, so the
+    final table equals the batch answer even though watermarks never
+    fire on a drained bounded source (nothing is ever late relative
+    to a watermark that only advances between micro-batches).
+    """
+    qname = name or f"stream_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), "spark-graft-ckpt", qname)
+    q = (
+        result.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
+# -- registry entries (rows-only driver check; batch-equivalence is
+#    asserted in tests/test_streaming.py) ----------------------------
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_available_now(
+        spark, tumbling_hourly(events_stream(spark, sf_dir))
+    )
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_available_now(
+        spark, session_windows(events_stream(spark, sf_dir))
+    )
+
+
+QUERIES = {
+    "stream_tumbling_hourly": stream_tumbling_hourly,
+    "stream_session_windows": stream_session_windows,
+}
+ORACLES: dict[str, str] = {}
