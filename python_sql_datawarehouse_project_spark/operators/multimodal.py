@@ -1,0 +1,187 @@
+"""Multimodal column operators — image/audio/video as opaque BINARY
+columns with typed metadata (BASELINE.json north star; nothing in the
+reference handles binary payloads).
+
+The test corpus carries no media files, so `mm_corpus` derives a
+DETERMINISTIC fake payload per document (repeated md5 bytes of the
+text — stable across runs and engines) together with a typed metadata
+struct.  The decode step for real media is STUBBED: `decode_image`
+raises NotImplementedError by contract (no imaging libraries in this
+environment); `fake_decode_features` is the deterministic stand-in
+wired through the REAL Spark plumbing — schema declaration, Arrow
+batch transfer, `mapInPandas` iterator protocol, partition-preserving
+execution — so swapping in a real decoder is a one-function change.
+
+  mm1_metadata_profile  per-format size/duration profile (pure
+                        column expressions -> DuckDB-oracled)
+  mm2_decode_features   mapInPandas feature extraction over Arrow
+                        batches (rows-only check; deterministic)
+  mm3_frame_sample      1-row-to-N-frames expansion via mapInPandas
+                        (the video frame-sampling shape; rows-only)
+
+Scale notes: payloads ride the scan as a binary column — Parquet
+stores them row-grouped and the metadata profile NEVER materializes
+payload bytes (column pruning drops them; only octet lengths computed
+at write survive).  mapInPandas streams Arrow record batches
+(spark.sql.execution.arrow.maxRecordsPerBatch) so peak memory is one
+batch of payloads per core, independent of partition size; at 100 TB
+the decode stage parallelizes per input split with zero shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..shipping import ensure_package_on_workers
+
+FORMATS = ("png", "jpeg", "wav", "mp4")
+FRAME_BYTES = 16
+FRAME_STRIDE = 4
+
+
+def mm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, media struct): deterministic binary
+    payload + typed metadata, the canonical multimodal column layout."""
+    docs = load_table(spark, sf_dir, "documents")
+    fmt = F.element_at(
+        F.array(*[F.lit(f) for f in FORMATS]),
+        (F.col("doc_id") % len(FORMATS)).cast("int") + 1,
+    )
+    payload = F.unhex(F.repeat(F.md5("text"), 8))  # 128 deterministic bytes
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            fmt.alias("format"),
+            F.octet_length(payload).alias("n_bytes"),
+            ((F.col("doc_id") % 640) + 1).cast("int").alias("width"),
+            ((F.col("doc_id") % 480) + 1).cast("int").alias("height"),
+            (F.col("n_chars") / F.lit(100.0)).alias("duration_s"),
+        ).alias("meta"),
+    )
+
+
+# -- mm1: metadata profile (oracled — no payload bytes touched) ------
+def mm1_metadata_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = mm_corpus(spark, sf_dir)
+    return c.groupBy(F.col("meta.format").alias("format")).agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.col("meta.n_bytes").cast("long")).alias("total_bytes"),
+        F.sum(F.col("meta.duration_s").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_duration_s"),
+        F.max("meta.width").alias("max_width"),
+    )
+
+
+MM1_ORACLE = f"""
+SELECT
+    ['png', 'jpeg', 'wav', 'mp4'][CAST(mod(doc_id, 4) AS INT) + 1] AS format,
+    COUNT(*) AS n_assets,
+    SUM(CAST(octet_length(from_hex(repeat(md5(text), 8))) AS BIGINT))
+        AS total_bytes,
+    CAST(SUM(CAST(n_chars / 100.0 AS DECIMAL(18,6))) AS DOUBLE)
+        AS total_duration_s,
+    MAX(CAST(mod(doc_id, 640) + 1 AS INT)) AS max_width
+FROM documents
+GROUP BY 1
+"""
+
+
+# -- decode layer -----------------------------------------------------
+def decode_image(payload: bytes) -> "object":
+    """REAL image decode — intentionally unimplemented: this
+    environment ships no imaging library.  Production deployments
+    replace this one function (e.g. PIL.Image.open(BytesIO(payload)))
+    and `mm2_decode_features` works unchanged."""
+    raise NotImplementedError(
+        "image decoding requires an imaging library not present in "
+        "this environment; use fake_decode_features for the "
+        "deterministic test path"
+    )
+
+
+def fake_decode_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in feature extractor: byte-histogram
+    moments.  Pure-python integer math -> reproducible everywhere."""
+    n = len(payload)
+    total = sum(payload)
+    mean = total / n
+    var = sum((b - mean) ** 2 for b in payload) / n
+    return [float(n), float(total), mean, var, float(payload[0]), float(payload[-1])]
+
+
+_FEATURES_SCHEMA = (
+    "doc_id long, format string, n_bytes int, "
+    "f_len double, f_sum double, f_mean double, f_var double, "
+    "f_first double, f_last double"
+)
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: one Arrow batch in, one out — the
+    batch-shape contract a real decoder inherits."""
+    for pdf in batches:
+        feats = [fake_decode_features(p) for p in pdf["payload"]]
+        out = pd.DataFrame(
+            feats, columns=["f_len", "f_sum", "f_mean", "f_var", "f_first", "f_last"]
+        )
+        out.insert(0, "doc_id", pdf["doc_id"].values)
+        out.insert(1, "format", pdf["format"].values)
+        out.insert(2, "n_bytes", pdf["n_bytes"].values)
+        yield out
+
+
+def mm2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_package_on_workers(spark)  # workers must import this module
+    c = mm_corpus(spark, sf_dir).select(
+        "doc_id",
+        "payload",
+        F.col("meta.format").alias("format"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+    return c.mapInPandas(_decode_batches, schema=_FEATURES_SCHEMA)
+
+
+# -- mm3: frame sampling ---------------------------------------------
+_FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_len int, frame_sum long"
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Split each payload into FRAME_BYTES-sized frames, keep every
+    FRAME_STRIDE-th — the video frame-sampling access pattern as a
+    1-row-to-N-rows mapInPandas expansion."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            frames = [
+                payload[i : i + FRAME_BYTES]
+                for i in range(0, len(payload), FRAME_BYTES)
+            ]
+            for idx in range(0, len(frames), FRAME_STRIDE):
+                f = frames[idx]
+                rows.append((int(doc_id), idx, len(f), int(sum(f))))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "frame_idx", "frame_len", "frame_sum"]
+        )
+
+
+def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_package_on_workers(spark)  # workers must import this module
+    c = mm_corpus(spark, sf_dir).select("doc_id", "payload")
+    return c.mapInPandas(_sample_frames, schema=_FRAMES_SCHEMA)
+
+
+QUERIES = {
+    "mm1_metadata_profile": mm1_metadata_profile,
+    "mm2_decode_features": mm2_decode_features,
+    "mm3_frame_sample": mm3_frame_sample,
+}
+ORACLES = {
+    "mm1_metadata_profile": MM1_ORACLE,
+}

@@ -14,10 +14,31 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import analytics, dedup, events, recursive, similarity, text, windows
+from .operators import (
+    analytics,
+    dedup,
+    events,
+    multimodal,
+    quality,
+    recursive,
+    similarity,
+    text,
+    windows,
+)
 from .streaming import windows as stream_windows
 
-_MODULES = (analytics, dedup, events, recursive, similarity, text, windows, stream_windows)
+_MODULES = (
+    analytics,
+    dedup,
+    events,
+    multimodal,
+    quality,
+    recursive,
+    similarity,
+    text,
+    windows,
+    stream_windows,
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

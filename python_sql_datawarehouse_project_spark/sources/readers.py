@@ -1,0 +1,110 @@
+"""File readers S1-S6 (SURVEY.md §2.1).
+
+The reference normalizes every landed file to snappy parquet via
+pandas (reference handlers/convert_to_parquet.py:181-208); here each
+format is a native Spark reader returning a lazy DataFrame — there is
+no separate "convert" step because every downstream operator consumes
+the DataFrame directly, and the bronze write (Warehouse.write_batch)
+lands snappy parquet anyway.
+
+  read_csv      S1: header + schema inference (or explicit schema)
+                [convert_to_parquet.py:184]
+  read_excel    S2: no core Spark reader; driver-side pandas bridge
+                when an engine is available, else a clearly-typed
+                UnsupportedSourceError [convert_to_parquet.py:186]
+  read_json     S3: JSONL first, whole-document fallback
+                [convert_to_parquet.py:188-191]
+  read_parquet  S4: native [convert_to_parquet.py:193]
+  read_schema   S5: metadata-only column listing
+                [validate_mapping.py:365-366]
+
+Scale: csv/json/parquet readers are distributed scans with pushdown;
+Excel is driver-side by design — in the reference's contract xlsx
+files are small pre-ingest landing files, never warehouse-scale data
+(the same assumption the reference's pandas conversion makes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+class UnsupportedSourceError(RuntimeError):
+    """Raised when a source format has no available reader engine."""
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    r = spark.read.option("header", True)
+    if schema is not None:
+        return r.schema(schema).csv(path)
+    return r.option("inferSchema", True).csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """JSONL natively; whole-document arrays via multiLine fallback
+    (the reference tries lines=True then falls back the same way)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    df = r.json(path)
+    if "_corrupt_record" in df.columns and len(df.columns) == 1:
+        df = spark.read.option("multiLine", True).json(path)
+    return df
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_excel(spark: SparkSession, path: str) -> DataFrame:
+    """First-sheet Excel read via a driver-side pandas bridge.
+
+    Gated behind an import-try: this environment ships no xlsx engine,
+    so the call raises UnsupportedSourceError with a clear message
+    (the Spark-side plumbing — pandas -> createDataFrame — is real)."""
+    import pandas as pd
+
+    try:
+        pdf = pd.read_excel(path, sheet_name=0)
+    except ImportError as e:  # no openpyxl/xlrd engine installed
+        raise UnsupportedSourceError(
+            f"no Excel engine available to read {path!r}: {e}"
+        ) from e
+    return spark.createDataFrame(pdf)
+
+
+READERS = {
+    "csv": read_csv,
+    "json": read_json,
+    "parquet": read_parquet,
+    "xlsx": read_excel,
+    "xls": read_excel,
+    "excel": read_excel,
+}
+
+
+def read_source(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    schema: StructType | None = None,
+) -> DataFrame:
+    fmt = fmt.lower().lstrip(".")
+    if fmt not in READERS:
+        raise UnsupportedSourceError(
+            f"unsupported source format {fmt!r}; supported: {sorted(READERS)}"
+        )
+    reader = READERS[fmt]
+    if fmt == "parquet" or fmt in ("xlsx", "xls", "excel"):
+        return reader(spark, path)
+    return reader(spark, path, schema)
+
+
+def read_schema(spark: SparkSession, path: str, fmt: str = "parquet") -> list[str]:
+    """S5: metadata-only column listing (no data scan for parquet)."""
+    return read_source(spark, path, fmt).columns

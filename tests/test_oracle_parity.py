@@ -25,8 +25,9 @@ def test_query_matches_oracle(name, spark, sf_dir):
 
 def test_every_query_has_entry_or_documented_gap():
     missing = set(_QUERIES) - set(_ORACLES)
-    # Only non-SQL-expressible operators may omit an oracle.
-    allowed_gaps = {n for n in missing if n.startswith(("stream_", "lsh_", "mm_"))}
+    # Only non-SQL-expressible operators may omit an oracle:
+    # streaming (stateful) and multimodal UDF stages (python decode).
+    allowed_gaps = {n for n in missing if n.startswith(("stream_", "mm2", "mm3"))}
     assert missing == allowed_gaps, f"queries without oracle: {missing - allowed_gaps}"
 
 
