@@ -106,6 +106,13 @@ def cosine(a: Column, b: Column) -> Column:
     return dot_fold(a, b) / (F.sqrt(dot_fold(a, a)) * F.sqrt(dot_fold(b, b)))
 
 
+# NOTE (measured, do not "optimize"): unrolling the dot product to
+# `a[0]*b[0] + a[1]*b[1] + …` (127-node GetArrayItem tree) is 1.5-14x
+# SLOWER than this interpreted fold on the pair hot path — the giant
+# codegen expression defeats whole-stage compilation.  The lever that
+# actually matters is partitioning the pair join's input (see dd5).
+
+
 # --------------------------------------------------------------- DuckDB side
 # SQL fragment emitters.  Each takes SQL expression strings and
 # returns a SQL expression string implementing the same function.

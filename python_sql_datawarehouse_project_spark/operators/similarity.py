@@ -42,9 +42,22 @@ def _emb_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    nrm = F.sqrt(H.dot_fold(F.col("v"), F.col("v")))
-    return emb.select(
-        "vec_id", F.transform(F.col("v"), lambda x: x / nrm).alias("vn")
+    # Norm is projected into a column first: referencing the dot-fold
+    # inside the transform() lambda would re-run it per element (64x),
+    # since higher-order functions evaluate captured trees interpreted.
+    # Repartition so the corpus side of the scoring join is spread
+    # across all cores — the sf parquet is one small file -> one input
+    # partition, which would serialize all per-pair dot products onto
+    # a single task (the probe side is broadcast, so the streamed
+    # side's partitioning IS the parallelism).
+    emb = emb.repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    return emb.withColumn(
+        "nrm", F.sqrt(H.dot_fold(F.col("v"), F.col("v")))
+    ).select(
+        "vec_id",
+        F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("vn"),
     )
 
 
