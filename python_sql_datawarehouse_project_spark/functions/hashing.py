@@ -82,6 +82,23 @@ def rp_component(i, j) -> Column:
     return lcg.cast("double") / F.lit(float(_RP_MOD)) - F.lit(0.5)
 
 
+def _rp_value(i: int, j: int) -> float:
+    """r(i, j) evaluated in Python — bitwise identical to rp_component
+    / sql_rp_component: the LCG is exact int64 arithmetic, the cast is
+    exact (< 2^31), the divisor is a power of two (exact scaling), and
+    the final subtraction rounds identically in IEEE double."""
+    lcg = (_RP_MULT * (i * RP_DIM + j) + _RP_INC) % _RP_MOD
+    return lcg / float(_RP_MOD) - 0.5
+
+
+# Hyperplanes as plain Python floats: consumers embed them as literal
+# arrays (constant-folded by Catalyst) instead of re-deriving the LCG
+# expression tree per array element inside an interpreted lambda.
+RP_PLANES: list[list[float]] = [
+    [_rp_value(i, j) for j in range(RP_DIM)] for i in range(RP_BITS)
+]
+
+
 def poly_fingerprint(chars: Column) -> Column:
     """Left-fold Karp-Rabin rolling hash over a char array:
     acc = (acc*31 + ascii(c)) mod 1e9+7."""

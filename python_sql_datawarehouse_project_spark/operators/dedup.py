@@ -106,40 +106,55 @@ def _shingles(docs: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_perm(i: int):
-    """Closure factory — avoids the 2-arg lambda pitfall (a 2-arg
-    higher-order-function lambda receives (element, INDEX))."""
-    return lambda x: (
-        F.lit(H.MINHASH_A[i]) * x + F.lit(H.MINHASH_B[i])
-    ) % F.lit(H.MINHASH_P)
-
-
 def _doc_sketches(docs: DataFrame) -> DataFrame:
-    """(doc_id, hs, sig): per-doc shingle-hash set + MinHash signature."""
+    """(doc_id, hs, sig): per-doc shingle-hash set + MinHash signature.
+
+    The K signature slots are plain MIN aggregates of (a_i*h + b_i)
+    mod P — whole-stage-codegen'd with map-side partial aggregation,
+    so the shingle stream is reduced BEFORE the shuffle.  (The earlier
+    formulation — collect_set then K interpreted array_min(transform)
+    passes — moved every shingle hash through the exchange and then
+    evaluated 16 lambda passes per doc; measured ~2x slower at sf0.1.)
+    min over the multiset == min over the set, and the modular
+    arithmetic stays in int64 (a < 2^31, h < 2^31), so values are
+    bitwise identical to the oracle's set-based formulation."""
     sh = _shingles(docs).withColumn(
         "h", H.md5_long(F.col("shingle")) % F.lit(_H31)
     )
-    hs = sh.groupBy("doc_id").agg(F.collect_set("h").alias("hs"))
-    return hs.withColumn(
-        "sig",
-        F.array(
-            *[
-                F.array_min(F.transform(F.col("hs"), _minhash_perm(i)))
-                for i in range(H.MINHASH_K)
-            ]
-        ),
+    slots = [
+        F.min(
+            (F.lit(H.MINHASH_A[i]) * F.col("h") + F.lit(H.MINHASH_B[i]))
+            % F.lit(H.MINHASH_P)
+        ).alias(f"_s{i}")
+        for i in range(H.MINHASH_K)
+    ]
+    return (
+        sh.groupBy("doc_id")
+        .agg(F.collect_set("h").alias("hs"), *slots)
+        .select(
+            "doc_id",
+            "hs",
+            F.array(*[F.col(f"_s{i}") for i in range(H.MINHASH_K)]).alias("sig"),
+        )
     )
 
 
 def _lsh_candidates(sk: DataFrame) -> DataFrame:
-    """Banded-LSH candidate pairs carrying both docs' sketches."""
+    """Banded-LSH candidate pairs carrying both docs' sketches.
+
+    The band self-join and the pair dedup move ONLY (doc_id, band_key)
+    — the ~kilobyte hs/sig payloads are re-attached afterwards by two
+    hash joins keyed on doc_id.  Shuffling the sketches through the
+    band exchange (bands x docs rows, each with the full hash set)
+    is the naive plan and costs ~2x at sf0.1; at 100 TB it's the
+    difference between exchanging ids and exchanging the corpus."""
     bands = sk.select(
         "doc_id",
-        "hs",
-        "sig",
         F.explode(F.sequence(F.lit(0), F.lit(H.LSH_BANDS - 1))).alias("band"),
-    ).withColumn(
-        "band_key",
+        "sig",
+    ).select(
+        "doc_id",
+        "band",
         F.md5(
             F.concat_ws(
                 ",",
@@ -148,28 +163,27 @@ def _lsh_candidates(sk: DataFrame) -> DataFrame:
                     lambda s: s.cast("string"),
                 ),
             )
-        ),
+        ).alias("band_key"),
     )
-    a = bands.select(
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    pairs = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    lhs = sk.select(
         F.col("doc_id").alias("doc_a"),
         F.col("hs").alias("hs_a"),
         F.col("sig").alias("sig_a"),
-        "band",
-        "band_key",
     )
-    b = bands.select(
+    rhs = sk.select(
         F.col("doc_id").alias("doc_b"),
         F.col("hs").alias("hs_b"),
         F.col("sig").alias("sig_b"),
-        "band",
-        "band_key",
     )
-    return (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "hs_a", "hs_b", "sig_a", "sig_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    return pairs.join(lhs, "doc_a").join(rhs, "doc_b")
 
 
 def _sql_sketch_ctes() -> str:
@@ -365,23 +379,95 @@ normalized AS (
     FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 )"""
 
+# Guard for the vectorized candidate stage: BLAS pairwise summation and
+# the sequential fold agree to ~dim*ulp (= 64 * 2^-52 ~ 1.4e-14 for
+# unit vectors); 1e-9 of slack makes the candidate set a strict
+# superset of the exact answer, which the fold-rescore then trims.
+_COS_EPS = 1e-9
+# Block count for the block-nested-loop pair scoring.  Work = NB*(NB+1)/2
+# block pairs (36 tasks at 8 — saturates local[32]); shuffle cost = each
+# vector replicated ~NB/2+1 times per side.  On a cluster, raise NB so
+# that (n/NB)^2 * dim * 8B fits comfortably per task (~sqrt of total
+# pair-flops per core).
+_DD5_BLOCKS = 8
+
+
+def _block_candidates(n: DataFrame, nb: int) -> DataFrame:
+    """All-pairs cosine candidates via block-nested-loop + BLAS.
+
+    Every vector lands in block (vec_id mod nb); group (bi, bj) holds
+    block bi as the L side and block bj as the R side, and one Arrow
+    batch per group computes the (n/nb)^2 dot products as a single
+    numpy matmul — no driver collect, no broadcast of the corpus, and
+    the quadratic work is spread over nb*(nb+1)/2 independent tasks.
+    Output is the (vec_a < vec_b) candidate pair set at threshold
+    COSINE_T - eps; the caller rescores with the exact fold."""
+    import numpy as np
+    import pandas as pd
+
+    blk = n.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(nb)).cast("int"))
+    left = blk.select(
+        "vec_id",
+        "vn",
+        F.col("blk").alias("bi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(nb - 1))).alias("bj"),
+        F.lit(0).alias("side"),
+    )
+    right = blk.select(
+        "vec_id",
+        "vn",
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
+        F.col("blk").alias("bj"),
+        F.lit(1).alias("side"),
+    )
+    both = left.unionByName(right)
+
+    thresh = COSINE_T - _COS_EPS
+
+    def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        lhs = pdf[pdf["side"] == 0]
+        rhs = pdf[pdf["side"] == 1]
+        empty = pd.DataFrame({"vec_a": [], "vec_b": []}).astype("int64")
+        if lhs.empty or rhs.empty:
+            return empty
+        a = np.stack(lhs["vn"].to_numpy())
+        b = np.stack(rhs["vn"].to_numpy())
+        ia, jb = np.nonzero(a @ b.T >= thresh)
+        va = lhs["vec_id"].to_numpy()[ia]
+        vb = rhs["vec_id"].to_numpy()[jb]
+        if int(pdf["bi"].iat[0]) == int(pdf["bj"].iat[0]):
+            keep = va < vb  # same block: every pair shows up mirrored
+            va, vb = va[keep], vb[keep]
+        else:
+            va, vb = np.minimum(va, vb), np.maximum(va, vb)
+        return pd.DataFrame({"vec_a": va, "vec_b": vb})
+
+    return both.groupBy("bi", "bj").applyInPandas(
+        score_block, "vec_a long, vec_b long"
+    )
+
 
 def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs, computed candidates-then-verify:
+    blocked BLAS matmul proposes (superset, eps-slack threshold), the
+    sequential-fold dot product — bitwise identical to the DuckDB
+    oracle — scores and filters.  At 100 TB the same operator runs
+    with sim2's hyperplane buckets as the candidate stage instead
+    (recall < 1); this blocked path is the exact fallback and the
+    verify stage is shared."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     n = _normalized(emb)
-    # Spread the streamed side of the pair join across all cores: the
-    # corpus parquet is one small file -> one input partition, and the
-    # nested-loop pair join inherits that (1 task does ALL the O(n^2)
-    # scoring; measured 19s -> 7s at sf0.1 from this line alone).  On
-    # a real corpus the scan already has many partitions and this
-    # exchange is one narrow pass over the (tiny) normalized columns.
-    n = n.repartition(n.sparkSession.sparkContext.defaultParallelism, "vec_id")
+    cand = _block_candidates(n, _DD5_BLOCKS)
     a = n.select(F.col("vec_id").alias("vec_a"), F.col("vn").alias("va"))
     b = n.select(F.col("vec_id").alias("vec_b"), F.col("vn").alias("vb"))
+    # Rescore joins stream the corpus against the (tiny) broadcast
+    # candidate set — near-dup pair counts are << corpus size by
+    # definition, so both hash sides stay small at any scale.
+    withA = a.join(F.broadcast(cand), "vec_a")
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        b.join(F.broadcast(withA), "vec_b")
         .withColumn("cosine", H.dot_fold(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= COSINE_T)
         .select("vec_a", "vec_b", "cosine")

@@ -123,32 +123,31 @@ pairs AS (
 # -- sim2: random-hyperplane LSH bucketed top-k ----------------------
 def _bucket_col(v: str) -> Column:
     """Sign-of-projection bucket: bit i = (v . r_i) > 0, bucket =
-    sum(bit_i * 2^i).  Hyperplane components come from the shared LCG
-    formula (hashing.rp_component); 2^i via pow (exact in double up
-    to 2^52 — shiftleft needs a literal shift amount)."""
-    proj = F.transform(
-        F.sequence(F.lit(0), F.lit(H.RP_BITS - 1)),
-        lambda i: F.aggregate(
+    sum(bit_i * 2^i).  Hyperplane components are embedded as LITERAL
+    arrays (hashing.RP_PLANES — bitwise identical to the LCG formula
+    the oracle evaluates inline): Catalyst constant-folds them, so
+    each projection is one 64-wide fold over (x * literal) instead of
+    re-deriving the 6-node LCG tree per element inside an interpreted
+    lambda.  Fold order matches the oracle exactly — same summation,
+    same signs, same buckets."""
+    projections = [
+        F.aggregate(
             F.zip_with(
                 F.col(v),
-                F.sequence(F.lit(0), F.lit(H.RP_DIM - 1)),
-                lambda x, j: x * H.rp_component(i, j),
+                F.array(*[F.lit(c) for c in H.RP_PLANES[i]]),
+                lambda x, r: x * r,
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        ),
-    )
-    return F.aggregate(
-        F.zip_with(
-            proj,
-            F.sequence(F.lit(0), F.lit(H.RP_BITS - 1)),
-            lambda p, i: F.when(p > 0, F.pow(F.lit(2.0), i).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+        )
+        for i in range(H.RP_BITS)
+    ]
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(projections):
+        bucket = bucket + F.when(
+            p > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return bucket
 
 
 def sim2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
