@@ -199,11 +199,90 @@ pairs AS (
 
 SIM2_ORACLE = _sim2_oracle()
 
+# -- sim3: IVF (inverted-file) bucketed top-k ------------------------
+IVF_K = 16  # coarse-quantizer centroids
+NPROBE = 2  # probed lists per query
+
+
+def sim3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: assign every vector to its nearest coarse centroid
+    (inverted lists), probe the NPROBE best lists per query, exact
+    cosine only within the probed lists.
+
+    The coarse quantizer is training-free — the IVF_K lowest-id
+    normalized vectors serve as centroids — so assignment is exactly
+    reproducible on both engines (fold dot products + a deterministic
+    (dot DESC, cid ASC) tie-break) and the driver can hash-match the
+    result.  At 100 TB the centroids come from sampled k-means
+    instead, and everything else is unchanged: assignment is one
+    broadcast map-side pass over the corpus, lists land bucketed by
+    centroid id so each probe touches ~NPROBE/IVF_K of the data with
+    no shuffle, and recall/cost tunes via (IVF_K, NPROBE)."""
+    emb = _emb_normalized(spark, sf_dir)
+    cent = emb.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("vn").alias("cv")
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "vn",
+        "cid",
+        H.dot_fold(F.col("vn"), F.col("cv")).alias("cdot"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cdot"), F.asc("cid"))
+    ranked_cent = scored.withColumn("crank", F.row_number().over(w))
+    lists = ranked_cent.filter(F.col("crank") == 1).select("vec_id", "vn", "cid")
+    qprobe = (
+        ranked_cent.filter(
+            (F.col("vec_id") < N_QUERIES) & (F.col("crank") <= NPROBE)
+        )
+        .select(F.col("vec_id").alias("query_id"), F.col("vn").alias("qv"), "cid")
+    )
+    pairs = (
+        lists.join(F.broadcast(qprobe), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            H.dot_fold(F.col("qv"), F.col("vn")).alias("cosine"),
+        )
+    )
+    return _ranked(pairs)
+
+
+SIM3_ORACLE = f"""
+WITH {_SQL_NORM_CTE},
+c AS (SELECT vec_id AS cid, vn AS cv FROM e WHERE vec_id < {IVF_K}),
+scored AS (
+    SELECT e.vec_id, e.vn, c.cid, {H.sql_dot('e.vn', 'c.cv')} AS cdot
+    FROM e, c
+),
+rc AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY cdot DESC, cid ASC) AS crank
+    FROM scored
+),
+lists AS (SELECT vec_id, vn, cid FROM rc WHERE crank = 1),
+qprobe AS (
+    SELECT vec_id AS query_id, vn AS qv, cid
+    FROM rc WHERE vec_id < {N_QUERIES} AND crank <= {NPROBE}
+),
+pairs AS (
+    SELECT q.query_id, l.vec_id AS neighbor_id,
+           {H.sql_dot('q.qv', 'l.vn')} AS cosine
+    FROM lists l JOIN qprobe q ON l.cid = q.cid
+    WHERE l.vec_id <> q.query_id
+),
+{_SQL_RANKED}
+"""
+
+
 QUERIES = {
     "sim1_topk_bruteforce": sim1_topk_bruteforce,
     "sim2_lsh_topk": sim2_lsh_topk,
+    "sim3_ivf_topk": sim3_ivf_topk,
 }
 ORACLES = {
     "sim1_topk_bruteforce": SIM1_ORACLE,
     "sim2_lsh_topk": SIM2_ORACLE,
+    "sim3_ivf_topk": SIM3_ORACLE,
 }
