@@ -91,7 +91,14 @@ def _shingles(docs: DataFrame) -> DataFrame:
     transform(): higher-order functions run interpreted and re-evaluate
     any captured expression tree once per array element, so embedding
     the two regexp_replaces in the lambda costs O(len^2) regex work per
-    doc (measured 25x slower at sf0.1)."""
+    doc (measured 25x slower at sf0.1).
+
+    Docs are hash-repartitioned by doc_id BEFORE the shingle
+    explosion: the exchange moves the raw documents (small), the
+    explode preserves the partitioning, and the downstream
+    groupBy(doc_id) reuses it — so the ~1000x-larger shingle stream
+    never crosses the wire.  (The test corpus is also one parquet
+    file -> one input partition; this same line spreads it.)"""
     nt = F.col("nt")
     arr = F.array_distinct(
         F.transform(
@@ -99,8 +106,10 @@ def _shingles(docs: DataFrame) -> DataFrame:
             lambda i: nt.substr(i, F.lit(SHINGLE)),
         )
     )
+    par = docs.sparkSession.sparkContext.defaultParallelism
     return (
-        docs.select("doc_id", _norm(F.col("text")).alias("nt"))
+        docs.repartition(par, "doc_id")
+        .select("doc_id", _norm(F.col("text")).alias("nt"))
         .filter(F.length(nt) >= SHINGLE)
         .select("doc_id", F.explode(arr).alias("shingle"))
     )
@@ -289,6 +298,10 @@ _SIMHASH_EXPR = (
 
 def dd4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # Pre-partition by doc_id so the token explosion runs on all
+    # cores and the per-doc vote aggregation reuses the partitioning
+    # (same rationale as _shingles).
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok")
     )
