@@ -84,3 +84,18 @@ def test_dd3_band_join_exchanges_ids_not_sketches(spark, sf_dir):
     assert joins, p
     for j in joins:
         assert "hs" not in j.replace("hash", "") , j
+
+
+def test_batch_read_prunes_partitions(spark, sf_dir, tmp_path):
+    # P4: the batch predicate must become a PartitionFilter on the
+    # scan (partition pruning), not a post-scan Filter — at 100 TB
+    # this is reading one batch vs reading the table.
+    from python_sql_datawarehouse_project_spark.plans.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    df = load_table(spark, sf_dir, "nation")
+    wh.write_batch(df, "bronze", "nation", "BATCH000001")
+    wh.write_batch(df, "bronze", "nation", "BATCH000002")
+    p = plan_of(wh.read_batch("bronze", "nation", "BATCH000002"))
+    assert "PartitionFilters: [isnotnull(dwh_batch_id" in p, p
+    assert "dwh_batch_id#" in p.split("PartitionFilters", 1)[1].split("]", 1)[0]
