@@ -75,6 +75,15 @@ def read_excel(spark: SparkSession, path: str) -> DataFrame:
         raise UnsupportedSourceError(
             f"no Excel engine available to read {path!r}: {e}"
         ) from e
+    except ValueError as e:
+        # With zero engines installed pandas cannot even sniff the
+        # format and raises ValueError("... specify an engine
+        # manually") instead of ImportError — same capability gap.
+        if "engine" in str(e):
+            raise UnsupportedSourceError(
+                f"no Excel engine available to read {path!r}: {e}"
+            ) from e
+        raise
     return spark.createDataFrame(pdf)
 
 

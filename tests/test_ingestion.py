@@ -179,3 +179,36 @@ def test_ingest_directory_end_to_end(spark, tmp_path, csv_file):
     assert statuses["cust_info_BATCH000001.csv"]["load_status"] == "SUCCESS"
     rv = log.read("row_validation_log")[0]
     assert rv["status"] == "FAILED" and rv["duplicate_rows"] == 1  # non-fatal
+
+
+def test_excel_reader_gated_or_works(spark, tmp_path):
+    # S2: no core Spark Excel reader — the driver-side pandas bridge
+    # either reads the first sheet or raises the typed gate error
+    # when no xlsx engine is installed in the environment.
+    import pandas as pd
+
+    from python_sql_datawarehouse_project_spark.sources.readers import (
+        UnsupportedSourceError,
+        read_source,
+    )
+
+    p = str(tmp_path / "t.xlsx")
+    try:
+        pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}).to_excel(p, index=False)
+    except (ImportError, ModuleNotFoundError):
+        # No xlsx engine in this environment: the reader must raise
+        # the typed gate error on an existing (placeholder) file.
+        (tmp_path / "t.xlsx").write_bytes(b"PK")
+        with pytest.raises(UnsupportedSourceError):
+            read_source(spark, p, "xlsx")
+        return
+    df = read_source(spark, p, "xlsx")
+    assert df.count() == 2 and set(df.columns) == {"a", "b"}
+
+
+def test_schema_only_read_is_metadata(spark, sf_dir):
+    # S5: column listing without a data scan (parquet footer only).
+    from python_sql_datawarehouse_project_spark.sources.readers import read_schema
+
+    cols = read_schema(spark, f"{sf_dir}/nation.parquet", "parquet")
+    assert cols == ["n_nationkey", "n_name", "n_regionkey"]
