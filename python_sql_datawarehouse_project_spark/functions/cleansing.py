@@ -79,13 +79,15 @@ def strip_dashes(cid: Column) -> Column:
 
 
 def split_cat_id(prd_key: Column) -> Column:
-    """tools.load_crm_prd_info_v1.sql:79 — chars 1-5, '-' -> '_'."""
-    return F.translate(F.substring(prd_key, 1, 5), "-", "_")
+    """tools.load_crm_prd_info_v1.sql:79 —
+    TRIM(REPLACE(substring(prd_key, 1, 5), '-', '_'))."""
+    return F.trim(F.translate(F.substring(prd_key, 1, 5), "-", "_"))
 
 
 def split_prd_key(prd_key: Column) -> Column:
-    """tools.load_crm_prd_info_v1.sql:80 — chars 7..end."""
-    return prd_key.substr(F.lit(7), F.length(prd_key))
+    """tools.load_crm_prd_info_v1.sql:80 —
+    TRIM(substring(prd_key, 7, LENGTH(prd_key)))."""
+    return F.trim(prd_key.substr(F.lit(7), F.length(prd_key)))
 
 
 # -- R4 yyyymmdd sanitization ----------------------------------------

@@ -168,7 +168,8 @@ EV4_ORACLE = """
 SELECT
     event_type,
     COUNT(*) AS n_events,
-    SUM(CAST(CAST(json_extract(props, '$.k') AS VARCHAR) AS BIGINT)) AS sum_k,
+    CAST(SUM(CAST(CAST(json_extract(props, '$.k') AS VARCHAR) AS BIGINT))
+        AS BIGINT) AS sum_k,
     COUNT(DISTINCT CAST(CAST(json_extract(props, '$.k') AS VARCHAR) AS INTEGER))
         AS distinct_k
 FROM events

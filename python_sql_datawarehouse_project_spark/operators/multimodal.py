@@ -83,8 +83,8 @@ MM1_ORACLE = f"""
 SELECT
     ['png', 'jpeg', 'wav', 'mp4'][CAST(mod(doc_id, 4) AS INT) + 1] AS format,
     COUNT(*) AS n_assets,
-    SUM(CAST(octet_length(from_hex(repeat(md5(text), 8))) AS BIGINT))
-        AS total_bytes,
+    CAST(SUM(CAST(octet_length(from_hex(repeat(md5(text), 8))) AS BIGINT))
+        AS BIGINT) AS total_bytes,
     CAST(SUM(CAST(n_chars / 100.0 AS DECIMAL(18,6))) AS DOUBLE)
         AS total_duration_s,
     MAX(CAST(mod(doc_id, 640) + 1 AS INT)) AS max_width
@@ -137,6 +137,46 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield out
 
 
+# DuckDB re-derivation of the fake payload's byte list: the payload is
+# unhex(repeat(md5(text), 8)) = 128 bytes, so byte i is the hex pair at
+# chars (2i-1, 2i) of the repeated digest.  Parsed with the same
+# '0x'||substr cast idiom as hashing.sql_md5_long.
+_SQL_BYTE_LIST = """
+list_transform(range(1, 129), i ->
+    CAST('0x' || substr(h, CAST(2 * i - 1 AS INT), 2) AS BIGINT))
+"""
+
+# Float-exactness note (why no decimal routing is needed): n = 128 is a
+# power of two, every byte is an integer <= 255, so f_mean = total/128
+# is exact, each (b - mean)^2 term needs <= 30 mantissa bits, and every
+# partial sum of 128 such terms needs <= 37 bits — all exact in IEEE
+# double on BOTH engines, hence bitwise-identical regardless of
+# summation order.
+MM2_ORACLE = f"""
+WITH b AS (
+    SELECT doc_id, repeat(md5(text), 8) AS h FROM documents
+),
+bytes AS (
+    SELECT doc_id, {_SQL_BYTE_LIST} AS bl FROM b
+),
+m AS (
+    SELECT doc_id, bl, CAST(list_sum(bl) AS DOUBLE) AS total FROM bytes
+)
+SELECT
+    doc_id,
+    ['png', 'jpeg', 'wav', 'mp4'][CAST(mod(doc_id, 4) AS INT) + 1] AS format,
+    CAST(128 AS INT) AS n_bytes,
+    CAST(128 AS DOUBLE) AS f_len,
+    total AS f_sum,
+    total / 128 AS f_mean,
+    list_sum(list_transform(bl, x -> (x - total / 128) * (x - total / 128)))
+        / 128 AS f_var,
+    CAST(bl[1] AS DOUBLE) AS f_first,
+    CAST(bl[128] AS DOUBLE) AS f_last
+FROM m
+"""
+
+
 def mm2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_package_on_workers(spark)  # workers must import this module
     c = mm_corpus(spark, sf_dir).select(
@@ -177,6 +217,32 @@ def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.mapInPandas(_sample_frames, schema=_FRAMES_SCHEMA)
 
 
+# Payloads are always 128 bytes -> 128/FRAME_BYTES frames, every
+# FRAME_STRIDE-th kept; frame_sum is integer math (exact on both
+# engines).
+_N_FRAMES = 128 // FRAME_BYTES
+
+MM3_ORACLE = f"""
+WITH b AS (
+    SELECT doc_id, repeat(md5(text), 8) AS h FROM documents
+),
+bytes AS (
+    SELECT doc_id, {_SQL_BYTE_LIST} AS bl FROM b
+)
+SELECT
+    doc_id,
+    CAST(f.frame_idx AS INT) AS frame_idx,
+    CAST({FRAME_BYTES} AS INT) AS frame_len,
+    CAST(list_sum(list_slice(
+        bl,
+        f.frame_idx * {FRAME_BYTES} + 1,
+        f.frame_idx * {FRAME_BYTES} + {FRAME_BYTES}
+    )) AS BIGINT) AS frame_sum
+FROM bytes,
+     (SELECT unnest(range(0, {_N_FRAMES}, {FRAME_STRIDE})) AS frame_idx) f
+"""
+
+
 QUERIES = {
     "mm1_metadata_profile": mm1_metadata_profile,
     "mm2_decode_features": mm2_decode_features,
@@ -184,4 +250,6 @@ QUERIES = {
 }
 ORACLES = {
     "mm1_metadata_profile": MM1_ORACLE,
+    "mm2_decode_features": MM2_ORACLE,
+    "mm3_frame_sample": MM3_ORACLE,
 }

@@ -87,8 +87,10 @@ def qa3_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QA3_ORACLE = """
 SELECT o_custkey, COUNT(*) AS n_orphans
-FROM orders
-WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+FROM orders o
+WHERE NOT EXISTS (
+    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+)
 GROUP BY 1
 """
 

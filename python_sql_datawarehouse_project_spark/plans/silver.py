@@ -84,14 +84,16 @@ def load_crm_prd_info(wh: Warehouse, batch_id: str) -> TransformResult:
     COALESCE 0, product-line decode, W2 LEAD end-dating."""
 
     def t(df: DataFrame) -> DataFrame:
-        w = Window.partitionBy(C.split_prd_key(F.col("prd_key"))).orderBy(
-            "prd_start_dt"
-        )
+        # The proc's LEAD window says PARTITION BY prd_key, and in
+        # Postgres select-list aliases are out of scope inside window
+        # definitions — so it partitions by the RAW bronze prd_key,
+        # not the derived chars-7..end key.  Mirror that exactly.
+        w = Window.partitionBy(F.col("prd_key")).orderBy("prd_start_dt")
         return df.select(
             F.col("prd_id").cast("int").alias("prd_id"),
             C.split_cat_id(F.col("prd_key")).alias("cat_id"),
             C.split_prd_key(F.col("prd_key")).alias("prd_key"),
-            F.col("prd_nm"),
+            F.trim("prd_nm").alias("prd_nm"),
             F.coalesce(F.col("prd_cost"), F.lit(0)).alias("prd_cost"),
             C.decode_product_line(F.col("prd_line")).alias("prd_line"),
             F.col("prd_start_dt").cast("date").alias("prd_start_dt"),
@@ -132,8 +134,11 @@ def load_erp_cust_az12(wh: Warehouse, batch_id: str) -> TransformResult:
     bdate -> NULL, gender decode."""
 
     def t(df: DataFrame) -> DataFrame:
+        # No trim on cid: the proc strips the NAS prefix from the raw
+        # value (LIKE 'NAS%' fails on ' NAS...'), so trimming first
+        # would strip rows the reference leaves untouched.
         return df.select(
-            C.strip_nas_prefix(F.trim(F.col("cid"))).alias("cid"),
+            C.strip_nas_prefix(F.col("cid")).alias("cid"),
             C.null_future_date(F.col("bdate").cast("date")).alias("bdate"),
             C.decode_gender_erp(F.col("gen")).alias("gen"),
         )

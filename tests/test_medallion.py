@@ -160,6 +160,55 @@ def test_silver_prd_key_split_and_end_dating(pipeline_run):
     assert s.filter("prd_line = 'Unknown'").count() == 1  # code Q
 
 
+def test_silver_prd_raw_key_window_and_trims(spark, tmp_path):
+    """Parity details of tools.load_crm_prd_info_v1.sql:79-96: the LEAD
+    window partitions by the RAW bronze prd_key (Postgres can't see the
+    select alias), so two cat prefixes sharing a key suffix must NOT
+    end-date each other; prd_nm and the split keys are TRIMmed; and
+    tools.load_erp_cust_az12_v1.sql:72-75 never trims cid, so a
+    leading-space ' NAS...' row keeps its prefix."""
+    from python_sql_datawarehouse_project_spark.plans import silver
+
+    wh = Warehouse(spark, str(tmp_path))
+    d = dt.date
+    prd = spark.createDataFrame(
+        [
+            # same suffix SHARED1, different raw keys -> separate windows
+            ("AA-XX-SHARED1", " Name A ", d(2021, 1, 1)),
+            ("BB-YY-SHARED1", "Name B", d(2022, 1, 1)),
+        ],
+        "prd_key string, prd_nm string, prd_start_dt date",
+    ).select(
+        F.lit(1).alias("prd_id"),
+        "prd_key",
+        "prd_nm",
+        F.lit(None).cast("double").alias("prd_cost"),
+        F.lit("R").alias("prd_line"),
+        "prd_start_dt",
+    )
+    az12 = spark.createDataFrame(
+        [(" NAS123", d(1980, 1, 1), "F"), ("NAS456", d(1981, 1, 1), "M")],
+        "cid string, bdate date, gen string",
+    )
+    wh.write_batch(prd, "bronze", "crm_prd_info", BATCH)
+    wh.write_batch(az12, "bronze", "erp_cust_az12", BATCH)
+    ok, err, _ = silver.load_crm_prd_info(wh, BATCH)
+    assert ok, err
+    ok, err, _ = silver.load_erp_cust_az12(wh, BATCH)
+    assert ok, err
+
+    s = wh.read_batch("silver", "crm_prd_info", BATCH).collect()
+    by_cat = {r.cat_id: r for r in s}
+    # raw-key partitioning: both rows are their own open current version
+    assert by_cat["AA_XX"].prd_end_dt is None
+    assert by_cat["BB_YY"].prd_end_dt is None
+    assert by_cat["AA_XX"].prd_nm == "Name A"  # TRIM(prd_nm)
+    assert by_cat["AA_XX"].prd_key == "SHARED1"
+
+    cids = {r.cid for r in wh.read_batch("silver", "erp_cust_az12", BATCH).collect()}
+    assert cids == {" NAS123", "456"}  # raw cid: no trim before NAS strip
+
+
 # -- Methods_crm_sales_details.sql expectations ----------------------
 def test_silver_sales_date_and_value_repair(pipeline_run):
     wh, _, _ = pipeline_run
