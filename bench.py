@@ -53,6 +53,8 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
+    _warn_regressions(timings)
+
     print(
         json.dumps(
             {
@@ -64,6 +66,32 @@ def main() -> None:
             }
         )
     )
+
+
+def _warn_regressions(timings: dict[str, float], factor: float = 1.5) -> None:
+    """Compare per-query times against the newest BENCH_r*.json from a
+    prior round and warn (stderr, never the JSON line) on >factor
+    slowdowns — keeps per-round perf honest without failing the run on
+    a noisy-load machine."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not prior:
+        return
+    try:
+        with open(prior[-1]) as f:
+            old = json.load(f).get("queries", {})
+    except (OSError, ValueError):
+        return
+    for name, t in sorted(timings.items()):
+        ref = old.get(name)
+        if ref and ref > 0.05 and t > factor * ref:
+            print(
+                f"bench: REGRESSION {name}: {t:.3f}s vs {ref:.3f}s "
+                f"in {os.path.basename(prior[-1])} ({t / ref:.2f}x)",
+                file=sys.stderr,
+            )
 
 
 if __name__ == "__main__":

@@ -169,3 +169,21 @@ def sql_cosine(a_expr: str, b_expr: str) -> str:
 
 def sql_int_list(xs: list[int]) -> str:
     return "[" + ", ".join(str(x) for x in xs) + "]"
+
+
+def sql_rp_bucket(vn_expr: str = "vn") -> str:
+    """RP_BITS-bit hyperplane-sign bucket of a normalized DOUBLE[]
+    column, emitted for DuckDB — the exact twin of
+    similarity._bucket_col: each projection is the same sequential
+    fold over vn[j] * r(i, j), so bucket assignment is bitwise
+    identical across engines."""
+    proj = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(range(0, {dim}), j -> "
+        "{vn}[CAST(j AS INT) + 1] * {r})), (a, b) -> a + b)"
+    ).format(dim=RP_DIM, vn=vn_expr, r=sql_rp_component("i", "j"))
+    return (
+        f"CAST(list_sum(list_transform(range(0, {RP_BITS}), i -> "
+        f"CASE WHEN {proj} > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) "
+        f"ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+    )

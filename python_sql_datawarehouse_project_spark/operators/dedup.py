@@ -460,24 +460,21 @@ def _block_candidates(n: DataFrame, nb: int) -> DataFrame:
     )
 
 
-def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine near-dup pairs, computed candidates-then-verify:
-    blocked BLAS matmul proposes (superset, eps-slack threshold), the
-    sequential-fold dot product — bitwise identical to the DuckDB
-    oracle — scores and filters.  At 100 TB the same operator runs
-    with sim2's hyperplane buckets as the candidate stage instead
-    (recall < 1); this blocked path is the exact fallback and the
-    verify stage is shared."""
+def _load_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    n = _normalized(emb)
-    cand = _block_candidates(n, _DD5_BLOCKS)
+    return _normalized(emb)
+
+
+def _exact_rescore(n: DataFrame, cand: DataFrame) -> DataFrame:
+    """Shared verify stage: exact fold cosine over a candidate pair
+    set, filtered at COSINE_T.  The rescore joins stream the corpus
+    against the (tiny) broadcast candidate set — near-dup pair counts
+    are << corpus size by definition, so both hash sides stay small at
+    any scale."""
     a = n.select(F.col("vec_id").alias("vec_a"), F.col("vn").alias("va"))
     b = n.select(F.col("vec_id").alias("vec_b"), F.col("vn").alias("vb"))
-    # Rescore joins stream the corpus against the (tiny) broadcast
-    # candidate set — near-dup pair counts are << corpus size by
-    # definition, so both hash sides stay small at any scale.
     withA = a.join(F.broadcast(cand), "vec_a")
     return (
         b.join(F.broadcast(withA), "vec_b")
@@ -485,6 +482,20 @@ def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= COSINE_T)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT cosine near-dup pairs, computed candidates-then-verify:
+    blocked BLAS matmul proposes (superset, eps-slack threshold), the
+    sequential-fold dot product — bitwise identical to the DuckDB
+    oracle — scores and filters.  The candidate stage is O(n^2) work
+    by construction (that is the price of exactness); at corpus scale
+    use dd6_embedding_neardup_lsh, which swaps in banded hyperplane
+    buckets (sublinear candidates, recall < 1) around the SAME verify
+    stage."""
+    n = _load_normalized(spark, sf_dir)
+    cand = _block_candidates(n, _DD5_BLOCKS)
+    return _exact_rescore(n, cand)
 
 
 DD5_ORACLE = f"""
@@ -496,12 +507,108 @@ WHERE {H.sql_dot('a.vn', 'b.vn')} >= {COSINE_T}
 """
 
 
+# -- dd6: embedding near-dup, banded hyperplane-LSH candidates --------
+# The RP_BITS-bit sign signature (shared with sim2 — bitwise identical
+# on both engines) is cut into DD6_BANDS bands of DD6_BAND_BITS bits;
+# two vectors are candidates iff they agree on ALL bits of at least
+# one band.  At p = 1 - theta/pi per-bit agreement this gives recall
+# 1 - (1 - p^DD6_BAND_BITS)^DD6_BANDS per qualifying pair.  Declared
+# semantics (and the oracle) are "exact cosine >= T among banded
+# candidates" — recall < 1 vs dd5 is the documented LSH trade.
+# Measured at sf0.01: 27/59 of dd5's exact pairs (0.46 — the theory
+# value for pairs near T = 0.40; a production near-dup threshold of
+# 0.9 predicts ~0.95 recall with these same constants, and recall
+# tunes up with more bands exactly as in dd3).
+#
+# 100 TB parameterization: candidate volume is sum over band-buckets
+# of n_b^2, so bucket count per band (2^DD6_BAND_BITS) must scale with
+# corpus size — at 10^9+ docs use a wider signature (e.g. 128
+# hyperplanes, 8 bands x 16 bits -> 65k buckets/band), which changes
+# only these constants.  The band join exchanges (vec_id, band_key)
+# pairs ONLY (two longs/row, dd3's discipline); vectors are
+# re-attached by the shared rescore afterwards.
+DD6_BANDS = 4
+DD6_BAND_BITS = H.RP_BITS // DD6_BANDS
+
+
+def _lsh_band_candidates(n: DataFrame) -> DataFrame:
+    from .similarity import _bucket_col
+
+    mask = (1 << DD6_BAND_BITS) - 1
+    sig = n.withColumn("bucket", _bucket_col("vn")).select("vec_id", "bucket")
+    band_keys = F.array(
+        *[
+            (
+                F.shiftright(F.col("bucket"), DD6_BAND_BITS * i).bitwiseAND(
+                    F.lit(mask)
+                )
+                + F.lit(i << DD6_BAND_BITS)
+            ).cast("long")
+            for i in range(DD6_BANDS)
+        ]
+    )
+    bands = sig.select("vec_id", F.explode(band_keys).alias("band_key"))
+    a, c = bands.alias("a"), bands.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.band_key") == F.col("c.band_key"))
+            & (F.col("a.vec_id") < F.col("c.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("c.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+
+
+def dd6_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with SUBLINEAR candidates: banded
+    hyperplane-LSH buckets propose, the shared exact fold rescore
+    verifies.  Same output shape as dd5; the plan contains no O(n^2)
+    stage (asserted in tests/test_plans.py) — this is the operator to
+    run at corpus scale."""
+    n = _load_normalized(spark, sf_dir)
+    return _exact_rescore(n, _lsh_band_candidates(n))
+
+
+def _dd6_oracle() -> str:
+    mask = (1 << DD6_BAND_BITS) - 1
+    return f"""
+WITH {_SQL_NORMALIZED},
+eb AS (
+    SELECT vec_id, vn, {H.sql_rp_bucket('vn')} AS bucket FROM normalized
+),
+bands AS (
+    SELECT vec_id,
+           unnest(list_transform(range(0, {DD6_BANDS}), i ->
+               ((bucket >> (CAST(i AS INT) * {DD6_BAND_BITS})) & {mask})
+               + (i << {DD6_BAND_BITS}))) AS band_key
+    FROM eb
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+    FROM bands a JOIN bands c
+      ON a.band_key = c.band_key AND a.vec_id < c.vec_id
+)
+SELECT cand.vec_a, cand.vec_b, {H.sql_dot('a.vn', 'b.vn')} AS cosine
+FROM cand
+JOIN normalized a ON cand.vec_a = a.vec_id
+JOIN normalized b ON cand.vec_b = b.vec_id
+WHERE {H.sql_dot('a.vn', 'b.vn')} >= {COSINE_T}
+"""
+
+
+DD6_ORACLE = _dd6_oracle()
+
+
 QUERIES = {
     "dd1_exact_dedup": dd1_exact_dedup,
     "dd2_ngram_jaccard_pairs": dd2_ngram_jaccard_pairs,
     "dd3_minhash_lsh_pairs": dd3_minhash_lsh_pairs,
     "dd4_simhash": dd4_simhash,
     "dd5_embedding_neardup": dd5_embedding_neardup,
+    "dd6_embedding_neardup_lsh": dd6_embedding_neardup_lsh,
 }
 ORACLES = {
     "dd1_exact_dedup": DD1_ORACLE,
@@ -509,4 +616,5 @@ ORACLES = {
     "dd3_minhash_lsh_pairs": DD3_ORACLE,
     "dd4_simhash": DD4_ORACLE,
     "dd5_embedding_neardup": DD5_ORACLE,
+    "dd6_embedding_neardup_lsh": DD6_ORACLE,
 }

@@ -41,6 +41,27 @@ from ..star import STAR_SQL_CTES
 MAX_LEVEL = 3
 
 
+def finalize_recursion(union: DataFrame, cached: list[DataFrame]) -> DataFrame:
+    """Materialize a recursion result off its cached levels, then
+    release them.
+
+    The per-level persists are load-bearing only WHILE the union
+    computes (level k reuses the cached level k-1 instead of
+    re-deriving the whole prefix).  An eager localCheckpoint runs that
+    computation once and stores just the final partitions — whose
+    lifetime is tied to the returned DataFrame (ContextCleaner frees
+    the blocks on GC) — so the frontier caches can be dropped
+    immediately and repeated invocations hold no residual storage.
+    This also truncates the per-level lineage chain, which is the
+    checkpoint cadence a deep recursion needs on a real cluster
+    anyway (SURVEY.md §4.2).
+    """
+    out = union.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist(blocking=False)
+    return out
+
+
 def order_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import load_table
 
@@ -99,7 +120,8 @@ def q9_delayed_orders_chain(
             .persist()
         )
         levels.append(frontier)
-    return reduce(lambda a, b: a.unionByName(b), levels).select(*out_cols)
+    union = reduce(lambda a, b: a.unionByName(b), levels).select(*out_cols)
+    return finalize_recursion(union, [ships, *levels])
 
 
 Q9_ORACLE = (

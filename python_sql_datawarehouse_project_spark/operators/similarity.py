@@ -172,16 +172,7 @@ def sim2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sim2_oracle() -> str:
     # Same bucket formula, emitted for DuckDB: projections are
     # sequential folds over (vn[j] * r(i, j)).
-    proj = (
-        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        "list_transform(range(0, {dim}), j -> "
-        "vn[CAST(j AS INT) + 1] * {r})), (a, b) -> a + b)"
-    ).format(dim=H.RP_DIM, r=H.sql_rp_component("i", "j"))
-    bucket = (
-        f"list_sum(list_transform(range(0, {H.RP_BITS}), i -> "
-        f"CASE WHEN {proj} > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) "
-        f"ELSE CAST(0 AS BIGINT) END))"
-    )
+    bucket = H.sql_rp_bucket("vn")
     return f"""
 WITH {_SQL_NORM_CTE},
 eb AS (SELECT vec_id, vn, {bucket} AS bucket FROM e),

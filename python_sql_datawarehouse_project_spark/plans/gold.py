@@ -31,21 +31,20 @@ from .warehouse import Warehouse
 IntegrationResult = tuple[bool, str | None, int]
 
 
-def load_dim_customers(wh: Warehouse, batch_id: str) -> IntegrationResult:
-    """tools.load_dim_customers_v1.sql:55-84 — crm |x| erp enrichment,
-    R1 gender integration, row_number surrogate key by cst_id."""
-    try:
-        if wh.batch_is_empty("silver", "crm_cust_info", batch_id):
-            return True, None, 0
-        ci = wh.read_batch("silver", "crm_cust_info", batch_id)
-        ca = wh.read_batch("silver", "erp_cust_az12", batch_id)
-        la = wh.read_batch("silver", "erp_loc_a101", batch_id)
-        joined = (
-            ci.alias("ci")
-            .join(F.broadcast(ca.alias("ca")), F.col("ci.cst_key") == F.col("ca.cid"), "left")
-            .join(F.broadcast(la.alias("la")), F.col("ci.cst_key") == F.col("la.cid"), "left")
-        )
-        out = joined.select(
+def dim_customers_plan(ci: DataFrame, ca: DataFrame, la: DataFrame) -> DataFrame:
+    """Pure plan for dim_customers (no warehouse I/O) — exposed so
+    tests can assert join strategy on the exact production plan.
+
+    No broadcast hints: the ERP enrichment tables grow with the
+    customer base, and a forced broadcast OOMs executors once they
+    outgrow memory.  Catalyst/AQE broadcasts them while they are small
+    and switches to shuffled hash when they aren't."""
+    joined = (
+        ci.alias("ci")
+        .join(ca.alias("ca"), F.col("ci.cst_key") == F.col("ca.cid"), "left")
+        .join(la.alias("la"), F.col("ci.cst_key") == F.col("la.cid"), "left")
+    )
+    return joined.select(
             F.col("ci.cst_id").alias("customer_id"),
             F.col("ci.cst_key").alias("customer_number"),
             F.col("ci.cst_firstname").alias("customer_firstname"),
@@ -55,9 +54,22 @@ def load_dim_customers(wh: Warehouse, batch_id: str) -> IntegrationResult:
             F.col("la.cntry").alias("country"),
             F.col("ca.bdate").alias("birth_date"),
             F.col("ci.cst_create_date").alias("create_date"),
-        ).withColumn(
-            "customer_key",
-            F.row_number().over(Window.orderBy("customer_id")),
+    ).withColumn(
+        "customer_key",
+        F.row_number().over(Window.orderBy("customer_id")),
+    )
+
+
+def load_dim_customers(wh: Warehouse, batch_id: str) -> IntegrationResult:
+    """tools.load_dim_customers_v1.sql:55-84 — crm |x| erp enrichment,
+    R1 gender integration, row_number surrogate key by cst_id."""
+    try:
+        if wh.batch_is_empty("silver", "crm_cust_info", batch_id):
+            return True, None, 0
+        out = dim_customers_plan(
+            wh.read_batch("silver", "crm_cust_info", batch_id),
+            wh.read_batch("silver", "erp_cust_az12", batch_id),
+            wh.read_batch("silver", "erp_loc_a101", batch_id),
         )
         n = wh.write_batch(out, "gold", "dim_customers", batch_id)
         return True, None, n
@@ -65,20 +77,18 @@ def load_dim_customers(wh: Warehouse, batch_id: str) -> IntegrationResult:
         return False, str(e), 0
 
 
-def load_dim_products(wh: Warehouse, batch_id: str) -> IntegrationResult:
-    """tools.load_dim_products_v1.sql:55-86 — current versions only
-    (prd_end_dt IS NULL), category join, row_number surrogate key."""
-    try:
-        if wh.batch_is_empty("silver", "crm_prd_info", batch_id):
-            return True, None, 0
-        po = wh.read_batch("silver", "crm_prd_info", batch_id)
-        pc = wh.read_batch("silver", "erp_px_cat_g1v2", batch_id)
-        joined = (
-            po.filter(F.col("prd_end_dt").isNull())
-            .alias("po")
-            .join(F.broadcast(pc.alias("pc")), F.col("po.cat_id") == F.col("pc.id"), "left")
-        )
-        out = joined.select(
+def dim_products_plan(po: DataFrame, pc: DataFrame) -> DataFrame:
+    """Pure plan for dim_products.
+
+    The category decode table is genuinely bounded (37 rows in the
+    reference data; a taxonomy, not a per-entity table), so the
+    broadcast hint is safe and saves the shuffle at any SF."""
+    joined = (
+        po.filter(F.col("prd_end_dt").isNull())
+        .alias("po")
+        .join(F.broadcast(pc.alias("pc")), F.col("po.cat_id") == F.col("pc.id"), "left")
+    )
+    return joined.select(
             F.col("po.prd_id").alias("product_id"),
             F.col("po.prd_key").alias("product_number"),
             F.col("po.prd_nm").alias("product_name"),
@@ -89,14 +99,54 @@ def load_dim_products(wh: Warehouse, batch_id: str) -> IntegrationResult:
             F.col("pc.maintenance").alias("maintenance"),
             F.col("po.prd_cost").alias("product_cost"),
             F.col("po.prd_start_dt").alias("start_date"),
-        ).withColumn(
-            "product_key",
-            F.row_number().over(Window.orderBy("product_number", "start_date")),
+    ).withColumn(
+        "product_key",
+        F.row_number().over(Window.orderBy("product_number", "start_date")),
+    )
+
+
+def load_dim_products(wh: Warehouse, batch_id: str) -> IntegrationResult:
+    """tools.load_dim_products_v1.sql:55-86 — current versions only
+    (prd_end_dt IS NULL), category join, row_number surrogate key."""
+    try:
+        if wh.batch_is_empty("silver", "crm_prd_info", batch_id):
+            return True, None, 0
+        out = dim_products_plan(
+            wh.read_batch("silver", "crm_prd_info", batch_id),
+            wh.read_batch("silver", "erp_px_cat_g1v2", batch_id),
         )
         n = wh.write_batch(out, "gold", "dim_products", batch_id)
         return True, None, n
     except Exception as e:
         return False, str(e), 0
+
+
+def fact_sales_plan(sd: DataFrame, pr: DataFrame, cs: DataFrame) -> DataFrame:
+    """Pure plan for fact_sales.
+
+    Customer/product dims scale with the business — leave join
+    strategy to AQE (broadcast while small, shuffled hash beyond
+    autoBroadcastJoinThreshold) instead of forcing a broadcast that
+    breaks at scale."""
+    return (
+        sd.join(
+            pr,
+            sd["sls_prd_key"] == pr["product_number"],
+            "left",
+        )
+        .join(cs, sd["sls_cust_id"] == cs["customer_id"], "left")
+        .select(
+            F.col("sls_ord_num").alias("order_number"),
+            F.coalesce(F.col("customer_key"), F.lit(-1)).alias("customer_key"),
+            F.coalesce(F.col("product_key"), F.lit(-1)).alias("product_key"),
+            F.col("sls_order_dt").alias("order_date"),
+            F.col("sls_ship_dt").alias("shipping_date"),
+            F.col("sls_due_dt").alias("due_date"),
+            F.col("sls_sales").alias("sales"),
+            F.col("sls_quantity").alias("quantity"),
+            F.col("sls_price").alias("price"),
+        )
+    )
 
 
 def load_fact_sales(wh: Warehouse, batch_id: str) -> IntegrationResult:
@@ -105,31 +155,14 @@ def load_fact_sales(wh: Warehouse, batch_id: str) -> IntegrationResult:
     try:
         if wh.batch_is_empty("silver", "crm_sales_details", batch_id):
             return True, None, 0
-        sd = wh.read_batch("silver", "crm_sales_details", batch_id)
-        pr = wh.read_batch("gold", "dim_products", batch_id).select(
-            "product_key", "product_number"
-        )
-        cs = wh.read_batch("gold", "dim_customers", batch_id).select(
-            "customer_key", "customer_id"
-        )
-        out = (
-            sd.join(
-                F.broadcast(pr),
-                sd["sls_prd_key"] == pr["product_number"],
-                "left",
-            )
-            .join(F.broadcast(cs), sd["sls_cust_id"] == cs["customer_id"], "left")
-            .select(
-                F.col("sls_ord_num").alias("order_number"),
-                F.coalesce(F.col("customer_key"), F.lit(-1)).alias("customer_key"),
-                F.coalesce(F.col("product_key"), F.lit(-1)).alias("product_key"),
-                F.col("sls_order_dt").alias("order_date"),
-                F.col("sls_ship_dt").alias("shipping_date"),
-                F.col("sls_due_dt").alias("due_date"),
-                F.col("sls_sales").alias("sales"),
-                F.col("sls_quantity").alias("quantity"),
-                F.col("sls_price").alias("price"),
-            )
+        out = fact_sales_plan(
+            wh.read_batch("silver", "crm_sales_details", batch_id),
+            wh.read_batch("gold", "dim_products", batch_id).select(
+                "product_key", "product_number"
+            ),
+            wh.read_batch("gold", "dim_customers", batch_id).select(
+                "customer_key", "customer_id"
+            ),
         )
         n = wh.write_batch(out, "gold", "fact_sales", batch_id)
         return True, None, n

@@ -200,7 +200,10 @@ def mv_delayed_orders_chain(wh, batch_id=None, max_level: int = 3) -> DataFrame:
             .persist()
         )
         levels.append(frontier)
-    return reduce(lambda a, b: a.unionByName(b), levels)
+    from ..operators.recursive import finalize_recursion
+
+    union = reduce(lambda a, b: a.unionByName(b), levels)
+    return finalize_recursion(union, [base, *levels])
 
 
 MVS: dict[str, Callable[..., DataFrame]] = {

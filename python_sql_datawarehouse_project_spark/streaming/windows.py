@@ -32,7 +32,9 @@ choice, not a design limit.
 
 from __future__ import annotations
 
+import contextlib
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -44,29 +46,57 @@ from ..operators.events import SESSION_GAP_MIN, VALUE_DEC
 
 WATERMARK = "1 hour"
 
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (S11 analogue).
+
+@contextlib.contextmanager
+def _scoped_nanos_conf(spark: SparkSession):
+    """Set the nanos-as-long reader conf for the duration of a drained
+    streaming run, then restore the previous session value — a stream
+    query must not leave read behavior changed for the whole session."""
+    try:
+        prev = spark.conf.get(_NANOS_CONF)
+    except Exception:
+        prev = None
+    spark.conf.set(_NANOS_CONF, "true")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(_NANOS_CONF)
+        else:
+            spark.conf.set(_NANOS_CONF, prev)
+
+
+@contextlib.contextmanager
+def _staged_source_dir(src: str):
+    """Per-run staging directory holding a symlink to the source file.
+
+    FileStreamSource requires a DIRECTORY source (the incoming-dir
+    contract of the reference, S11); the test table is a single parquet
+    file, so stage a fresh symlink dir for it and remove it afterwards
+    — a shared cached dir would serve stale links if sf_dir content
+    changed between runs.
+    """
+    stage = tempfile.mkdtemp(prefix="spark-graft-stream-src-")
+    try:
+        os.symlink(src, os.path.join(stage, os.path.basename(src)))
+        yield stage
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def events_stream(spark: SparkSession, sf_dir: str, stage: str) -> DataFrame:
+    """File-source stream over the events parquet staged at `stage`
+    (S11 analogue).
 
     The schema must be declared for a streaming source; ts arrives as
     raw nanos (see catalog.load_table) and is truncated to
-    microseconds exactly like the batch path.
+    microseconds exactly like the batch path.  Caller holds the
+    nanos-as-long conf scope for the life of the query.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = table_path(sf_dir, "events")
     schema = spark.read.parquet(src).schema
-    # FileStreamSource requires a DIRECTORY source (the incoming-dir
-    # contract of the reference, S11); the test table is a single
-    # parquet file, so stage a symlink dir for it.
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        "spark-graft-stream-src",
-        sf_dir.strip("/").replace("/", "_"),
-    )
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -141,22 +171,31 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(qname)
+
+
+def _run_stream(spark: SparkSession, sf_dir: str, windowing) -> DataFrame:
+    """Build + drain one streaming query with per-run staging and a
+    scoped reader conf; the memory-sink result outlives both scopes."""
+    src = table_path(sf_dir, "events")
+    with _scoped_nanos_conf(spark), _staged_source_dir(src) as stage:
+        return run_available_now(
+            spark, windowing(events_stream(spark, sf_dir, stage))
+        )
 
 
 # -- registry entries (rows-only driver check; batch-equivalence is
 #    asserted in tests/test_streaming.py) ----------------------------
 def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_available_now(
-        spark, tumbling_hourly(events_stream(spark, sf_dir))
-    )
+    return _run_stream(spark, sf_dir, tumbling_hourly)
 
 
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_available_now(
-        spark, session_windows(events_stream(spark, sf_dir))
-    )
+    return _run_stream(spark, sf_dir, session_windows)
 
 
 QUERIES = {

@@ -27,5 +27,18 @@ def test_stream_sessions_equal_batch(spark, sf_dir):
 
 def test_stream_is_incremental(spark, sf_dir):
     # the source really is a stream (not a disguised batch read)
-    st = sw.events_stream(spark, sf_dir)
-    assert st.isStreaming
+    from python_sql_datawarehouse_project_spark.catalog import table_path
+
+    src = table_path(sf_dir, "events")
+    with sw._scoped_nanos_conf(spark), sw._staged_source_dir(src) as stage:
+        st = sw.events_stream(spark, sf_dir, stage)
+        assert st.isStreaming
+
+
+def test_stream_scopes_session_conf(spark, sf_dir):
+    # a drained stream query must not leave the nanos reader conf set
+    spark.conf.unset(sw._NANOS_CONF)
+    before = spark.conf.get(sw._NANOS_CONF)  # engine default
+    assert before == "false"
+    sw.stream_tumbling_hourly(spark, sf_dir)
+    assert spark.conf.get(sw._NANOS_CONF) == before
