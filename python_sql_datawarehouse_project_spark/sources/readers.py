@@ -10,8 +10,9 @@ lands snappy parquet anyway.
   read_csv      S1: header + schema inference (or explicit schema)
                 [convert_to_parquet.py:184]
   read_excel    S2: no core Spark reader; driver-side pandas bridge
-                when an engine is available, else a clearly-typed
-                UnsupportedSourceError [convert_to_parquet.py:186]
+                when an engine is available, else the stdlib ZIP+XML
+                xlsx parser (sources/xlsx.py); legacy .xls gets a
+                typed UnsupportedSourceError [convert_to_parquet.py:186]
   read_json     S3: JSONL first, whole-document fallback
                 [convert_to_parquet.py:188-191]
   read_parquet  S4: native [convert_to_parquet.py:193]
@@ -62,28 +63,35 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_excel(spark: SparkSession, path: str) -> DataFrame:
-    """First-sheet Excel read via a driver-side pandas bridge.
+    """First-sheet Excel read (reference convert_to_parquet.py:186,
+    pd.read_excel(src, sheet_name=0)).
 
-    Gated behind an import-try: this environment ships no xlsx engine,
-    so the call raises UnsupportedSourceError with a clear message
-    (the Spark-side plumbing — pandas -> createDataFrame — is real)."""
+    Engine order: pandas with an installed xlsx engine when available
+    (full style/date fidelity), else the stdlib ZIP+XML parser in
+    sources/xlsx.py for .xlsx (real first-sheet read, no third-party
+    engine needed).  Legacy binary .xls has no stdlib path and raises
+    a typed UnsupportedSourceError."""
     import pandas as pd
 
     try:
         pdf = pd.read_excel(path, sheet_name=0)
-    except ImportError as e:  # no openpyxl/xlrd engine installed
+        return spark.createDataFrame(pdf)
+    except (ImportError, ValueError) as e:
+        # ImportError: engine package missing; ValueError("... specify
+        # an engine manually"): pandas can't even sniff the format
+        # with zero engines installed.  Same capability gap.
+        if isinstance(e, ValueError) and "engine" not in str(e):
+            raise
+    from .xlsx import read_first_sheet
+
+    try:
+        header, rows = read_first_sheet(path)
+    except Exception as e:  # not a zip / not an xlsx (e.g. legacy .xls)
         raise UnsupportedSourceError(
-            f"no Excel engine available to read {path!r}: {e}"
+            f"no Excel engine available to read {path!r} and the "
+            f"stdlib xlsx fallback could not parse it: {e}"
         ) from e
-    except ValueError as e:
-        # With zero engines installed pandas cannot even sniff the
-        # format and raises ValueError("... specify an engine
-        # manually") instead of ImportError — same capability gap.
-        if "engine" in str(e):
-            raise UnsupportedSourceError(
-                f"no Excel engine available to read {path!r}: {e}"
-            ) from e
-        raise
+    pdf = pd.DataFrame(rows, columns=header)
     return spark.createDataFrame(pdf)
 
 

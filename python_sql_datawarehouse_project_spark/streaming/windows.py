@@ -15,12 +15,11 @@ This module supplies the BASELINE.json streaming extensions:
 
 Each `stream_*` registry query runs the streaming pipeline to
 completion on the static parquet (AvailableNow drains it as one or
-more micro-batches) and returns the result as a plain DataFrame.
-They are registered WITHOUT SQL oracles (the driver's rows-only
-check): the correctness argument is the batch-equivalence test in
-tests/test_streaming.py — on bounded input, each streaming query must
-produce exactly the rows of its batch twin from operators/events.py,
-which IS oracle-checked bit-for-bit against DuckDB.
+more micro-batches) and returns the result as a plain DataFrame.  On
+bounded input each drained stream is row-identical to its batch twin
+from operators/events.py (asserted in tests/test_streaming.py), so
+the batch twins' DuckDB oracles are registered for the stream gates
+too — the driver hash-matches the streaming results directly.
 
 Scale notes: watermark + windowed aggregation is incremental state in
 the state store (RocksDB on a real cluster), keyed by (window, type)
@@ -202,4 +201,13 @@ QUERIES = {
     "stream_tumbling_hourly": stream_tumbling_hourly,
     "stream_session_windows": stream_session_windows,
 }
-ORACLES: dict[str, str] = {}
+# On bounded input each drained stream is row-identical to its batch
+# twin (asserted in tests/test_streaming.py), and the output columns
+# match by construction — so the batch oracles ARE the stream oracles,
+# upgrading these gates from rows-only to full hash-match.
+from ..operators.events import EV1_ORACLE, EV3_ORACLE  # noqa: E402
+
+ORACLES: dict[str, str] = {
+    "stream_tumbling_hourly": EV1_ORACLE,
+    "stream_session_windows": EV3_ORACLE,
+}

@@ -1,0 +1,106 @@
+"""Multi-client orchestration: two registered clients run the full
+medallion pass with fully isolated state (per-client schemas in the
+reference, per-client sub-roots here) and independent batch counters
+(reference batch_processing.py:1276-1296 runs `start` for every
+client_reference row when invoked with no args)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+
+from python_sql_datawarehouse_project_spark.plans.clients import (
+    ClientRegistry,
+    process_client,
+    run_all_clients,
+)
+
+
+@pytest.fixture(scope="module")
+def two_client_run(spark, tmp_path_factory):
+    from test_medallion import _seed_bronze
+
+    root = str(tmp_path_factory.mktemp("clients"))
+    reg = ClientRegistry(root)
+    reg.register("client1", client_name="Client One")
+    reg.register("client2", client_name="Client Two")
+
+    wh1 = reg.warehouse(spark, "client1")
+    wh2 = reg.warehouse(spark, "client2")
+    _seed_bronze(spark, wh1)
+    _seed_bronze(spark, wh2)
+    # client2 gets one extra clean customer -> its dims must differ
+    extra = spark.createDataFrame(
+        [(7.0, "AW00011007", "Eve", "Kim", "S", "F", dt.date(2022, 2, 2))],
+        "cst_id double, cst_key string, cst_firstname string, "
+        "cst_lastname string, cst_marital_status string, cst_gndr string, "
+        "cst_create_date date",
+    )
+    base = wh2.read_batch("bronze", "crm_cust_info", "BATCH000001").drop(
+        "dwh_batch_id"
+    )
+    wh2.write_batch(base.unionByName(extra), "bronze", "crm_cust_info", "BATCH000001")
+
+    results = run_all_clients(spark, reg)
+    return root, reg, results
+
+
+def test_all_clients_processed_in_id_order(two_client_run):
+    _, _, results = two_client_run
+    assert [r.client_schema for r in results] == ["client1", "client2"]
+    for r in results:
+        assert r.batch_id == "BATCH000001"
+        for stage, procs in r.results.items():
+            for name, (ok, err, _) in procs.items():
+                assert ok, f"{r.client_schema} {stage}.{name}: {err}"
+
+
+def test_client_state_is_isolated(spark, two_client_run):
+    _, reg, _ = two_client_run
+    d1 = reg.warehouse(spark, "client1").read_batch(
+        "gold", "dim_customers", "BATCH000001"
+    )
+    d2 = reg.warehouse(spark, "client2").read_batch(
+        "gold", "dim_customers", "BATCH000001"
+    )
+    assert d1.count() == 3  # null pk dropped, dup collapsed
+    assert d2.count() == 4  # the extra client2-only customer
+    # separate physical roots, separate log files
+    assert reg.client_root("client1") != reg.client_root("client2")
+    for schema in ("client1", "client2"):
+        assert os.path.exists(
+            os.path.join(reg.client_root(schema), "tools", "job_execution_log.jsonl")
+        )
+
+
+def test_batch_counters_advance_independently(spark, two_client_run):
+    _, reg, _ = two_client_run
+    assert reg.get("client1").last_batch_id == "BATCH000001"
+    r = process_client(spark, reg, "client1", "start")
+    assert r.batch_id == "BATCH000002"
+    assert reg.get("client1").last_batch_id == "BATCH000002"
+    assert reg.get("client2").last_batch_id == "BATCH000001"  # untouched
+
+
+def test_restart_reruns_last_batch(spark, two_client_run):
+    _, reg, _ = two_client_run
+    before = reg.get("client2").last_batch_id
+    r = process_client(spark, reg, "client2", "restart")
+    assert r.batch_id == before  # idempotent re-run, no new counter
+
+
+def test_unknown_client_raises(two_client_run):
+    _, reg, _ = two_client_run
+    with pytest.raises(KeyError, match="client9"):
+        reg.get("client9")
+
+
+def test_registry_persists_across_instances(two_client_run):
+    root, reg, _ = two_client_run
+    reloaded = ClientRegistry(root)
+    assert [c.client_schema for c in reloaded.all()] == ["client1", "client2"]
+    assert (
+        reloaded.get("client1").last_batch_id == reg.get("client1").last_batch_id
+    )

@@ -181,29 +181,97 @@ def test_ingest_directory_end_to_end(spark, tmp_path, csv_file):
     assert rv["status"] == "FAILED" and rv["duplicate_rows"] == 1  # non-fatal
 
 
-def test_excel_reader_gated_or_works(spark, tmp_path):
-    # S2: no core Spark Excel reader — the driver-side pandas bridge
-    # either reads the first sheet or raises the typed gate error
-    # when no xlsx engine is installed in the environment.
-    import pandas as pd
+def _write_minimal_xlsx(path: str) -> None:
+    """Hand-rolled OOXML workbook (stdlib zipfile only): 4 columns,
+    3 data rows, exercising shared strings, inline strings, booleans,
+    integers, floats and an absent cell."""
+    import zipfile
 
+    parts = {
+        "[Content_Types].xml": """<?xml version="1.0"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+ <Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+ <Default Extension="xml" ContentType="application/xml"/>
+ <Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+ <Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+ <Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>
+</Types>""",
+        "_rels/.rels": """<?xml version="1.0"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+ <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+</Relationships>""",
+        "xl/workbook.xml": """<?xml version="1.0"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+ <sheets><sheet name="Landing" sheetId="1" r:id="rId1"/></sheets>
+</workbook>""",
+        "xl/_rels/workbook.xml.rels": """<?xml version="1.0"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+ <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+ <Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/>
+</Relationships>""",
+        "xl/sharedStrings.xml": """<?xml version="1.0"?>
+<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="6" uniqueCount="6">
+ <si><t>id</t></si><si><t>name</t></si><si><t>score</t></si>
+ <si><t>active</t></si><si><t>alpha</t></si><si><t>gamma</t></si>
+</sst>""",
+        "xl/worksheets/sheet1.xml": """<?xml version="1.0"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <sheetData>
+  <row r="1">
+   <c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c>
+   <c r="C1" t="s"><v>2</v></c><c r="D1" t="s"><v>3</v></c>
+  </row>
+  <row r="2">
+   <c r="A2"><v>1</v></c><c r="B2" t="s"><v>4</v></c>
+   <c r="C2"><v>1.5</v></c><c r="D2" t="b"><v>1</v></c>
+  </row>
+  <row r="3">
+   <c r="A3"><v>2</v></c>
+   <c r="B3" t="inlineStr"><is><t>beta</t></is></c>
+   <c r="D3" t="b"><v>0</v></c>
+  </row>
+  <row r="4">
+   <c r="A4"><v>3</v></c><c r="B4" t="s"><v>5</v></c>
+   <c r="C4"><v>2.5</v></c><c r="D4" t="b"><v>1</v></c>
+  </row>
+ </sheetData>
+</worksheet>""",
+    }
+    with zipfile.ZipFile(path, "w") as zf:
+        for name, xml in parts.items():
+            zf.writestr(name, xml)
+
+
+def test_excel_real_first_sheet_read(spark, tmp_path):
+    # S2 parity target: the reference runs pd.read_excel(src,
+    # sheet_name=0) (convert_to_parquet.py:186).  With no xlsx engine
+    # installed, the stdlib ZIP+XML fallback must still perform a REAL
+    # first-sheet read, typed cells and all.
+    from python_sql_datawarehouse_project_spark.sources.readers import read_source
+
+    p = str(tmp_path / "landing.xlsx")
+    _write_minimal_xlsx(p)
+    df = read_source(spark, p, "xlsx")
+    assert df.columns == ["id", "name", "score", "active"]
+    rows = {r.id: r for r in df.collect()}
+    assert len(rows) == 3
+    assert rows[1].name == "alpha" and rows[1].score == 1.5 and rows[1].active
+    assert rows[2].name == "beta" and rows[2].score is None  # absent cell
+    assert not rows[2].active
+    assert rows[3].name == "gamma" and rows[3].score == 2.5
+
+
+def test_excel_legacy_xls_still_gated(spark, tmp_path):
+    # Binary .xls has no stdlib path: typed gate error, not a crash.
     from python_sql_datawarehouse_project_spark.sources.readers import (
         UnsupportedSourceError,
         read_source,
     )
 
-    p = str(tmp_path / "t.xlsx")
-    try:
-        pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}).to_excel(p, index=False)
-    except (ImportError, ModuleNotFoundError):
-        # No xlsx engine in this environment: the reader must raise
-        # the typed gate error on an existing (placeholder) file.
-        (tmp_path / "t.xlsx").write_bytes(b"PK")
-        with pytest.raises(UnsupportedSourceError):
-            read_source(spark, p, "xlsx")
-        return
-    df = read_source(spark, p, "xlsx")
-    assert df.count() == 2 and set(df.columns) == {"a", "b"}
+    p = tmp_path / "legacy.xls"
+    p.write_bytes(b"\xd0\xcf\x11\xe0notreallyanxls")
+    with pytest.raises(UnsupportedSourceError):
+        read_source(spark, str(p), "xls")
 
 
 def test_schema_only_read_is_metadata(spark, sf_dir):
