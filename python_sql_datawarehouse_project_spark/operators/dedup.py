@@ -469,15 +469,15 @@ def _load_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _exact_rescore(n: DataFrame, cand: DataFrame) -> DataFrame:
     """Shared verify stage: exact fold cosine over a candidate pair
-    set, filtered at COSINE_T.  The rescore joins stream the corpus
-    against the (tiny) broadcast candidate set — near-dup pair counts
-    are << corpus size by definition, so both hash sides stay small at
-    any scale."""
+    set, filtered at COSINE_T.  No forced broadcast: dd5's exact
+    candidates are tiny (AQE broadcasts them on its own) but a
+    coarse-bucketed LSH run can propose millions of pairs — forcing a
+    broadcast there floods executor memory.  AQE picks per-run."""
     a = n.select(F.col("vec_id").alias("vec_a"), F.col("vn").alias("va"))
     b = n.select(F.col("vec_id").alias("vec_b"), F.col("vn").alias("vb"))
-    withA = a.join(F.broadcast(cand), "vec_a")
+    withA = a.join(cand, "vec_a")
     return (
-        b.join(F.broadcast(withA), "vec_b")
+        b.join(withA, "vec_b")
         .withColumn("cosine", H.dot_fold(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= COSINE_T)
         .select("vec_a", "vec_b", "cosine")
