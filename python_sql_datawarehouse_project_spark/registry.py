@@ -18,6 +18,7 @@ from .operators import (
     analytics,
     dedup,
     events,
+    kmeans,
     multimodal,
     quality,
     recursive,
@@ -31,6 +32,7 @@ _MODULES = (
     analytics,
     dedup,
     events,
+    kmeans,
     multimodal,
     quality,
     recursive,

@@ -186,6 +186,33 @@ def test_recursion_releases_cached_levels(spark, sf_dir):
     assert n_persistent() - base <= 3
 
 
+def test_bucketed_join_has_zero_exchanges(spark, sf_dir, tmp_path):
+    # The big-big orders|x|lineitem join: bucketed+sorted layout must
+    # plan SortMergeJoin with NO Exchange (and no per-run Sort of the
+    # fact sides) — the 100 TB shuffle eliminated at write time.
+    from python_sql_datawarehouse_project_spark.plans import bucketing
+
+    # at test SF orders is broadcast-small, which would hide the
+    # bucketed layout; disable broadcasts to get the at-scale big-big
+    # join shape the layout exists for
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = bucketing.bucketed_order_shipments(spark, sf_dir, str(tmp_path))
+        df.collect()  # final adaptive plan
+        p = plan_of(df)
+        assert "Exchange" not in p, p
+        assert "SortMergeJoin" in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # identical rows to the plain-scan definition
+    plain = bucketing.order_shipments_plan(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+    assert sorted(map(str, df.collect())) == sorted(map(str, plain.collect()))
+
+
 def test_batch_read_prunes_partitions(spark, sf_dir, tmp_path):
     # P4: the batch predicate must become a PartitionFilter on the
     # scan (partition pruning), not a post-scan Filter — at 100 TB
