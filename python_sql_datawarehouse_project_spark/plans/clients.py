@@ -30,6 +30,7 @@ from dataclasses import asdict, dataclass, field
 
 from pyspark.sql import SparkSession
 
+from .ingest import FileResult, IngestPlan, ingest_directory
 from .pipeline import next_batch_id, run_batch
 from .runlog import RunLog
 from .warehouse import Warehouse
@@ -49,10 +50,21 @@ class ClientRef:
 
 
 @dataclass
+class ClientSources:
+    """A client's file-landing configuration: the ingest plan (config
+    + mapping + required-column tables) and one incoming directory per
+    source system (the raw/{client}/{source_system}/incoming tree)."""
+
+    plan: IngestPlan
+    incoming: dict[str, str]  # source_system -> directory
+
+
+@dataclass
 class ClientRunResult:
     client_schema: str
     batch_id: str
     results: dict = field(default_factory=dict)
+    ingested: list[FileResult] = field(default_factory=list)
 
 
 class ClientRegistry:
@@ -117,38 +129,70 @@ class ClientRegistry:
         return RunLog(self.client_root(client_schema))
 
 
+MODES = ("start", "restart", "reprocessing")
+
+
 def process_client(
     spark: SparkSession,
     registry: ClientRegistry,
     client_schema: str,
     mode: str = "start",
+    sources: ClientSources | None = None,
 ) -> ClientRunResult:
     """One client's batch run (reference process_client,
-    batch_processing.py:358-386): allocate the next batch id off the
-    client's last_batch_id, run silver -> gold -> MV, then advance
-    last_batch_id.  `restart` re-runs the LAST batch id (idempotent by
-    the overwrite-batch write discipline) instead of allocating a new
-    one."""
-    if mode not in ("start", "restart"):
-        raise ValueError("mode must be 'start' or 'restart'")
+    batch_processing.py:358-386,502,776), the three modes mapped to
+    the Spark batch-overwrite model:
+
+      start         allocate the next batch id, ingest every incoming
+                    source directory, run silver -> gold -> MV
+      restart       re-run the LAST batch id end-to-end, ingestion
+                    included (the reference re-drives conversion off
+                    the batch manifest; here re-ingesting the same dir
+                    is idempotent by the overwrite-batch discipline)
+      reprocessing  re-run the LAST batch id SKIPPING ingestion — the
+                    reference reloads already-converted parquet
+                    staging files (batch_processing.py:776-860);
+                    bronze IS that staged layer here, so reprocessing
+                    = transforms only over the landed bronze batch
+    """
+    if mode not in MODES:
+        raise ValueError(f"mode must be one of {MODES}")
     ref = registry.get(client_schema)
-    if mode == "restart" and ref.last_batch_id:
+    if mode in ("restart", "reprocessing") and ref.last_batch_id:
         batch_id = ref.last_batch_id
     else:
         batch_id = next_batch_id(ref.last_batch_id)
     wh = registry.warehouse(spark, client_schema)
     log = registry.runlog(client_schema)
+    ingested: list[FileResult] = []
+    if sources is not None and mode != "reprocessing":
+        for source_system, incoming_dir in sorted(sources.incoming.items()):
+            if os.path.isdir(incoming_dir):
+                ingested.extend(
+                    ingest_directory(
+                        spark, wh, log, sources.plan,
+                        incoming_dir, source_system, batch_id,
+                    )
+                )
     results = run_batch(wh, log, batch_id)
     registry.set_last_batch(client_schema, batch_id)
-    return ClientRunResult(client_schema, batch_id, results)
+    return ClientRunResult(client_schema, batch_id, results, ingested)
 
 
 def run_all_clients(
-    spark: SparkSession, registry: ClientRegistry
+    spark: SparkSession,
+    registry: ClientRegistry,
+    sources: dict[str, ClientSources] | None = None,
 ) -> list[ClientRunResult]:
     """No-args driver behavior (batch_processing.py:1276-1296): run
     `start` for every registered client, in client_id order."""
     return [
-        process_client(spark, registry, c.client_schema, "start")
+        process_client(
+            spark,
+            registry,
+            c.client_schema,
+            "start",
+            (sources or {}).get(c.client_schema),
+        )
         for c in registry.all()
     ]

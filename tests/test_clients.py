@@ -97,6 +97,63 @@ def test_unknown_client_raises(two_client_run):
         reg.get("client9")
 
 
+def test_file_driven_client_run_and_reprocessing(spark, tmp_path):
+    """The full reference driver shape: files land in an incoming dir,
+    `start` ingests them into bronze and runs the transforms;
+    `reprocessing` re-runs the SAME batch from the landed bronze
+    without touching the incoming dir (batch_processing.py:776-860)."""
+    from python_sql_datawarehouse_project_spark.plans.clients import ClientSources
+    from python_sql_datawarehouse_project_spark.plans.ingest import IngestPlan
+    from python_sql_datawarehouse_project_spark.sources.mapping import ColumnMapping
+    from python_sql_datawarehouse_project_spark.sources.validation import SourceConfig
+
+    incoming = tmp_path / "raw" / "c3" / "crm" / "incoming"
+    incoming.mkdir(parents=True)
+    (incoming / "cust_info_BATCH000001.csv").write_text(
+        "cst_id,cst_key,cst_firstname,cst_lastname,cst_marital_status,"
+        "cst_gndr,cst_create_date\n"
+        "1.0,K1,Ann,Lee,M,F,2024-01-01\n"
+        "2.0,K2,Bob,Ray,S,M,2024-02-02\n"
+    )
+    sources = ClientSources(
+        plan=IngestPlan(
+            configs=[SourceConfig("crm", "csv", "cust_info", "crm_cust_info")],
+            mappings={
+                "crm_cust_info": [
+                    ColumnMapping(c, c, t)
+                    for c, t in [
+                        ("cst_id", "integer"),
+                        ("cst_key", "string"),
+                        ("cst_firstname", "string"),
+                        ("cst_lastname", "string"),
+                        ("cst_marital_status", "string"),
+                        ("cst_gndr", "string"),
+                        ("cst_create_date", "date"),
+                    ]
+                ]
+            },
+            required={"crm_cust_info": ["cst_id"]},
+        ),
+        incoming={"crm": str(incoming)},
+    )
+    reg = ClientRegistry(str(tmp_path / "wh"))
+    reg.register("c3")
+    r = process_client(spark, reg, "c3", "start", sources)
+    assert [f.status for f in r.ingested] == ["LOADED"]
+    assert r.batch_id == "BATCH000001"
+    wh = reg.warehouse(spark, "c3")
+    assert wh.read_batch("bronze", "crm_cust_info", r.batch_id).count() == 2
+    assert wh.read_batch("silver", "crm_cust_info", r.batch_id).count() == 2
+
+    # reprocessing: same batch, ingest skipped, transforms re-run
+    (incoming / "cust_info_BATCH000001.csv").unlink()  # dir now empty
+    r2 = process_client(spark, reg, "c3", "reprocessing", sources)
+    assert r2.batch_id == r.batch_id and r2.ingested == []
+    assert wh.read_batch("silver", "crm_cust_info", r2.batch_id).count() == 2
+    for name, (ok, err, _) in r2.results["silver"].items():
+        assert ok, f"{name}: {err}"
+
+
 def test_registry_persists_across_instances(two_client_run):
     root, reg, _ = two_client_run
     reloaded = ClientRegistry(root)
