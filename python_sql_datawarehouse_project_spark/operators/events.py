@@ -176,15 +176,102 @@ FROM events
 GROUP BY 1
 """
 
+# -- ev5: ordered conversion funnel (view -> click -> purchase) ------
+FUNNEL = ("view", "click", "purchase")
+
+
+def ev5_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered funnel: first 'view', first 'click' STRICTLY
+    after it, first 'purchase' strictly after that; stage = how far
+    the user got (0-3).  The sequence constraint is what makes this a
+    funnel rather than three independent MINs.
+
+    Scale: three conditional MIN aggregations, each one hash shuffle
+    on user_id — and after the first, every join/agg reuses the same
+    user_id partitioning, so stages 2-3 are co-partitioned joins with
+    no extra exchange of the events stream."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    users = ev.select("user_id").distinct()
+    v = (
+        ev.filter(F.col("event_type") == FUNNEL[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == FUNNEL[1])
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == FUNNEL[2])
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    stage = (
+        F.when(F.col("first_purchase").isNotNull(), 3)
+        .when(F.col("first_click").isNotNull(), 2)
+        .when(F.col("first_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "first_view",
+            "first_click",
+            "first_purchase",
+            stage.alias("stage"),
+        )
+    )
+
+
+EV5_ORACLE = f"""
+WITH v AS (
+    SELECT user_id, MIN(ts) AS first_view
+    FROM events WHERE event_type = '{FUNNEL[0]}' GROUP BY 1
+),
+c AS (
+    SELECT e.user_id, MIN(e.ts) AS first_click
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = '{FUNNEL[1]}' AND e.ts > v.first_view
+    GROUP BY 1
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts) AS first_purchase
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = '{FUNNEL[2]}' AND e.ts > c.first_click
+    GROUP BY 1
+),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id, v.first_view, c.first_click, p.first_purchase,
+       CASE WHEN p.first_purchase IS NOT NULL THEN 3
+            WHEN c.first_click IS NOT NULL THEN 2
+            WHEN v.first_view IS NOT NULL THEN 1
+            ELSE 0 END AS stage
+FROM u
+LEFT JOIN v ON u.user_id = v.user_id
+LEFT JOIN c ON u.user_id = c.user_id
+LEFT JOIN p ON u.user_id = p.user_id
+"""
+
+
 QUERIES = {
     "ev1_tumbling_hourly": ev1_tumbling_hourly,
     "ev2_sliding_windows": ev2_sliding_windows,
     "ev3_session_windows": ev3_session_windows,
     "ev4_props_json": ev4_props_json,
+    "ev5_funnel": ev5_funnel,
 }
 ORACLES = {
     "ev1_tumbling_hourly": EV1_ORACLE,
     "ev2_sliding_windows": EV2_ORACLE,
     "ev3_session_windows": EV3_ORACLE,
     "ev4_props_json": EV4_ORACLE,
+    "ev5_funnel": EV5_ORACLE,
 }

@@ -219,15 +219,88 @@ FROM documents
 """
 
 
+# -- tx5: TF-IDF top terms per document ------------------------------
+TFIDF_TOP_K = 5
+
+
+def tx5_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-TFIDF_TOP_K terms.  The idf is the RAW rational
+    N/df, not log(N/df): libm log() is not bitwise-portable across
+    engines, while tf*N/df is integer math plus one correctly-rounded
+    IEEE division — the ranking it induces per document is identical
+    to the log form (log is monotone), so nothing analytical is lost.
+
+    Scale: explode -> two hash aggregations (doc-term tf, term df)
+    with map-side partials, one join keyed on term (vocabulary-sized
+    build side, AQE picks the strategy), and the per-doc top-k window
+    repartitions by doc_id only.  N rides in as a broadcast 1-row
+    cross join, not a driver constant baked into the plan."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+TX5_ORACLE = f"""
+WITH terms AS (
+    SELECT doc_id, unnest({_sql_tokens('text')}) AS term FROM documents
+),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf
+    FROM terms WHERE term <> '' GROUP BY 1, 2
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS tfidf
+    FROM tf JOIN df ON tf.term = df.term, n
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+    FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, rank
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
 QUERIES = {
     "tx1_token_count": tx1_token_count,
     "tx2_quality_score": tx2_quality_score,
     "tx3_language_id": tx3_language_id,
     "tx4_fingerprint": tx4_fingerprint,
+    "tx5_tfidf_top_terms": tx5_tfidf_top_terms,
 }
 ORACLES = {
     "tx1_token_count": TX1_ORACLE,
     "tx2_quality_score": TX2_ORACLE,
     "tx3_language_id": TX3_ORACLE,
     "tx4_fingerprint": TX4_ORACLE,
+    "tx5_tfidf_top_terms": TX5_ORACLE,
 }
