@@ -26,6 +26,7 @@ from .operators import (
     text,
     windows,
 )
+from .streaming import stateful as stream_stateful
 from .streaming import windows as stream_windows
 
 _MODULES = (
@@ -40,6 +41,7 @@ _MODULES = (
     text,
     windows,
     stream_windows,
+    stream_stateful,
 )
 
 

@@ -42,3 +42,67 @@ def test_stream_scopes_session_conf(spark, sf_dir):
     assert before == "false"
     sw.stream_tumbling_hourly(spark, sf_dir)
     assert spark.conf.get(sw._NANOS_CONF) == before
+
+
+def test_stream_first_events_equals_batch_min(spark, sf_dir):
+    from python_sql_datawarehouse_project_spark.catalog import load_table
+    from python_sql_datawarehouse_project_spark.streaming import stateful
+
+    got = stateful.stream_first_events(spark, sf_dir)
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg({"ts": "min"})
+        .withColumnRenamed("min(ts)", "first_ts")
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_stream_first_events_state_survives_batches(spark, sf_dir, tmp_path):
+    """Split the source into two time-ordered files so AvailableNow
+    drains TWO micro-batches (maxFilesPerTrigger=1); per-user state
+    must suppress re-emission of event types already seen in batch 1,
+    leaving the drained result equal to the batch GROUP BY MIN."""
+    import glob
+    import os
+    import shutil
+
+    from python_sql_datawarehouse_project_spark.catalog import (
+        load_table,
+        table_path,
+    )
+    from python_sql_datawarehouse_project_spark.streaming import stateful
+
+    src = table_path(sf_dir, "events")
+    with sw._scoped_nanos_conf(spark):
+        raw = spark.read.parquet(src)  # ts as raw int64 nanos
+        cut = raw.approxQuantile("ts", [0.5], 0.0)[0]
+        stage = tmp_path / "stage"
+        stage.mkdir()
+        for i, part in enumerate(
+            (raw.where(raw.ts <= cut), raw.where(raw.ts > cut))
+        ):
+            out = tmp_path / f"half{i}"
+            part.coalesce(1).write.parquet(str(out))
+            (pf,) = glob.glob(str(out / "part-*.parquet"))
+            dst = stage / f"batch{i}.parquet"
+            shutil.move(pf, dst)
+            os.utime(dst, (1_000_000 + i * 100, 1_000_000 + i * 100))
+
+        got = sw.run_available_now(
+            spark,
+            stateful.first_events(
+                sw.events_stream(spark, sf_dir, str(stage))
+            ),
+            output_mode="append",
+        )
+        # two files, one per trigger => the state store carried
+        # batch-1 state into batch 2; equality to the batch answer
+        # means nothing was re-emitted or lost across the boundary
+        want = (
+            load_table(spark, sf_dir, "events")
+            .groupBy("user_id", "event_type")
+            .agg({"ts": "min"})
+            .withColumnRenamed("min(ts)", "first_ts")
+        )
+        assert _rows(got) == _rows(want)
