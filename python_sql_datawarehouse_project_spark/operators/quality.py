@@ -94,13 +94,93 @@ WHERE NOT EXISTS (
 GROUP BY 1
 """
 
+# -- qa4: KMV distinct-count sketch -----------------------------------
+KMV_K = 256
+_POW60 = float(1 << 60)  # md5_long is a 60-bit hash
+
+
+def qa4_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch of lineitem.l_orderkey
+    (estimate how many orders a fact table references without a full
+    distinct).  KMV keeps the K smallest distinct hash values; with
+    the k-th smallest at fraction u of the hash space, distinct-count
+    ≈ (K-1)/u.  Chosen over HyperLogLog because it is exactly
+    reproducible cross-engine: md5 + MIN-K + one IEEE division, no
+    engine-private register layout (Spark's approx_count_distinct and
+    DuckDB's approx HLLs can never hash-match each other).
+
+    The gate also carries the exact distinct count so the result
+    exhibits the estimate's quality; a production sketch run skips
+    that branch — the whole point at 100 TB is that the K-smallest
+    pass TakeOrdered-reduces per partition (K rows per partition
+    cross the wire, not the distinct set).
+
+    Determinism: every value is integer math except est_distinct,
+    which is one multiply + one divide of exactly-representable
+    doubles — correctly rounded identically on both engines."""
+    from ..functions import hashing as H
+
+    dh = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            H.md5_long(F.col("l_orderkey").cast("string")).alias("h")
+        )
+        .distinct()
+    )
+    sketch = (
+        dh.orderBy("h")
+        .limit(KMV_K)
+        .agg(
+            F.count(F.lit(1)).alias("k_used"),
+            F.max("h").alias("kth_hash"),
+        )
+    )
+    truth = dh.agg(F.count(F.lit(1)).alias("true_distinct"))
+    est = F.when(
+        F.col("k_used") < KMV_K, F.col("k_used").cast("double")
+    ).otherwise(
+        (F.col("k_used") - 1).cast("double")
+        * F.lit(_POW60)
+        / F.col("kth_hash").cast("double")
+    )
+    return (
+        sketch.crossJoin(F.broadcast(truth))
+        .select(
+            "k_used",
+            "kth_hash",
+            est.alias("est_distinct"),
+            "true_distinct",
+        )
+    )
+
+
+QA4_ORACLE = f"""
+WITH h AS (
+    SELECT DISTINCT
+        CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)
+             AS BIGINT) AS h
+    FROM lineitem
+),
+km AS (SELECT h FROM h ORDER BY h LIMIT {KMV_K}),
+sk AS (SELECT COUNT(*) AS k_used, MAX(h) AS kth_hash FROM km),
+t AS (SELECT COUNT(*) AS true_distinct FROM h)
+SELECT k_used, kth_hash,
+       CASE WHEN k_used < {KMV_K} THEN CAST(k_used AS DOUBLE)
+            ELSE CAST(k_used - 1 AS DOUBLE) * {_POW60!r}
+                 / CAST(kth_hash AS DOUBLE) END AS est_distinct,
+       true_distinct
+FROM sk, t
+"""
+
 QUERIES = {
     "qa1_null_profile": qa1_null_profile,
     "qa2_dup_keys": qa2_dup_keys,
     "qa3_referential": qa3_referential,
+    "qa4_kmv_distinct": qa4_kmv_distinct,
 }
 ORACLES = {
     "qa1_null_profile": QA1_ORACLE,
     "qa2_dup_keys": QA2_ORACLE,
     "qa3_referential": QA3_ORACLE,
+    "qa4_kmv_distinct": QA4_ORACLE,
 }

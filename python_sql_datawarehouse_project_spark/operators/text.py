@@ -290,12 +290,116 @@ FROM ranked WHERE rank <= {TFIDF_TOP_K}
 """
 
 
+# -- tx6: benchmark decontamination ----------------------------------
+# 4-gram overlap: real pipelines run 8-13-gram windows, but the
+# synthetic corpus' sentences diverge after ~4 shared tokens, so 4 is
+# the size at which the test tables exhibit contamination; the
+# operator is gram-size-parametric either way.
+DECON_NGRAM = 4
+BENCH_MOD = 100
+
+
+def _doc_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, h): distinct md5-hashed word-8-grams per document.
+
+    `array_distinct` BEFORE the explode keeps the per-doc gram set
+    local — no (doc_id, gram) distinct shuffle ever happens, and the
+    exploded stream carries 8-byte hashes, never the gram strings.
+    """
+    toks = docs.select(
+        "doc_id", _tokens(F.col("text")).alias("tk")
+    ).where(F.size("tk") >= DECON_NGRAM)
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.size("tk") - (DECON_NGRAM - 1)
+                    ),
+                    lambda i: H.md5_long(
+                        F.array_join(F.slice("tk", i, DECON_NGRAM), " ")
+                    ),
+                )
+            )
+        ).alias("h"),
+    )
+
+
+def tx6_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per corpus document, how many of its
+    distinct word-8-grams also appear in the held-out benchmark split
+    (docs with doc_id % 100 == 0 stand in for the eval suite — in a
+    real pipeline the benchmark side is a separate, tiny, curated
+    table).  Output = contaminated docs only, with overlap counts and
+    the contaminated-gram fraction.
+
+    Scale: the benchmark gram set is bounded by the eval suite, not
+    the corpus — the hash join against it is broadcast-sized in
+    practice, but the hint is left to AQE (the mod-split used here
+    grows with the table).  Corpus grams stream through exploded as
+    hashes with map-side partial counts; two hash aggregations + one
+    join, no O(n^2) anywhere."""
+    g = _doc_grams(load_table(spark, sf_dir, "documents"))
+    corp = g.where(F.col("doc_id") % BENCH_MOD != 0)
+    bench = (
+        g.where(F.col("doc_id") % BENCH_MOD == 0).select("h").distinct()
+    )
+    totals = corp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    hits = (
+        corp.join(bench, "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return totals.join(hits, "doc_id").select(
+        "doc_id",
+        "n_overlap",
+        "n_grams",
+        (
+            F.col("n_overlap").cast("double")
+            / F.col("n_grams").cast("double")
+        ).alias("contamination"),
+    )
+
+
+TX6_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_sql_tokens('text')} AS tk FROM documents
+),
+grams AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, len(tk) - {DECON_NGRAM - 2}),
+        i -> {H.sql_md5_long(
+            f"array_to_string(list_slice(tk, i, i + {DECON_NGRAM - 1}), ' ')"
+        )}
+    ))) AS h
+    FROM toks WHERE len(tk) >= {DECON_NGRAM}
+),
+corp AS (SELECT * FROM grams WHERE doc_id % {BENCH_MOD} <> 0),
+bench AS (
+    SELECT DISTINCT h FROM grams WHERE doc_id % {BENCH_MOD} = 0
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM corp GROUP BY 1),
+hits AS (
+    SELECT doc_id, COUNT(*) AS n_overlap
+    FROM corp JOIN bench USING (h) GROUP BY 1
+)
+SELECT t.doc_id, n_overlap, n_grams,
+       CAST(n_overlap AS DOUBLE) / CAST(n_grams AS DOUBLE)
+           AS contamination
+FROM totals t JOIN hits USING (doc_id)
+"""
+
+
 QUERIES = {
     "tx1_token_count": tx1_token_count,
     "tx2_quality_score": tx2_quality_score,
     "tx3_language_id": tx3_language_id,
     "tx4_fingerprint": tx4_fingerprint,
     "tx5_tfidf_top_terms": tx5_tfidf_top_terms,
+    "tx6_decontamination": tx6_decontamination,
 }
 ORACLES = {
     "tx1_token_count": TX1_ORACLE,
@@ -303,4 +407,5 @@ ORACLES = {
     "tx3_language_id": TX3_ORACLE,
     "tx4_fingerprint": TX4_ORACLE,
     "tx5_tfidf_top_terms": TX5_ORACLE,
+    "tx6_decontamination": TX6_ORACLE,
 }

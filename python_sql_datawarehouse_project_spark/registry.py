@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .operators import (
     analytics,
+    asof,
     dedup,
     events,
     kmeans,
@@ -31,6 +32,7 @@ from .streaming import windows as stream_windows
 
 _MODULES = (
     analytics,
+    asof,
     dedup,
     events,
     kmeans,

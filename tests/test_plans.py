@@ -226,3 +226,38 @@ def test_batch_read_prunes_partitions(spark, sf_dir, tmp_path):
     p = plan_of(wh.read_batch("bronze", "nation", "BATCH000002"))
     assert "PartitionFilters: [isnotnull(dwh_batch_id" in p, p
     assert "dwh_batch_id#" in p.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+
+def test_asof_join_is_single_exchange_no_join(spark, sf_dir):
+    # The merge as-of formulation must plan ONE hash exchange on the
+    # key and NO join operator at all (the naive range join expands
+    # |probes| x events-per-key rows); payload carry is a running
+    # window over the sorted union.
+    from python_sql_datawarehouse_project_spark.operators import asof
+
+    p = plan_of(asof.aj1_asof_last_event(spark, sf_dir), mode="simple")
+    assert p.count("Exchange") - p.count("ReusedExchange") == 1, p
+    assert "Join" not in p, p
+    assert "Window" in p
+
+
+def test_tx6_gram_join_carries_hashes_not_strings(spark, sf_dir):
+    # The contamination join must exchange 8-byte gram hashes (column
+    # h), never the gram strings, and must not plan a cartesian.
+    from python_sql_datawarehouse_project_spark.operators import text
+
+    p = plan_of(text.tx6_decontamination(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    joins = [ln for ln in p.splitlines() if "Join" in ln and "h#" in ln]
+    assert joins, p
+
+
+def test_qa4_sketch_reduces_per_partition(spark, sf_dir):
+    # The K-smallest pass must plan a TakeOrdered (per-partition top-K
+    # then merge) — K rows per partition cross the wire, never the
+    # full distinct hash set.
+    from python_sql_datawarehouse_project_spark.operators import quality as qa
+
+    p = plan_of(qa.qa4_kmv_distinct(spark, sf_dir))
+    assert "TakeOrdered" in p, p
