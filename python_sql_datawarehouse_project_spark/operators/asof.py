@@ -94,36 +94,45 @@ def asof_join_backward(
     )
 
 
-# -- gate: point-in-time last event per order ------------------------
+# -- gate: last click before each purchase ---------------------------
 def aj1_asof_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """For each order: the latest event of that customer at or before
-    the order date (the point-in-time feature-lookup shape)."""
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderdate"
-    )
+    """For each purchase event: the same user's latest click at or
+    before it — last-touch attribution, the point-in-time lookup whose
+    probe and right timestamps genuinely interleave (events join
+    events; the orders table lives in a disjoint era of the test
+    data, which would make every payload null)."""
     events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = events.where(F.col("event_type") == "click")
     return asof_join_backward(
-        orders,
-        events,
-        probe_key="o_custkey",
+        purchases,
+        clicks,
+        probe_key="user_id",
         right_key="user_id",
-        probe_time="o_orderdate",
+        probe_time="purchase_ts",
         right_time="ts",
-        payload={"last_event_ts": "ts", "last_event_type": "event_type"},
+        payload={"last_click_ts": "ts", "last_click_value": "value"},
         right_tiebreak="event_id",
     )
 
 
 AJ1_ORACLE = """
-SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
-       le.ts AS last_event_ts, le.event_type AS last_event_type
-FROM orders o LEFT JOIN LATERAL (
-    SELECT e.ts, e.event_type
-    FROM events e
-    WHERE e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
-    ORDER BY e.ts DESC, e.event_id DESC
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       lc.ts AS last_click_ts, lc.value AS last_click_value
+FROM events p LEFT JOIN LATERAL (
+    SELECT c.ts, c.value
+    FROM events c
+    WHERE c.user_id = p.user_id
+      AND c.event_type = 'click'
+      AND c.ts <= p.ts
+    ORDER BY c.ts DESC, c.event_id DESC
     LIMIT 1
-) le ON TRUE
+) lc ON TRUE
+WHERE p.event_type = 'purchase'
 """
 
 QUERIES = {"aj1_asof_last_event": aj1_asof_last_event}

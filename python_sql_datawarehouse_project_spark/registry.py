@@ -22,8 +22,10 @@ from .operators import (
     kmeans,
     multimodal,
     quality,
+    rangejoin,
     recursive,
     similarity,
+    skew,
     text,
     windows,
 )
@@ -38,8 +40,10 @@ _MODULES = (
     kmeans,
     multimodal,
     quality,
+    rangejoin,
     recursive,
     similarity,
+    skew,
     text,
     windows,
     stream_windows,

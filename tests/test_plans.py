@@ -261,3 +261,27 @@ def test_qa4_sketch_reduces_per_partition(spark, sf_dir):
 
     p = plan_of(qa.qa4_kmv_distinct(spark, sf_dir))
     assert "TakeOrdered" in p, p
+
+
+def test_rj1_joins_on_bin_composite_key(spark, sf_dir):
+    # The range join must plan an EQUI-join whose key includes the
+    # time bin (skew-bounding composite key), never a cartesian or
+    # pure-theta nested loop.
+    from python_sql_datawarehouse_project_spark.operators import rangejoin
+
+    p = plan_of(rangejoin.rj1_preorder_attribution(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    joins = [ln for ln in p.splitlines() if "Join" in ln and "bin#" in ln]
+    assert joins, p
+
+
+def test_sk1_salted_agg_two_stage(spark, sf_dir):
+    # The salted aggregation must plan TWO exchanges: one partitioned
+    # by (event_type, salt) — the hot-key spread — then one by
+    # event_type for the exact partial-state merge.
+    from python_sql_datawarehouse_project_spark.operators import skew
+
+    p = plan_of(skew.sk1_salted_hot_key_agg(spark, sf_dir), mode="simple")
+    assert p.count("Exchange") - p.count("ReusedExchange") == 2, p
+    assert "salt" in p, p
