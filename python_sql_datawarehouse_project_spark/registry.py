@@ -29,6 +29,7 @@ from .operators import (
     text,
     windows,
 )
+from .streaming import joins as stream_joins
 from .streaming import stateful as stream_stateful
 from .streaming import windows as stream_windows
 
@@ -48,6 +49,7 @@ _MODULES = (
     windows,
     stream_windows,
     stream_stateful,
+    stream_joins,
 )
 
 

@@ -1,0 +1,86 @@
+"""Stream-stream interval join (SURVEY.md §2.9 extension): the
+streaming twin of the binned range join (operators/rangejoin.py).
+
+`stream_preorder_pairs` self-joins the events stream: each purchase
+pairs with the same user's events in the hour before it.  Both sides
+carry a watermark and the join condition carries the time range, so
+Spark's symmetric-hash join evicts buffered rows once the watermark
+passes `ts + WINDOW` — state is bounded by one window of events per
+side, not the stream so far.
+
+INNER stream-stream joins emit each matched pair as soon as both
+rows have arrived (no watermark-close wait, unlike append-mode
+aggregations — which is why this query emits raw pairs and leaves
+aggregation to the batch twin), so draining the bounded source with
+AvailableNow yields exactly the batch join's rows and the batch SQL
+is the registered oracle.
+
+Scale notes: the join shuffles both streams on user_id once; state
+store entries expire with the watermark.  The same plan runs
+unbounded with processing-time triggers; a late event beyond the 1 h
+watermark is dropped rather than buffered forever — the explicit
+lateness contract the batch twin doesn't need.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table_path
+from ..operators.rangejoin import WINDOW_SEC
+from .windows import (
+    _scoped_nanos_conf,
+    _staged_source_dir,
+    events_stream,
+    run_available_now,
+)
+
+WATERMARK = "1 hour"
+
+
+def preorder_pairs(stream: DataFrame) -> DataFrame:
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", WATERMARK)
+    )
+    hist = stream.select(
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+        F.col("value").alias("e_value"),
+    ).withWatermark("e_ts", WATERMARK)
+    return purchases.join(
+        hist,
+        F.expr(
+            f"p_user = e_user AND e_ts >= p_ts - INTERVAL {WINDOW_SEC} SECONDS"
+            " AND e_ts < p_ts"
+        ),
+    ).select("purchase_id", "e_ts", "e_value")
+
+
+def stream_preorder_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = table_path(sf_dir, "events")
+    with _scoped_nanos_conf(spark), _staged_source_dir(src) as stage:
+        return run_available_now(
+            spark,
+            preorder_pairs(events_stream(spark, sf_dir, stage)),
+            output_mode="append",
+        )
+
+
+STREAM_PAIRS_ORACLE = f"""
+SELECT p.event_id AS purchase_id, e.ts AS e_ts, e.value AS e_value
+FROM events p JOIN events e
+  ON e.user_id = p.user_id
+ AND e.ts >= p.ts - INTERVAL {WINDOW_SEC} SECONDS
+ AND e.ts < p.ts
+WHERE p.event_type = 'purchase'
+"""
+
+QUERIES = {"stream_preorder_pairs": stream_preorder_pairs}
+ORACLES = {"stream_preorder_pairs": STREAM_PAIRS_ORACLE}

@@ -44,6 +44,37 @@ def test_stream_scopes_session_conf(spark, sf_dir):
     assert spark.conf.get(sw._NANOS_CONF) == before
 
 
+def test_stream_pairs_equal_batch_join(spark, sf_dir):
+    # the stream-stream interval join on a drained bounded source
+    # must reproduce the batch join exactly
+    from python_sql_datawarehouse_project_spark.catalog import load_table
+    from python_sql_datawarehouse_project_spark.operators.rangejoin import WINDOW_SEC
+    from python_sql_datawarehouse_project_spark.streaming import joins as sj
+
+    got = sj.stream_preorder_pairs(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(ev.event_type == "purchase").select(
+        ev.event_id.alias("purchase_id"),
+        ev.user_id.alias("p_user"),
+        ev.ts.alias("p_ts"),
+    )
+    e = ev.select(
+        ev.user_id.alias("e_user"),
+        ev.ts.alias("e_ts"),
+        ev.value.alias("e_value"),
+    )
+    from pyspark.sql import functions as F
+
+    want = p.join(
+        e,
+        F.expr(
+            f"p_user = e_user AND e_ts >= p_ts - INTERVAL {WINDOW_SEC} SECONDS"
+            " AND e_ts < p_ts"
+        ),
+    ).select("purchase_id", "e_ts", "e_value")
+    assert _rows(got) == _rows(want)
+
+
 def test_stream_first_events_equals_batch_min(spark, sf_dir):
     from python_sql_datawarehouse_project_spark.catalog import load_table
     from python_sql_datawarehouse_project_spark.streaming import stateful
