@@ -1,0 +1,165 @@
+"""Training-mix assembly operators — the selection stage of a
+training-data pipeline (BASELINE.json extension; the reference
+engine's closest surface is its batch-predicate filters, SURVEY.md
+§2.2 P4).
+
+  ds1_training_mix   per-language weighted downsampling with a
+                     DETERMINISTIC hash gate (no rand(): re-runs,
+                     retries, and the DuckDB oracle all select the
+                     identical rows)
+  ds2_token_budget   quality-ordered greedy fill of a token budget
+                     (running integer sum over a total order)
+
+Scale notes: ds1 is a stateless per-row predicate — scan speed,
+fully pushdown-friendly, and the sample is stable under any
+partitioning because membership depends only on (doc_id, lang).
+ds2's global order is a single range-partitioned sort at scale (the
+running sum is the W5 frame over it); for a multi-epoch curriculum
+the same window emits the epoch boundaries instead of one cutoff.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import hashing as H
+
+# Mix weights: keep-probability per language (a typical "anchor
+# language plus downsampled tail" recipe).
+MIX_WEIGHTS = {"en": 1.0, "de": 0.5, "es": 0.5, "fr": 0.25, "zh": 0.25}
+MIX_DEFAULT = 0.1
+_GATE_BITS = 20  # hash gate resolution: md5 % 2^20 vs floor(w * 2^20)
+
+# ~half the test corpus' total tokens, so the cutoff genuinely binds
+# at every SF (the documents table holds ~27-28k tokens).
+TOKEN_BUDGET = 14_000
+
+
+def _hash_gate(doc_id: Column, lang: Column) -> Column:
+    """True iff the doc survives its language's keep-probability,
+    decided by an integer compare on a 20-bit md5 slice."""
+    gate = F.pmod(
+        H.md5_long(doc_id.cast("string")), F.lit(1 << _GATE_BITS)
+    )
+    thresh = F.lit(int(MIX_DEFAULT * (1 << _GATE_BITS)))
+    for lg, w in MIX_WEIGHTS.items():
+        thresh = F.when(lang == lg, int(w * (1 << _GATE_BITS))).otherwise(
+            thresh
+        )
+    return gate < thresh
+
+
+def ds1_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kept = F.when(
+        _hash_gate(F.col("doc_id"), F.col("lang")), 1
+    ).otherwise(0)
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(kept).cast("long").alias("n_selected"),
+        )
+        .select(
+            "lang",
+            "n_total",
+            "n_selected",
+            (
+                F.col("n_selected").cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("realized_rate"),
+        )
+    )
+
+
+def _sql_hash_gate() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{lg}' THEN {int(w * (1 << _GATE_BITS))}"
+        for lg, w in MIX_WEIGHTS.items()
+    )
+    thresh = f"CASE {cases} ELSE {int(MIX_DEFAULT * (1 << _GATE_BITS))} END"
+    h = H.sql_md5_long("CAST(doc_id AS VARCHAR)")
+    return f"mod({h}, {1 << _GATE_BITS}) < ({thresh})"
+
+
+DS1_ORACLE = f"""
+SELECT lang,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN {_sql_hash_gate()} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_selected,
+       CAST(SUM(CASE WHEN {_sql_hash_gate()} THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS realized_rate
+FROM documents
+GROUP BY 1
+"""
+
+
+def ds2_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy quality-ordered budget fill: take documents in
+    descending quality-score order (doc_id tiebreak — the total
+    order every cross-engine window needs) until the cumulative
+    whitespace-token count would exceed TOKEN_BUDGET.
+
+    The quality score is tx2's — already proven bit-identical
+    cross-engine, so ordering by it is deterministic; the cumulative
+    sum is pure integer arithmetic over that order."""
+    from pyspark.sql import Window
+
+    from .text import tx2_quality_score, _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = (
+        tx2_quality_score(spark, sf_dir)
+        .select("doc_id", "quality_score")
+        .join(
+            docs.select(
+                "doc_id", F.size(_tokens(F.col("text"))).alias("n_tokens")
+            ),
+            "doc_id",
+        )
+    )
+    w = (
+        Window.orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn(
+            "cum_tokens", F.sum(F.col("n_tokens").cast("long")).over(w)
+        )
+        .where(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .select("doc_id", "quality_score", "n_tokens", "cum_tokens")
+    )
+
+
+def _ds2_oracle() -> str:
+    from .text import TX2_ORACLE, _sql_tokens
+
+    return f"""
+WITH scores AS ({TX2_ORACLE}),
+toks AS (
+    SELECT doc_id, CAST(len({_sql_tokens('text')}) AS INT) AS n_tokens
+    FROM documents
+),
+cum AS (
+    SELECT s.doc_id, s.quality_score, t.n_tokens,
+           CAST(SUM(CAST(t.n_tokens AS BIGINT)) OVER (
+               ORDER BY s.quality_score DESC, s.doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_tokens
+    FROM scores s JOIN toks t USING (doc_id)
+)
+SELECT doc_id, quality_score, n_tokens, cum_tokens
+FROM cum WHERE cum_tokens <= {TOKEN_BUDGET}
+"""
+
+
+QUERIES = {
+    "ds1_training_mix": ds1_training_mix,
+    "ds2_token_budget": ds2_token_budget,
+}
+ORACLES = {
+    "ds1_training_mix": DS1_ORACLE,
+    "ds2_token_budget": _ds2_oracle(),
+}

@@ -393,6 +393,61 @@ FROM totals t JOIN hits USING (doc_id)
 """
 
 
+# -- tx7: intra-document repetition ----------------------------------
+REP_NGRAM = 3
+
+
+def tx7_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated word-3-gram fraction per document — the Gopher-class
+    repetition filter (a high duplicate-n-gram share marks boilerplate
+    and low-quality spins).  dup_frac = 1 - distinct/total over the
+    doc's 3-gram multiset.
+
+    Scale: pure per-row array expressions (no shuffle, no UDF); the
+    gram list is built once per row and both counts come from it.
+    The division is one exact-int-to-double divide — bit-identical
+    cross-engine."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("tk")
+    ).where(F.size("tk") >= REP_NGRAM)
+    grams = toks.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk") - (REP_NGRAM - 1)),
+            lambda i: F.array_join(F.slice("tk", i, REP_NGRAM), " "),
+        ).alias("gs"),
+    )
+    return grams.select(
+        "doc_id",
+        F.size("gs").alias("n_grams"),
+        F.size(F.array_distinct("gs")).alias("n_distinct"),
+        (
+            (F.size("gs") - F.size(F.array_distinct("gs"))).cast("double")
+            / F.size("gs").cast("double")
+        ).alias("dup_frac"),
+    )
+
+
+TX7_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_sql_tokens('text')} AS tk FROM documents
+),
+grams AS (
+    SELECT doc_id, list_transform(
+        range(1, len(tk) - {REP_NGRAM - 2}),
+        i -> array_to_string(list_slice(tk, i, i + {REP_NGRAM - 1}), ' ')
+    ) AS gs
+    FROM toks WHERE len(tk) >= {REP_NGRAM}
+)
+SELECT doc_id,
+       CAST(len(gs) AS INT) AS n_grams,
+       CAST(len(list_distinct(gs)) AS INT) AS n_distinct,
+       CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE)
+           / CAST(len(gs) AS DOUBLE) AS dup_frac
+FROM grams
+"""
+
+
 QUERIES = {
     "tx1_token_count": tx1_token_count,
     "tx2_quality_score": tx2_quality_score,
@@ -400,6 +455,7 @@ QUERIES = {
     "tx4_fingerprint": tx4_fingerprint,
     "tx5_tfidf_top_terms": tx5_tfidf_top_terms,
     "tx6_decontamination": tx6_decontamination,
+    "tx7_repetition": tx7_repetition,
 }
 ORACLES = {
     "tx1_token_count": TX1_ORACLE,
@@ -408,4 +464,5 @@ ORACLES = {
     "tx4_fingerprint": TX4_ORACLE,
     "tx5_tfidf_top_terms": TX5_ORACLE,
     "tx6_decontamination": TX6_ORACLE,
+    "tx7_repetition": TX7_ORACLE,
 }

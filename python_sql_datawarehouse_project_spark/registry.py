@@ -20,6 +20,7 @@ from .operators import (
     dedup,
     events,
     kmeans,
+    mix,
     multimodal,
     quality,
     rangejoin,
@@ -39,6 +40,7 @@ _MODULES = (
     dedup,
     events,
     kmeans,
+    mix,
     multimodal,
     quality,
     rangejoin,
