@@ -29,12 +29,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table_path
 from ..operators.rangejoin import WINDOW_SEC
-from .windows import (
-    _scoped_nanos_conf,
-    _staged_source_dir,
-    events_stream,
-    run_available_now,
-)
+from .windows import events_stream, run_available_now, stream_run_scope
 
 WATERMARK = "1 hour"
 
@@ -65,7 +60,7 @@ def preorder_pairs(stream: DataFrame) -> DataFrame:
 
 def stream_preorder_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = table_path(sf_dir, "events")
-    with _scoped_nanos_conf(spark), _staged_source_dir(src) as stage:
+    with stream_run_scope(spark, src) as stage:
         return run_available_now(
             spark,
             preorder_pairs(events_stream(spark, sf_dir, stage)),

@@ -30,12 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..catalog import table_path
-from .windows import (
-    _scoped_nanos_conf,
-    _staged_source_dir,
-    events_stream,
-    run_available_now,
-)
+from .windows import events_stream, run_available_now, stream_run_scope
 
 _OUT_SCHEMA = "user_id long, event_type string, first_ts timestamp"
 _STATE_SCHEMA = "seen array<string>"
@@ -80,7 +75,7 @@ def first_events(stream: DataFrame) -> DataFrame:
 
 def stream_first_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = table_path(sf_dir, "events")
-    with _scoped_nanos_conf(spark), _staged_source_dir(src) as stage:
+    with stream_run_scope(spark, src) as stage:
         return run_available_now(
             spark,
             first_events(events_stream(spark, sf_dir, stage)),

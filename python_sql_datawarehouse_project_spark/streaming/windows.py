@@ -46,6 +46,19 @@ from ..operators.events import SESSION_GAP_MIN, VALUE_DEC
 WATERMARK = "1 hour"
 
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+_SHUFFLE_CONF = "spark.sql.shuffle.partitions"
+
+# State-store partition count for streaming queries.  Unlike batch
+# shuffles (where AQE coalesces), a stateful stream materializes one
+# state store per shuffle partition per stateful operator and pays
+# per-partition provider setup + per-batch commit I/O — measured at
+# sf0.1: the stream-stream join runs 6.7 s with 32 partitions and
+# 2.0 s with 8 (the work is identical; the delta is store overhead).
+# This is a deploy-time sizing decision on a real cluster too: the
+# count is frozen into the checkpoint for the life of the query, so
+# it is sized for peak key-cardinality/throughput, not for the cores
+# of the moment — 8 matches this harness's bounded drains.
+STREAM_STATE_PARTITIONS = 8
 
 
 @contextlib.contextmanager
@@ -65,6 +78,30 @@ def _scoped_nanos_conf(spark: SparkSession):
             spark.conf.unset(_NANOS_CONF)
         else:
             spark.conf.set(_NANOS_CONF, prev)
+
+
+@contextlib.contextmanager
+def _scoped_state_partitions(spark: SparkSession):
+    """Pin shuffle partitions to STREAM_STATE_PARTITIONS while a
+    streaming plan starts (the count is captured at query start and
+    frozen into its checkpoint), then restore the batch setting."""
+    prev = spark.conf.get(_SHUFFLE_CONF)
+    spark.conf.set(_SHUFFLE_CONF, str(STREAM_STATE_PARTITIONS))
+    try:
+        yield
+    finally:
+        spark.conf.set(_SHUFFLE_CONF, prev)
+
+
+@contextlib.contextmanager
+def stream_run_scope(spark: SparkSession, src: str):
+    """All per-run scopes a drained streaming query needs: nanos
+    reader conf, state-store partition sizing, staged source dir.
+    Yields the staging directory; every scope restores on exit."""
+    with _scoped_nanos_conf(spark), _scoped_state_partitions(
+        spark
+    ), _staged_source_dir(src) as stage:
+        yield stage
 
 
 @contextlib.contextmanager
@@ -181,7 +218,7 @@ def _run_stream(spark: SparkSession, sf_dir: str, windowing) -> DataFrame:
     """Build + drain one streaming query with per-run staging and a
     scoped reader conf; the memory-sink result outlives both scopes."""
     src = table_path(sf_dir, "events")
-    with _scoped_nanos_conf(spark), _staged_source_dir(src) as stage:
+    with stream_run_scope(spark, src) as stage:
         return run_available_now(
             spark, windowing(events_stream(spark, sf_dir, stage))
         )
