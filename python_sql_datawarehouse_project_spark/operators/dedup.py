@@ -260,18 +260,23 @@ WHERE CAST(len(list_intersect(hs_a, hs_b)) AS DOUBLE)
 
 
 # -- dd3: banded LSH + minhash-estimated Jaccard ----------------------
-def dd3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    cand = _lsh_candidates(_doc_sketches(docs))
+def _sig_agreement() -> F.Column:
+    """Estimated Jaccard = fraction of agreeing MinHash signature
+    slots between a candidate pair (columns sig_a / sig_b)."""
     matches = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
             lambda m: m == 1,
         )
     )
-    est = matches.cast("double") / F.lit(float(H.MINHASH_K))
+    return matches.cast("double") / F.lit(float(H.MINHASH_K))
+
+
+def dd3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cand = _lsh_candidates(_doc_sketches(docs))
     return (
-        cand.select("doc_a", "doc_b", est.alias("jaccard_est"))
+        cand.select("doc_a", "doc_b", _sig_agreement().alias("jaccard_est"))
         .filter(F.col("jaccard_est") >= EST_T)
     )
 
@@ -602,6 +607,137 @@ WHERE {H.sql_dot('a.vn', 'b.vn')} >= {COSINE_T}
 DD6_ORACLE = _dd6_oracle()
 
 
+# -- dd7: duplicate clustering (connected components) -----------------
+DD7_MAX_ROUNDS = 50
+
+
+def dd7_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> clusters: the step that turns near-dup PAIR lists
+    (dd2/dd3/dd6 emit edges) into the per-document verdict a dedup
+    pipeline actually applies — every doc labeled with its connected
+    component over the dd3 near-dup graph, the min doc_id as the
+    canonical representative, and `keep` marking the one row per
+    cluster that survives.  Singletons keep themselves.
+
+    Connected components run as driver-coordinated min-label
+    propagation with pointer jumping: each round every doc takes the
+    minimum label among itself and its neighbors, then compresses by
+    one extra hop — label(u) <- label(label(u)) — so label chains
+    halve every round and convergence is O(log diameter) rounds, not
+    O(diameter).  That matters here concretely: the sf0.1 near-dup
+    graph has long chains (plain propagation was still mutating at
+    round 6), and it is the difference between ~6 rounds and ~40 at
+    corpus scale.  Each round is two id-only shuffle joins plus a
+    map-side-partial MIN aggregate.
+
+    Every round's labels are eagerly localCheckpoint'ed, NOT merely
+    persisted: the round plan references the previous labels frame
+    twice (neighbor join + compression join), so without plan
+    truncation the logical tree doubles per round and Catalyst
+    analysis itself OOMs the driver around round 7 (measured).  The
+    checkpoint makes each round's plan constant-size, and block
+    lifetime follows the DataFrame refs (ContextCleaner frees prior
+    rounds; `finalize_recursion` releases the tail) — repeated
+    invocations hold no residual storage.
+
+    Convergence is detected through the monotone invariant: every
+    label change strictly decreases the label sum, so the fixpoint —
+    where neighbor-min and compression are both identity, i.e. every
+    doc holds its component minimum — is exactly "sum unchanged",
+    one cheap aggregate over the already-materialized round.
+
+    Oracled bit-exactly: the fixpoint IS the component minimum,
+    which DuckDB computes as a recursive reachability closure + MIN
+    — integer-only logic on both engines.
+    """
+    from .recursive import finalize_recursion
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        _lsh_candidates(_doc_sketches(docs))
+        .select("doc_a", "doc_b", _sig_agreement().alias("est"))
+        .filter(F.col("est") >= EST_T)
+        .select("doc_a", "doc_b")
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        .persist()
+    )
+    labels = docs.select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    prev_sum = None
+    for _ in range(DD7_MAX_ROUNDS):
+        nbr_min = (
+            edges.join(labels, edges["v"] == labels["doc_id"])
+            .groupBy("u")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        m = labels.join(nbr_min, labels["doc_id"] == nbr_min["u"], "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"),
+                F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+            ).alias("m"),
+        )
+        hop = m.select(F.col("doc_id").alias("h_id"), F.col("m").alias("h_m"))
+        labels = (
+            m.join(hop, m["m"] == hop["h_id"], "left")
+            .select(
+                "doc_id", F.coalesce(F.col("h_m"), F.col("m")).alias("cluster_id")
+            )
+            .localCheckpoint(eager=True)
+        )
+        total = labels.agg(F.sum("cluster_id")).first()[0] or 0
+        if total == prev_sum:
+            break
+        prev_sum = total
+    else:
+        raise RuntimeError(
+            f"dd7 label propagation did not converge in {DD7_MAX_ROUNDS} rounds"
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id")
+    out = labels.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )
+    return finalize_recursion(out, [edges])
+
+
+DD7_ORACLE = f"""
+WITH RECURSIVE {_sql_sketch_ctes()},
+pairs AS (
+    SELECT doc_a, doc_b FROM cand
+    WHERE CAST(len(list_filter(list_zip(sig_a, sig_b), p -> p[1] = p[2]))
+               AS DOUBLE) / {float(H.MINHASH_K)} >= {EST_T}
+),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION ALL
+    SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(u, lbl) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+),
+clusters AS (
+    SELECT u AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY u
+)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS keep
+FROM clusters
+"""
+
+
 QUERIES = {
     "dd1_exact_dedup": dd1_exact_dedup,
     "dd2_ngram_jaccard_pairs": dd2_ngram_jaccard_pairs,
@@ -609,6 +745,7 @@ QUERIES = {
     "dd4_simhash": dd4_simhash,
     "dd5_embedding_neardup": dd5_embedding_neardup,
     "dd6_embedding_neardup_lsh": dd6_embedding_neardup_lsh,
+    "dd7_dup_clusters": dd7_dup_clusters,
 }
 ORACLES = {
     "dd1_exact_dedup": DD1_ORACLE,
@@ -617,4 +754,5 @@ ORACLES = {
     "dd4_simhash": DD4_ORACLE,
     "dd5_embedding_neardup": DD5_ORACLE,
     "dd6_embedding_neardup_lsh": DD6_ORACLE,
+    "dd7_dup_clusters": DD7_ORACLE,
 }

@@ -186,6 +186,63 @@ def test_recursion_releases_cached_levels(spark, sf_dir):
     assert n_persistent() - base <= 3
 
 
+def test_dd7_clusters_invariants_and_storage_release(spark, sf_dir):
+    # Connected-components invariants that hold for ANY input graph:
+    # the cluster id is the component minimum (so it is a member, and
+    # <= every member), exactly one keep-row per cluster, and sizes
+    # partition the corpus.  Plus the q9-style storage contract: the
+    # per-round localCheckpoints must not accumulate across calls.
+    from pyspark.sql import functions as F
+
+    from python_sql_datawarehouse_project_spark.operators.dedup import (
+        dd7_dup_clusters,
+    )
+
+    df = dd7_dup_clusters(spark, sf_dir)
+    rows = df.collect()
+    n_docs = len(rows)
+    assert n_docs > 0
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    assert sum(len(v) for v in by_cluster.values()) == n_docs
+    for cid, members in by_cluster.items():
+        ids = sorted(m.doc_id for m in members)
+        assert ids[0] == cid, f"cluster {cid}: min member is {ids[0]}"
+        keeps = [m for m in members if m.keep]
+        assert len(keeps) == 1 and keeps[0].doc_id == cid
+        assert all(m.cluster_size == len(members) for m in members)
+
+    # Checkpoint blocks are freed by ContextCleaner only after their
+    # DataFrames are GC'd, so drop ours, force collection, and poll
+    # briefly — the contract is "released once unreferenced", not
+    # "released synchronously".
+    del df, rows, by_cluster, members, keeps
+    import gc
+    import time
+
+    def n_persistent_after_gc() -> int:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1)
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    dd7_dup_clusters(spark, sf_dir).count()
+    base = n_persistent_after_gc()
+    for _ in range(3):
+        dd7_dup_clusters(spark, sf_dir).count()
+    for _ in range(10):
+        if n_persistent_after_gc() - base <= 2:
+            break
+    # Contract: no per-call accumulation.  A real leak (persist
+    # without release) leaves edges + every round checkpoint pinned:
+    # ~8 blocks x 3 calls = 24+.  Healthy runs settle to ~0 with a
+    # few blocks of ContextCleaner lag (its weak-ref queue drains
+    # asynchronously, so an exact-zero assert here is a timing test,
+    # not a contract test).
+    assert n_persistent_after_gc() - base <= 12
+
+
 def test_bucketed_join_has_zero_exchanges(spark, sf_dir, tmp_path):
     # The big-big orders|x|lineitem join: bucketed+sorted layout must
     # plan SortMergeJoin with NO Exchange (and no per-run Sort of the
