@@ -33,26 +33,39 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def events_ts_is_nanos(path: str) -> bool:
+    """True when `events.ts` is stored as parquet TIMESTAMP(NANOS),
+    which Spark's vectorized reader rejects without the
+    legacy.parquet.nanosAsLong conf.  Footer-only sniff (no data IO)
+    so the reader adapts to whichever unit the data generator used —
+    the driver has shipped both nanos and micros over time.
+    """
+    import pyarrow.parquet as pq
+
+    return str(pq.read_schema(path).field("ts").type) == "timestamp[ns]"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan for one registry table.
 
-    `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; read it as raw nanos
-    (legacy.parquet.nanosAsLong is a runtime conf) and truncate to
+    `events.ts` stored as TIMESTAMP(NANOS) is read as raw nanos
+    (legacy.parquet.nanosAsLong runtime conf) and truncated to
     microseconds — exactly what DuckDB's us-resolution TIMESTAMP does,
-    so oracle comparisons agree to the microsecond.
+    so oracle comparisons agree to the microsecond.  Micros-unit data
+    needs no workaround and reads natively.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; registry has {TABLES}")
-    if name == "events":
+    path = table_path(sf_dir, name)
+    if name == "events" and events_ts_is_nanos(path):
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
+        df = spark.read.parquet(path)
         # integer `div`, NOT `/`: float division of epoch-nanos loses
         # sub-microsecond precision (1.7e18 needs 61 bits > double's 53)
         return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return spark.read.parquet(table_path(sf_dir, name))
+    return spark.read.parquet(path)
 
 
 def load_tables(

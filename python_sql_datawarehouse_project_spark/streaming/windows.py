@@ -39,6 +39,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from ..catalog import table_path
 from ..operators.events import SESSION_GAP_MIN, VALUE_DEC
@@ -126,10 +127,12 @@ def events_stream(spark: SparkSession, sf_dir: str, stage: str) -> DataFrame:
     """File-source stream over the events parquet staged at `stage`
     (S11 analogue).
 
-    The schema must be declared for a streaming source; ts arrives as
-    raw nanos (see catalog.load_table) and is truncated to
-    microseconds exactly like the batch path.  Caller holds the
-    nanos-as-long conf scope for the life of the query.
+    The schema must be declared for a streaming source; ts stored as
+    TIMESTAMP(NANOS) arrives as raw nanos (see catalog.load_table) and
+    is truncated to microseconds exactly like the batch path, while
+    micros-unit data streams through natively.  Caller holds the
+    nanos-as-long conf scope for the life of the query (a no-op for
+    non-NANOS columns).
     """
     src = table_path(sf_dir, "events")
     schema = spark.read.parquet(src).schema
@@ -138,9 +141,14 @@ def events_stream(spark: SparkSession, sf_dir: str, stage: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)")).withColumn(
-        "value_dec", F.col("value").cast(VALUE_DEC)
-    )
+    if isinstance(schema["ts"].dataType, LongType):
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        # Watermarks require TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+        # rejects TIMESTAMP_NTZ); the session runs UTC so the cast is
+        # wall-clock-identical to the batch twin's NTZ column.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw.withColumn("value_dec", F.col("value").cast(VALUE_DEC))
 
 
 def tumbling_hourly(stream: DataFrame) -> DataFrame:

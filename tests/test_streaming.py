@@ -106,12 +106,27 @@ def test_stream_first_events_state_survives_batches(spark, sf_dir, tmp_path):
 
     src = table_path(sf_dir, "events")
     with sw._scoped_nanos_conf(spark):
-        raw = spark.read.parquet(src)  # ts as raw int64 nanos
-        cut = raw.approxQuantile("ts", [0.5], 0.0)[0]
+        raw = spark.read.parquet(src)
+        # median split point; ts may be raw int64 nanos or a native
+        # timestamp depending on the generator's parquet unit, so
+        # quantile over a numeric view and compare on the same view
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        if isinstance(raw.schema["ts"].dataType, LongType):
+            tsn = raw.ts.cast("double")
+        else:
+            tsn = F.unix_micros(raw.ts.cast("timestamp")).cast("double")
+        raw = raw.withColumn("_tsn", tsn)
+        cut = raw.approxQuantile("_tsn", [0.5], 0.0)[0]
+        raw_ts = raw["_tsn"]
         stage = tmp_path / "stage"
         stage.mkdir()
         for i, part in enumerate(
-            (raw.where(raw.ts <= cut), raw.where(raw.ts > cut))
+            (
+                raw.where(raw_ts <= cut).drop("_tsn"),
+                raw.where(raw_ts > cut).drop("_tsn"),
+            )
         ):
             out = tmp_path / f"half{i}"
             part.coalesce(1).write.parquet(str(out))
