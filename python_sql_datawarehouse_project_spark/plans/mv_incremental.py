@@ -1,0 +1,314 @@
+"""Incremental materialized-view refresh.
+
+The reference refreshes every MV with refresh_mode='FULL' (reference
+sql/gold/materialized_view.sql:161-169, `MV Refresh Template.sql:33`)
+— recompute over all history, overwrite.  At 100 TB that is the one
+cost that grows without bound: batch N pays a scan of N partitions to
+fold in one.  This module adds the scale path the reference lacks:
+
+  state(b)  = merge(state(b-1), delta(b))
+  output(b) = publish(state(b))
+
+* `delta(b)` aggregates ONLY the new gold batch partition — a
+  partition-pruned scan (PartitionFilters on dwh_batch_id, pinned by
+  tests/test_mv_incremental.py), so the 100 TB fact history is never
+  re-read.
+* `state` is a partial-aggregate table at the MV's group grain (or a
+  finer grain when the MV needs exact COUNT(DISTINCT)); its size is
+  bounded by group cardinality, not fact rows.
+* `merge` is a grouped re-aggregation of two state snapshots — legal
+  exactly because every partial is distributive (SUM/COUNT/MIN/MAX
+  of SUM/COUNT/MIN/MAX).  Snapshots are stored per batch
+  (dwh_batch_id partition), so re-running a batch rebuilds its
+  snapshot from the same inputs — the warehouse's delete-then-insert
+  idempotency extends to MV state.
+* `publish` finalizes the output shape from state only (rank for the
+  top-k MV, ROLLUP re-aggregation, churn flag) — cheap, because state
+  is small.
+
+Money partials route through DECIMAL(18,4) (same policy as star.py):
+decimal addition is exact and associative, so incremental-vs-full
+equality is bitwise, not approximate, and the final cast to DOUBLE
+matches the FULL-refresh output type.
+
+Supported MVs and their state grains:
+
+  mv_sales_monthly_productline   (month, product, category, subcat)
+  mv_top3_products_month_country (month, country, product) -> rank at
+                                 publish time; top-k is NOT
+                                 incremental but rank-over-state is
+                                 O(|groups|), not O(|facts|)
+  mv_customer_lifetime_value     (customer, order_number): exact
+                                 COUNT(DISTINCT order) = COUNT(*) of
+                                 the finer-grain state rows
+  mv_customer_churn              (customer): MIN/MAX order_date
+  mv_sales_rollup_product        (line, category, subcat) -> ROLLUP
+                                 re-aggregated over state
+
+Not incrementally maintainable (documented FULL fallback): running
+windows over full history (mv_running_sales_customer), inter-row gaps
+(mv_customer_order_gap), and the recursive chain
+(mv_delayed_orders_chain) — their outputs depend on orderings across
+the entire history, so state would have to BE the history.
+
+Dimension-attribute drift: a state row keeps the dimension attributes
+(names, category) it was built with.  Type-1 attribute rewrites
+require a state rebuild (FULL refresh of the state table); this is
+the standard incremental-view trade and is asserted nowhere —
+batches in this warehouse carry their own dim snapshots.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .warehouse import BATCH_COL, Warehouse
+
+STATE_LAYER = "mv_state"
+_DEC = "decimal(18,4)"
+# Canonical state type for money partials: Spark widens SUM(decimal)
+# precision per aggregation (18,4 -> 28,4 -> 38,4), which would drift
+# the state table's parquet schema across batch partitions; every
+# state write re-pins to 28,4 (10^24 capacity — not reachable by
+# summing 18,4 values over any real corpus).
+_STATE_DEC = "decimal(28,4)"
+
+# merge function per partial column: how two snapshots' values combine
+_MERGE_FN = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
+@dataclass(frozen=True)
+class IncSpec:
+    """One incrementally-maintainable MV: state grain + partial merge
+    rules + the delta (per-batch partial aggregation) and publish
+    (state -> output shape) plans."""
+
+    keys: tuple[str, ...]
+    partials: dict[str, str]  # state column -> merge fn name
+    delta: Callable[[Warehouse, str], DataFrame]
+    publish: Callable[..., DataFrame]
+
+
+def _gold_batch(wh: Warehouse, batch_id: str):
+    fs = wh.read_batch("gold", "fact_sales", batch_id).drop(BATCH_COL)
+    dc = wh.read_batch("gold", "dim_customers", batch_id).drop(BATCH_COL)
+    dp = wh.read_batch("gold", "dim_products", batch_id).drop(BATCH_COL)
+    return fs, dc, dp
+
+
+def _dec_sales():
+    return F.col("sales").cast(_DEC)
+
+
+# -- mv_sales_monthly_productline ------------------------------------
+def _delta_monthly_productline(wh: Warehouse, batch_id: str) -> DataFrame:
+    fs, _, dp = _gold_batch(wh, batch_id)
+    return (
+        fs.join(dp, "product_key")
+        .groupBy(
+            F.trunc("order_date", "month").alias("month"),
+            "product_name",
+            "category",
+            "sub_category",
+        )
+        .agg(F.sum(_dec_sales()).cast(_STATE_DEC).alias("total_sales"))
+    )
+
+
+def _publish_monthly_productline(state: DataFrame) -> DataFrame:
+    return state.withColumn("total_sales", F.col("total_sales").cast("double"))
+
+
+# -- mv_top3_products_month_country ----------------------------------
+def _delta_top3(wh: Warehouse, batch_id: str) -> DataFrame:
+    fs, dc, dp = _gold_batch(wh, batch_id)
+    return (
+        fs.join(dc, "customer_key")
+        .join(dp, "product_key")
+        .groupBy(
+            F.trunc("order_date", "month").alias("month"),
+            "country",
+            "product_name",
+        )
+        .agg(F.sum(_dec_sales()).cast(_STATE_DEC).alias("total_sales"))
+    )
+
+
+def _publish_top3(state: DataFrame) -> DataFrame:
+    w = Window.partitionBy("month", "country").orderBy(
+        F.desc("total_sales"), "product_name"
+    )
+    return (
+        state.withColumn("rank_sales", F.rank().over(w))
+        .filter(F.col("rank_sales") <= 3)
+        .withColumn("total_sales", F.col("total_sales").cast("double"))
+    )
+
+
+# -- mv_customer_lifetime_value --------------------------------------
+def _delta_lifetime(wh: Warehouse, batch_id: str) -> DataFrame:
+    fs, dc, _ = _gold_batch(wh, batch_id)
+    return (
+        fs.join(dc, "customer_key")
+        .groupBy(
+            "customer_id",
+            F.concat_ws(
+                " ", F.col("customer_firstname"), F.col("customer_lastname")
+            ).alias("customer_name"),
+            "order_number",
+        )
+        .agg(F.sum(_dec_sales()).cast(_STATE_DEC).alias("order_sales"))
+    )
+
+
+def _publish_lifetime(state: DataFrame) -> DataFrame:
+    # state is one row per (customer, order): COUNT(*) here IS the
+    # exact COUNT(DISTINCT order_number) over all history — an order
+    # split across batches merged into a single state row.
+    return state.groupBy("customer_id", "customer_name").agg(
+        F.sum("order_sales").cast("double").alias("lifetime_value"),
+        F.count(F.lit(1)).alias("order_count"),
+    )
+
+
+# -- mv_customer_churn -----------------------------------------------
+def _delta_churn(wh: Warehouse, batch_id: str) -> DataFrame:
+    fs, dc, _ = _gold_batch(wh, batch_id)
+    return (
+        fs.join(dc, "customer_key")
+        .groupBy("customer_id")
+        .agg(
+            F.min("order_date").alias("first_purchase"),
+            F.max("order_date").alias("last_purchase"),
+        )
+    )
+
+
+def _publish_churn(state: DataFrame, as_of=None) -> DataFrame:
+    cutoff = (
+        F.add_months(F.current_date(), -6)
+        if as_of is None
+        else F.add_months(F.lit(as_of).cast("date"), -6)
+    )
+    return state.withColumn("is_churn", F.col("last_purchase") < cutoff)
+
+
+# -- mv_sales_rollup_product -----------------------------------------
+def _delta_rollup(wh: Warehouse, batch_id: str) -> DataFrame:
+    fs, _, dp = _gold_batch(wh, batch_id)
+    return (
+        fs.join(dp, "product_key")
+        .groupBy("product_line", "category", "sub_category")
+        .agg(F.sum(_dec_sales()).cast(_STATE_DEC).alias("total_sales"))
+    )
+
+
+def _publish_rollup(state: DataFrame) -> DataFrame:
+    # ROLLUP of sums over base-grain state == ROLLUP over facts
+    # (sum is associative); the grouping-set expansion runs over
+    # |groups| state rows instead of the fact table.
+    return (
+        state.rollup("product_line", "category", "sub_category")
+        .agg(F.sum("total_sales").cast("double").alias("total_sales"))
+    )
+
+
+INCREMENTAL: dict[str, IncSpec] = {
+    "mv_sales_monthly_productline": IncSpec(
+        keys=("month", "product_name", "category", "sub_category"),
+        partials={"total_sales": "sum"},
+        delta=_delta_monthly_productline,
+        publish=_publish_monthly_productline,
+    ),
+    "mv_top3_products_month_country": IncSpec(
+        keys=("month", "country", "product_name"),
+        partials={"total_sales": "sum"},
+        delta=_delta_top3,
+        publish=_publish_top3,
+    ),
+    "mv_customer_lifetime_value": IncSpec(
+        keys=("customer_id", "customer_name", "order_number"),
+        partials={"order_sales": "sum"},
+        delta=_delta_lifetime,
+        publish=_publish_lifetime,
+    ),
+    "mv_customer_churn": IncSpec(
+        keys=("customer_id",),
+        partials={"first_purchase": "min", "last_purchase": "max"},
+        delta=_delta_churn,
+        publish=_publish_churn,
+    ),
+    "mv_sales_rollup_product": IncSpec(
+        keys=("product_line", "category", "sub_category"),
+        partials={"total_sales": "sum"},
+        delta=_delta_rollup,
+        publish=_publish_rollup,
+    ),
+}
+
+# FULL-only MVs and why (order-dependent over unbounded history)
+FULL_ONLY = {
+    "mv_running_sales_customer": "running window over full history",
+    "mv_customer_order_gap": "LAG gaps depend on neighboring history rows",
+    "mv_delayed_orders_chain": "recursive closure over full history",
+}
+
+
+def _merge(spec: IncSpec, snapshots: DataFrame) -> DataFrame:
+    aggs = [
+        _MERGE_FN[fn](F.col(col)).alias(col) for col, fn in spec.partials.items()
+    ]
+    # re-pin widened decimal sums to the canonical state type
+    merged = snapshots.groupBy(*spec.keys).agg(*aggs)
+    pinned = [
+        F.col(c).cast(_STATE_DEC).alias(c) if fn == "sum" and t.startswith("decimal")
+        else F.col(c)
+        for c, fn, t in (
+            (c, spec.partials.get(c, ""), dict(merged.dtypes)[c])
+            for c in merged.columns
+        )
+    ]
+    return merged.select(*pinned)
+
+
+def refresh_mv_incremental(
+    wh: Warehouse,
+    name: str,
+    batch_id: str,
+    prev_batch_id: str | None = None,
+    **publish_kwargs,
+) -> tuple[int, int]:
+    """Fold gold batch `batch_id` into MV `name`'s state and publish.
+
+    `prev_batch_id` names the state snapshot to build on (None for
+    the first batch).  Returns (state rows, output rows).  Re-running
+    the same (batch, prev) pair rebuilds both partitions identically
+    — exactly-once semantics match `refresh_mv`.
+
+    Raises KeyError for FULL-only MVs; callers route those through
+    `mv.refresh_mv` (see FULL_ONLY for the reasons).
+    """
+    if name in FULL_ONLY:
+        raise KeyError(
+            f"{name} is not incrementally maintainable ({FULL_ONLY[name]}); "
+            "use plans.mv.refresh_mv"
+        )
+    spec = INCREMENTAL[name]
+    delta = spec.delta(wh, batch_id)
+    if prev_batch_id is not None:
+        prev = wh.read_batch(STATE_LAYER, name, prev_batch_id).drop(BATCH_COL)
+        merged = _merge(spec, prev.unionByName(delta))
+    else:
+        merged = delta
+    n_state = wh.write_batch(merged, STATE_LAYER, name, batch_id)
+    # publish from the snapshot just written: truncates the merge
+    # lineage (state(b) never re-derives state(b-1) at read time) and
+    # is the partition-pruned small-scan path
+    state = wh.read_batch(STATE_LAYER, name, batch_id).drop(BATCH_COL)
+    out = spec.publish(state, **publish_kwargs)
+    n_out = wh.write_batch(out, "mv", name, batch_id)
+    return n_state, n_out

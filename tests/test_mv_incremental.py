@@ -1,0 +1,230 @@
+"""Incremental MV refresh: state(b) = merge(state(b-1), delta(b)) must
+equal the full recompute over all batches — expectations are written
+out literally from the seeded rows (an oracle independent of the
+implementation), plus exactly-once re-runs and the partition-pruned
+delta scan that is the whole point at scale."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_sql_datawarehouse_project_spark.plans import mv_incremental as mi
+from python_sql_datawarehouse_project_spark.plans.warehouse import Warehouse
+
+B1, B2 = "BATCH000001", "BATCH000002"
+
+_CUST_SCHEMA = (
+    "customer_key int, customer_id int, customer_firstname string, "
+    "customer_lastname string, country string"
+)
+_PROD_SCHEMA = (
+    "product_key int, product_name string, product_line string, "
+    "category string, sub_category string"
+)
+_FACT_SCHEMA = (
+    "order_number string, customer_key int, product_key int, "
+    "order_date date, shipping_date date, due_date date, "
+    "sales double, quantity int, price double"
+)
+
+
+def _seed_gold(spark, wh: Warehouse):
+    d = dt.date
+    # batch 1
+    wh.write_batch(
+        spark.createDataFrame(
+            [(1, 100, "Ann", "A", "US"), (2, 101, "Bob", "B", "DE")],
+            _CUST_SCHEMA,
+        ),
+        "gold",
+        "dim_customers",
+        B1,
+    )
+    wh.write_batch(
+        spark.createDataFrame(
+            [
+                (1, "Widget", "R", "Components", "Road Frames"),
+                (2, "Brake", "M", "Accessories", "Brakes"),
+            ],
+            _PROD_SCHEMA,
+        ),
+        "gold",
+        "dim_products",
+        B1,
+    )
+    wh.write_batch(
+        spark.createDataFrame(
+            [
+                ("SO1", 1, 1, d(2024, 1, 5), d(2024, 1, 8), d(2024, 1, 9), 100.0, 2, 50.0),
+                ("SO1", 1, 2, d(2024, 1, 5), d(2024, 1, 8), d(2024, 1, 9), 50.0, 1, 50.0),
+                ("SO2", 2, 2, d(2024, 2, 10), d(2024, 2, 12), d(2024, 2, 14), 70.0, 1, 70.0),
+            ],
+            _FACT_SCHEMA,
+        ),
+        "gold",
+        "fact_sales",
+        B1,
+    )
+    # batch 2: surrogate keys restart per batch (per-batch dim
+    # snapshots); customer 100 and order SO1 CONTINUE across batches,
+    # exercising cross-batch state merge + exact distinct-order count
+    wh.write_batch(
+        spark.createDataFrame(
+            [(1, 100, "Ann", "A", "US"), (2, 102, "Cyd", "C", "US")],
+            _CUST_SCHEMA,
+        ),
+        "gold",
+        "dim_customers",
+        B2,
+    )
+    wh.write_batch(
+        spark.createDataFrame(
+            [
+                (1, "Widget", "R", "Components", "Road Frames"),
+                (2, "Gear", "R", "Components", "Gears"),
+            ],
+            _PROD_SCHEMA,
+        ),
+        "gold",
+        "dim_products",
+        B2,
+    )
+    wh.write_batch(
+        spark.createDataFrame(
+            [
+                # same order + same (month, product) group as batch 1
+                ("SO1", 1, 1, d(2024, 1, 20), d(2024, 1, 22), d(2024, 1, 24), 30.0, 1, 30.0),
+                ("SO3", 2, 2, d(2024, 3, 15), d(2024, 3, 17), d(2024, 3, 19), 80.0, 1, 80.0),
+            ],
+            _FACT_SCHEMA,
+        ),
+        "gold",
+        "fact_sales",
+        B2,
+    )
+
+
+@pytest.fixture(scope="module")
+def refreshed(spark, tmp_path_factory):
+    wh = Warehouse(spark, str(tmp_path_factory.mktemp("incwh")))
+    _seed_gold(spark, wh)
+    for name in mi.INCREMENTAL:
+        kw = {"as_of": "2024-06-01"} if name == "mv_customer_churn" else {}
+        mi.refresh_mv_incremental(wh, name, B1, prev_batch_id=None, **kw)
+        mi.refresh_mv_incremental(wh, name, B2, prev_batch_id=B1, **kw)
+    return wh
+
+
+def _rows(wh, name, batch, cols):
+    df = wh.read_batch("mv", name, batch).select(*cols)
+    return {tuple(r) for r in df.collect()}
+
+
+def test_monthly_productline_merges_across_batches(refreshed):
+    got = _rows(
+        refreshed,
+        "mv_sales_monthly_productline",
+        B2,
+        ["month", "product_name", "category", "sub_category", "total_sales"],
+    )
+    d = dt.date
+    assert got == {
+        (d(2024, 1, 1), "Widget", "Components", "Road Frames", 130.0),
+        (d(2024, 1, 1), "Brake", "Accessories", "Brakes", 50.0),
+        (d(2024, 2, 1), "Brake", "Accessories", "Brakes", 70.0),
+        (d(2024, 3, 1), "Gear", "Components", "Gears", 80.0),
+    }
+
+
+def test_lifetime_value_counts_cross_batch_order_once(refreshed):
+    got = _rows(
+        refreshed,
+        "mv_customer_lifetime_value",
+        B2,
+        ["customer_id", "customer_name", "lifetime_value", "order_count"],
+    )
+    # SO1 spans both batches -> exactly one distinct order for Ann
+    assert got == {
+        (100, "Ann A", 180.0, 1),
+        (101, "Bob B", 70.0, 1),
+        (102, "Cyd C", 80.0, 1),
+    }
+
+
+def test_churn_min_max_merge(refreshed):
+    got = _rows(
+        refreshed,
+        "mv_customer_churn",
+        B2,
+        ["customer_id", "first_purchase", "last_purchase", "is_churn"],
+    )
+    d = dt.date
+    assert got == {
+        (100, d(2024, 1, 5), d(2024, 1, 20), False),
+        (101, d(2024, 2, 10), d(2024, 2, 10), False),
+        (102, d(2024, 3, 15), d(2024, 3, 15), False),
+    }
+
+
+def test_top3_ranks_over_merged_state(refreshed):
+    got = _rows(
+        refreshed,
+        "mv_top3_products_month_country",
+        B2,
+        ["month", "country", "product_name", "total_sales", "rank_sales"],
+    )
+    d = dt.date
+    assert got == {
+        (d(2024, 1, 1), "US", "Widget", 130.0, 1),
+        (d(2024, 1, 1), "US", "Brake", 50.0, 2),
+        (d(2024, 2, 1), "DE", "Brake", 70.0, 1),
+        (d(2024, 3, 1), "US", "Gear", 80.0, 1),
+    }
+
+
+def test_rollup_over_state(refreshed):
+    got = _rows(
+        refreshed,
+        "mv_sales_rollup_product",
+        B2,
+        ["product_line", "category", "sub_category", "total_sales"],
+    )
+    assert got == {
+        ("R", "Components", "Road Frames", 130.0),
+        ("R", "Components", "Gears", 80.0),
+        ("R", "Components", None, 210.0),
+        ("R", None, None, 210.0),
+        ("M", "Accessories", "Brakes", 120.0),
+        ("M", "Accessories", None, 120.0),
+        ("M", None, None, 120.0),
+        (None, None, None, 330.0),
+    }
+
+
+def test_rerun_is_exactly_once(refreshed):
+    name = "mv_sales_monthly_productline"
+    cols = ["month", "product_name", "category", "sub_category", "total_sales"]
+    before = _rows(refreshed, name, B2, cols)
+    mi.refresh_mv_incremental(refreshed, name, B2, prev_batch_id=B1)
+    assert _rows(refreshed, name, B2, cols) == before
+
+
+def test_delta_scan_is_partition_pruned(refreshed):
+    # the at-scale contract: folding in batch N reads batch N's gold
+    # partition, never the history
+    delta = mi.INCREMENTAL["mv_sales_monthly_productline"].delta(refreshed, B2)
+    sc = delta.sparkSession.sparkContext
+    plan = sc._jvm.PythonSQLUtils.explainString(
+        delta._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [isnotnull(dwh_batch_id" in plan, plan
+    # every scan in the delta (fact + dims) is pruned to one batch
+    assert plan.count("PartitionFilters: []") == 0, plan
+
+
+def test_full_only_mvs_refuse_incremental(refreshed):
+    with pytest.raises(KeyError, match="not incrementally maintainable"):
+        mi.refresh_mv_incremental(refreshed, "mv_customer_order_gap", B2)
