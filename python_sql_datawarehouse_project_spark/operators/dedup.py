@@ -738,6 +738,48 @@ FROM clusters
 """
 
 
+# -- dd8: shingle containment over LSH candidates ---------------------
+CONTAIN_T = 0.6
+
+
+def dd8_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: containment C(A,B) = |A∩B| / min(|A|,|B|)
+    over the same 5-gram shingle sets as dd2 — catches a short doc
+    quoted inside a long one, which Jaccard dilutes below threshold
+    (|A∩B|/|A∪B| shrinks as the long doc grows; the min-denominator
+    does not).  The standard complement to Jaccard in corpus dedup
+    (containment sketches go back to Broder's resemblance/containment
+    pair).
+
+    Candidates come from the banded-MinHash join (one (doc_id,
+    band_key) exchange, sketches re-attached by hash join — see
+    _lsh_candidates).  Honest recall note: MinHash bands target
+    Jaccard, so a tiny doc inside a huge one can miss candidacy even
+    with containment 1.0; at corpus scale a containment-first pipeline
+    seeds candidates from sampled shingles instead.  Both engines
+    score the identical candidate set, so the gate checks the scoring
+    exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = _lsh_candidates(_doc_sketches(docs))
+    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+    denom = F.least(F.size("hs_a"), F.size("hs_b"))
+    return (
+        cand.select("doc_a", "doc_b", (inter / denom).alias("containment"))
+        .filter(F.col("containment") >= CONTAIN_T)
+    )
+
+
+DD8_ORACLE = f"""
+WITH {_sql_sketch_ctes()}
+SELECT doc_a, doc_b,
+       CAST(len(list_intersect(hs_a, hs_b)) AS DOUBLE)
+         / least(len(hs_a), len(hs_b)) AS containment
+FROM cand
+WHERE CAST(len(list_intersect(hs_a, hs_b)) AS DOUBLE)
+         / least(len(hs_a), len(hs_b)) >= {CONTAIN_T}
+"""
+
+
 QUERIES = {
     "dd1_exact_dedup": dd1_exact_dedup,
     "dd2_ngram_jaccard_pairs": dd2_ngram_jaccard_pairs,
@@ -746,6 +788,7 @@ QUERIES = {
     "dd5_embedding_neardup": dd5_embedding_neardup,
     "dd6_embedding_neardup_lsh": dd6_embedding_neardup_lsh,
     "dd7_dup_clusters": dd7_dup_clusters,
+    "dd8_containment_pairs": dd8_containment_pairs,
 }
 ORACLES = {
     "dd1_exact_dedup": DD1_ORACLE,
@@ -755,4 +798,5 @@ ORACLES = {
     "dd5_embedding_neardup": DD5_ORACLE,
     "dd6_embedding_neardup_lsh": DD6_ORACLE,
     "dd7_dup_clusters": DD7_ORACLE,
+    "dd8_containment_pairs": DD8_ORACLE,
 }

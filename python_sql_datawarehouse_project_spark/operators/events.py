@@ -261,12 +261,83 @@ LEFT JOIN p ON u.user_id = p.user_id
 """
 
 
+# -- ev6: monthly cohort retention -----------------------------------
+def ev6_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention matrix: users grouped by the month of
+    their first event; for each (cohort month, month offset) the
+    number of cohort members active that month and the retained
+    fraction of the cohort.
+
+    Scale: one distinct on (user, month) and one MIN-agg on user —
+    both single hash shuffles keyed by user_id, so the second reuses
+    the first's partitioning; the (cohort, offset) roll-up exchanges
+    only |users x active-months| rows, never raw events.  The ratio
+    divides through DOUBLE on both engines (exact for these integer
+    magnitudes)."""
+    ev = load_table(spark, sf_dir, "events")
+    user_month = ev.select(
+        "user_id",
+        F.trunc(F.col("ts").cast("date"), "month").alias("month"),
+    ).distinct()
+    cohort = user_month.groupBy("user_id").agg(
+        F.min("month").alias("cohort_month")
+    )
+    sizes = cohort.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    active = (
+        user_month.join(cohort, "user_id")
+        .groupBy(
+            "cohort_month",
+            F.months_between("month", F.col("cohort_month"))
+            .cast("int")
+            .alias("month_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+    return active.join(sizes, "cohort_month").select(
+        "cohort_month",
+        "month_offset",
+        "active_users",
+        "cohort_size",
+        (F.col("active_users").cast("double") / F.col("cohort_size")).alias(
+            "retention"
+        ),
+    )
+
+
+EV6_ORACLE = """
+WITH user_month AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('month', ts) AS DATE) AS month
+    FROM events
+),
+cohort AS (
+    SELECT user_id, MIN(month) AS cohort_month FROM user_month GROUP BY 1
+),
+sizes AS (
+    SELECT cohort_month, COUNT(*) AS cohort_size FROM cohort GROUP BY 1
+),
+active AS (
+    SELECT c.cohort_month,
+           CAST(date_diff('month', c.cohort_month, um.month) AS INT)
+               AS month_offset,
+           COUNT(DISTINCT um.user_id) AS active_users
+    FROM user_month um JOIN cohort c ON um.user_id = c.user_id
+    GROUP BY 1, 2
+)
+SELECT a.cohort_month, a.month_offset, a.active_users, s.cohort_size,
+       CAST(a.active_users AS DOUBLE) / s.cohort_size AS retention
+FROM active a JOIN sizes s ON a.cohort_month = s.cohort_month
+"""
+
+
 QUERIES = {
     "ev1_tumbling_hourly": ev1_tumbling_hourly,
     "ev2_sliding_windows": ev2_sliding_windows,
     "ev3_session_windows": ev3_session_windows,
     "ev4_props_json": ev4_props_json,
     "ev5_funnel": ev5_funnel,
+    "ev6_cohort_retention": ev6_cohort_retention,
 }
 ORACLES = {
     "ev1_tumbling_hourly": EV1_ORACLE,
@@ -274,4 +345,5 @@ ORACLES = {
     "ev3_session_windows": EV3_ORACLE,
     "ev4_props_json": EV4_ORACLE,
     "ev5_funnel": EV5_ORACLE,
+    "ev6_cohort_retention": EV6_ORACLE,
 }

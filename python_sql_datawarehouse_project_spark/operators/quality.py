@@ -172,15 +172,84 @@ SELECT k_used, kth_hash,
 FROM sk, t
 """
 
+# -- qa5: exact distribution percentiles ------------------------------
+_QA5_PCTS = ((50, 0.5), (90, 0.9), (99, 0.99))
+
+
+def qa5_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank percentiles (p50/p90/p99) of order value per
+    priority — the distribution profile a data-quality gate pins
+    (approx_percentile/quantile sketches are engine-private and can
+    never hash-match across engines; nearest-rank is exact and
+    deterministic).
+
+    Scale: the naive formulation (ROW_NUMBER over each priority) sends
+    EVERY row of a priority to one task — a 5-partition shuffle of the
+    whole table.  This one aggregates to (priority, value) counts
+    first (map-side combinable; output is bounded by distinct values,
+    not rows), then runs the cumulative window over that small table:
+    the percentile value is the first distinct value whose cumulative
+    count reaches ceil(p*n)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderpriority", "o_totalprice").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wc = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    cum = counts.withColumn("cum", F.sum("cnt").over(wc)).withColumn(
+        "n", F.sum("cnt").over(wn)
+    )
+    aggs = [F.max("n").alias("n_rows")]
+    for label, p in _QA5_PCTS:
+        target = F.ceil(F.lit(p) * F.col("n"))
+        aggs.append(
+            F.min(
+                F.when(F.col("cum") >= target, F.col("o_totalprice"))
+            ).alias(f"p{label}")
+        )
+    return cum.groupBy("o_orderpriority").agg(*aggs)
+
+
+QA5_ORACLE = f"""
+WITH counts AS (
+    SELECT o_orderpriority, o_totalprice, COUNT(*) AS cnt
+    FROM orders GROUP BY 1, 2
+),
+cum AS (
+    SELECT o_orderpriority, o_totalprice, cnt,
+           SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           SUM(cnt) OVER (PARTITION BY o_orderpriority) AS n
+    FROM counts
+)
+SELECT o_orderpriority,
+       MAX(n) AS n_rows,
+       {", ".join(
+           f"MIN(CASE WHEN cum >= CAST(CEIL({p} * n) AS BIGINT) "
+           f"THEN o_totalprice END) AS p{label}"
+           for label, p in _QA5_PCTS
+       )}
+FROM cum
+GROUP BY 1
+"""
+
 QUERIES = {
     "qa1_null_profile": qa1_null_profile,
     "qa2_dup_keys": qa2_dup_keys,
     "qa3_referential": qa3_referential,
     "qa4_kmv_distinct": qa4_kmv_distinct,
+    "qa5_exact_percentiles": qa5_exact_percentiles,
 }
 ORACLES = {
     "qa1_null_profile": QA1_ORACLE,
     "qa2_dup_keys": QA2_ORACLE,
     "qa3_referential": QA3_ORACLE,
     "qa4_kmv_distinct": QA4_ORACLE,
+    "qa5_exact_percentiles": QA5_ORACLE,
 }
