@@ -347,6 +347,52 @@ GROUP BY ROLLUP (dp.product_line, dp.category, dp.sub_category)
 )
 
 
+# -- q10: PIVOT (sales by category x order year) ---------------------
+# Fixed pivot-year domain: pinning the column list keeps the output
+# schema static (a `pivot(col)` without values triggers an extra
+# distinct-scan job AND makes the schema data-dependent — both wrong
+# for a production report at scale).
+PIVOT_YEARS = list(range(1995, 2002))
+
+
+def q10_sales_pivot_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tab: total sales per product category, one column per
+    order year (the PIVOT shape; reference EDA expresses the same
+    report as repeated CASE WHEN sums).
+
+    Scale: groupBy().pivot(values=...) compiles to ONE hash aggregate
+    with |years| conditional SUMs — a single shuffle keyed by
+    category, identical cost to q1.  Missing (category, year) cells
+    surface as NULL on both engines (no sales row matched the CASE)."""
+    f = _fact_with_product(spark, sf_dir)
+    return (
+        f.withColumn("order_year", F.year("order_date"))
+        .groupBy("category")
+        .pivot("order_year", PIVOT_YEARS)
+        .agg(F.sum("sales").cast("double"))
+        .select(
+            "category",
+            *[F.col(str(y)).alias(f"y{y}") for y in PIVOT_YEARS],
+        )
+    )
+
+
+Q10_ORACLE = (
+    STAR_SQL_PRELUDE
+    + "SELECT dp.category,\n"
+    + ",\n".join(
+        f"    CAST(SUM(CASE WHEN EXTRACT(year FROM fs.order_date) = {y} "
+        f"THEN fs.sales END) AS DOUBLE) AS y{y}"
+        for y in PIVOT_YEARS
+    )
+    + """
+FROM fact_sales fs
+JOIN dim_products dp ON fs.product_key = dp.product_key
+GROUP BY 1
+"""
+)
+
+
 QUERIES = {
     "q1_monthly_sales_product": q1_monthly_sales_product,
     "q2_sales_customer_country": q2_sales_customer_country,
@@ -356,6 +402,7 @@ QUERIES = {
     "q6_customer_churn": q6_customer_churn,
     "q7_customer_order_gap": q7_customer_order_gap,
     "q8_sales_rollup_product": q8_sales_rollup_product,
+    "q10_sales_pivot_year": q10_sales_pivot_year,
 }
 
 ORACLES = {
@@ -367,4 +414,5 @@ ORACLES = {
     "q6_customer_churn": Q6_ORACLE,
     "q7_customer_order_gap": Q7_ORACLE,
     "q8_sales_rollup_product": Q8_ORACLE,
+    "q10_sales_pivot_year": Q10_ORACLE,
 }

@@ -261,43 +261,41 @@ LEFT JOIN p ON u.user_id = p.user_id
 """
 
 
-# -- ev6: monthly cohort retention -----------------------------------
+# -- ev6: daily cohort retention --------------------------------------
 def ev6_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Classic cohort-retention matrix: users grouped by the month of
-    their first event; for each (cohort month, month offset) the
-    number of cohort members active that month and the retained
-    fraction of the cohort.
+    """Classic cohort-retention matrix: users grouped by the day of
+    their first event; for each (cohort day, day offset) the number of
+    cohort members active that day and the retained fraction of the
+    cohort.  Day grain because the test stream spans 30 days — the
+    month/week variants are the same plan with a different trunc.
 
-    Scale: one distinct on (user, month) and one MIN-agg on user —
-    both single hash shuffles keyed by user_id, so the second reuses
-    the first's partitioning; the (cohort, offset) roll-up exchanges
-    only |users x active-months| rows, never raw events.  The ratio
-    divides through DOUBLE on both engines (exact for these integer
+    Scale: one distinct on (user, day) and one MIN-agg on user — both
+    single hash shuffles keyed by user_id, so the second reuses the
+    first's partitioning; the (cohort, offset) roll-up exchanges only
+    |users x active-days| rows, never raw events.  The ratio divides
+    through DOUBLE on both engines (exact for these integer
     magnitudes)."""
     ev = load_table(spark, sf_dir, "events")
-    user_month = ev.select(
-        "user_id",
-        F.trunc(F.col("ts").cast("date"), "month").alias("month"),
+    user_day = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
     ).distinct()
-    cohort = user_month.groupBy("user_id").agg(
-        F.min("month").alias("cohort_month")
+    cohort = user_day.groupBy("user_id").agg(
+        F.min("day").alias("cohort_day")
     )
-    sizes = cohort.groupBy("cohort_month").agg(
+    sizes = cohort.groupBy("cohort_day").agg(
         F.count(F.lit(1)).alias("cohort_size")
     )
     active = (
-        user_month.join(cohort, "user_id")
+        user_day.join(cohort, "user_id")
         .groupBy(
-            "cohort_month",
-            F.months_between("month", F.col("cohort_month"))
-            .cast("int")
-            .alias("month_offset"),
+            "cohort_day",
+            F.datediff("day", F.col("cohort_day")).alias("day_offset"),
         )
         .agg(F.count_distinct("user_id").alias("active_users"))
     )
-    return active.join(sizes, "cohort_month").select(
-        "cohort_month",
-        "month_offset",
+    return active.join(sizes, "cohort_day").select(
+        "cohort_day",
+        "day_offset",
         "active_users",
         "cohort_size",
         (F.col("active_users").cast("double") / F.col("cohort_size")).alias(
@@ -307,27 +305,26 @@ def ev6_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EV6_ORACLE = """
-WITH user_month AS (
-    SELECT DISTINCT user_id, CAST(date_trunc('month', ts) AS DATE) AS month
+WITH user_day AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
     FROM events
 ),
 cohort AS (
-    SELECT user_id, MIN(month) AS cohort_month FROM user_month GROUP BY 1
+    SELECT user_id, MIN(day) AS cohort_day FROM user_day GROUP BY 1
 ),
 sizes AS (
-    SELECT cohort_month, COUNT(*) AS cohort_size FROM cohort GROUP BY 1
+    SELECT cohort_day, COUNT(*) AS cohort_size FROM cohort GROUP BY 1
 ),
 active AS (
-    SELECT c.cohort_month,
-           CAST(date_diff('month', c.cohort_month, um.month) AS INT)
-               AS month_offset,
-           COUNT(DISTINCT um.user_id) AS active_users
-    FROM user_month um JOIN cohort c ON um.user_id = c.user_id
+    SELECT c.cohort_day,
+           CAST(date_diff('day', c.cohort_day, ud.day) AS INT) AS day_offset,
+           COUNT(DISTINCT ud.user_id) AS active_users
+    FROM user_day ud JOIN cohort c ON ud.user_id = c.user_id
     GROUP BY 1, 2
 )
-SELECT a.cohort_month, a.month_offset, a.active_users, s.cohort_size,
+SELECT a.cohort_day, a.day_offset, a.active_users, s.cohort_size,
        CAST(a.active_users AS DOUBLE) / s.cohort_size AS retention
-FROM active a JOIN sizes s ON a.cohort_month = s.cohort_month
+FROM active a JOIN sizes s ON a.cohort_day = s.cohort_day
 """
 
 

@@ -239,12 +239,75 @@ FROM cum
 GROUP BY 1
 """
 
+# -- qa6: full-outer cross-table reconciliation -----------------------
+def qa6_order_event_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided completeness check: FULL OUTER join of per-entity
+    order totals vs event totals, flagging entities present on only
+    one side — the reconciliation shape a warehouse QA suite runs
+    between a source system and its activity log (complements qa3's
+    one-sided anti-join probe).
+
+    Determinism: both money sums route through DECIMAL before the
+    final DOUBLE cast (order-independent addition, star.py contract).
+    Scale: two grouped aggregates (map-side partial) then one
+    full-outer hash join on the entity key — the aggregated sides are
+    |entities|-sized, not |facts|-sized, so the join input is already
+    reduced; AQE picks the strategy."""
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    o = orders.groupBy(F.col("o_custkey").alias("entity_id")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("order_total_d"),
+    )
+    e = events.groupBy(F.col("user_id").alias("entity_id")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("event_total_d"),
+    )
+    j = o.join(e, "entity_id", "full_outer")
+    return j.select(
+        "entity_id",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("order_total_d").cast("double").alias("order_total"),
+        F.col("event_total_d").cast("double").alias("event_total"),
+        (F.col("n_orders").isNotNull() & F.col("n_events").isNull()).alias(
+            "orders_only"
+        ),
+        (F.col("n_orders").isNull() & F.col("n_events").isNotNull()).alias(
+            "events_only"
+        ),
+    )
+
+
+QA6_ORACLE = """
+WITH o AS (
+    SELECT o_custkey AS entity_id, COUNT(*) AS n_orders,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS order_total_d
+    FROM orders GROUP BY 1
+),
+e AS (
+    SELECT user_id AS entity_id, COUNT(*) AS n_events,
+           SUM(CAST(value AS DECIMAL(18,6))) AS event_total_d
+    FROM events GROUP BY 1
+)
+SELECT COALESCE(o.entity_id, e.entity_id) AS entity_id,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       COALESCE(e.n_events, 0) AS n_events,
+       CAST(o.order_total_d AS DOUBLE) AS order_total,
+       CAST(e.event_total_d AS DOUBLE) AS event_total,
+       (o.n_orders IS NOT NULL AND e.n_events IS NULL) AS orders_only,
+       (o.n_orders IS NULL AND e.n_events IS NOT NULL) AS events_only
+FROM o FULL OUTER JOIN e ON o.entity_id = e.entity_id
+"""
+
+
 QUERIES = {
     "qa1_null_profile": qa1_null_profile,
     "qa2_dup_keys": qa2_dup_keys,
     "qa3_referential": qa3_referential,
     "qa4_kmv_distinct": qa4_kmv_distinct,
     "qa5_exact_percentiles": qa5_exact_percentiles,
+    "qa6_order_event_reconcile": qa6_order_event_reconcile,
 }
 ORACLES = {
     "qa1_null_profile": QA1_ORACLE,
@@ -252,4 +315,5 @@ ORACLES = {
     "qa3_referential": QA3_ORACLE,
     "qa4_kmv_distinct": QA4_ORACLE,
     "qa5_exact_percentiles": QA5_ORACLE,
+    "qa6_order_event_reconcile": QA6_ORACLE,
 }

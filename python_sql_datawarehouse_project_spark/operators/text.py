@@ -448,6 +448,158 @@ FROM grams
 """
 
 
+# -- tx8: token-window chunking --------------------------------------
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def tx8_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into fixed-token-budget chunks with
+    overlap — the pretraining packer's unit of work (context-window
+    chunking with stride, RAG passage splitting is the same shape).
+
+    Chunk starts come from sequence(0, n-1, stride) so the final
+    partial chunk is kept (a doc never loses its tail); slice()
+    truncates the last chunk at the token count.  Output carries the
+    chunk token count and an md5 of the re-joined text, which is what
+    a downstream exact-dedup at chunk grain consumes (dd1 at chunk
+    level).
+
+    Scale: per-row array expressions + one explode — no shuffle, no
+    UDF; explode multiplies rows ~n/stride x but each output row is a
+    bounded-size chunk, so the stage streams at scan speed."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("tk")
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.size("tk") - 1, F.lit(CHUNK_STRIDE)
+            )
+        ).alias("start"),
+        "tk",
+    )
+    chunk = F.slice("tk", F.col("start") + 1, F.lit(CHUNK_TOKENS))
+    return chunks.select(
+        "doc_id",
+        (F.col("start") / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+
+
+TX8_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_sql_tokens('text')} AS tk FROM documents
+),
+chunks AS (
+    SELECT doc_id, tk,
+           unnest(range(0, greatest(len(tk), 1), {CHUNK_STRIDE})) AS start
+    FROM toks
+),
+sliced AS (
+    SELECT doc_id, start,
+           list_slice(tk, start + 1,
+                      least(start + {CHUNK_TOKENS}, len(tk))) AS chunk
+    FROM chunks
+)
+SELECT doc_id,
+       CAST(start / {CHUNK_STRIDE} AS INT) AS chunk_id,
+       CAST(len(chunk) AS INT) AS n_chunk_tokens,
+       md5(array_to_string(chunk, ' ')) AS chunk_hash
+FROM sliced
+"""
+
+
+# -- tx9: bigram collocations (corpus-level lift) ---------------------
+BIGRAM_MIN_COUNT = 5
+
+
+def tx9_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-word collocation mining: for every bigram seen >=
+    BIGRAM_MIN_COUNT times, its corpus lift
+    ``P(w1 w2) / (P(w1) P(w2))`` — the PMI ranking without the log
+    (log() is not bitwise-portable cross-engine, and lift is monotone
+    in PMI, same contract as tx5's rational idf).
+
+    Determinism: lift = ((c_xy * n_uni as double) / c_w1) / c_w2 with
+    that exact association on both engines; the int64 product is exact
+    (c_xy * n_uni < 2^53 through sf1000's vocabulary) and IEEE-754
+    division is deterministic given identical operand order.
+
+    Scale: one explode + groupBy for unigrams, one for bigrams (both
+    map-side combinable; output bounded by vocabulary, not corpus);
+    the lift join broadcasts the unigram table — vocab is orders of
+    magnitude smaller than the corpus.  No per-doc windows, no
+    self-joins."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        _tokens(F.col("text")).alias("tk")
+    )
+    uni = toks.select(F.explode("tk").alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    tot = uni.agg(F.count(F.lit(1)).alias("n_uni"))
+    pairs = toks.where(F.size("tk") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 1),
+                lambda i: F.struct(
+                    F.element_at("tk", i).alias("w1"),
+                    F.element_at("tk", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    )
+    bc = (
+        pairs.select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .where(F.col("c_xy") >= BIGRAM_MIN_COUNT)
+    )
+    u1 = uc.select(F.col("w").alias("w1"), F.col("c_w").alias("c_w1"))
+    u2 = uc.select(F.col("w").alias("w2"), F.col("c_w").alias("c_w2"))
+    return (
+        bc.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            (
+                (F.col("c_xy") * F.col("n_uni")).cast("double")
+                / F.col("c_w1")
+                / F.col("c_w2")
+            ).alias("lift"),
+        )
+    )
+
+
+TX9_ORACLE = f"""
+WITH toks AS (
+    SELECT {_sql_tokens('text')} AS tk FROM documents
+),
+uni AS (SELECT unnest(tk) AS w FROM toks),
+uc AS (SELECT w, COUNT(*) AS c_w FROM uni GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n_uni FROM uni),
+pairs AS (
+    SELECT tk[CAST(i AS INT)] AS w1, tk[CAST(i AS INT) + 1] AS w2
+    FROM toks, unnest(range(1, len(tk))) AS t(i)
+    WHERE len(tk) >= 2
+),
+bc AS (
+    SELECT w1, w2, COUNT(*) AS c_xy FROM pairs GROUP BY 1, 2
+    HAVING COUNT(*) >= {BIGRAM_MIN_COUNT}
+)
+SELECT b.w1, b.w2, b.c_xy,
+       CAST(b.c_xy * t.n_uni AS DOUBLE) / u1.c_w / u2.c_w AS lift
+FROM bc b
+CROSS JOIN tot t
+JOIN uc u1 ON b.w1 = u1.w
+JOIN uc u2 ON b.w2 = u2.w
+"""
+
+
 QUERIES = {
     "tx1_token_count": tx1_token_count,
     "tx2_quality_score": tx2_quality_score,
@@ -456,6 +608,8 @@ QUERIES = {
     "tx5_tfidf_top_terms": tx5_tfidf_top_terms,
     "tx6_decontamination": tx6_decontamination,
     "tx7_repetition": tx7_repetition,
+    "tx8_chunks": tx8_chunks,
+    "tx9_bigram_lift": tx9_bigram_lift,
 }
 ORACLES = {
     "tx1_token_count": TX1_ORACLE,
@@ -465,4 +619,6 @@ ORACLES = {
     "tx5_tfidf_top_terms": TX5_ORACLE,
     "tx6_decontamination": TX6_ORACLE,
     "tx7_repetition": TX7_ORACLE,
+    "tx8_chunks": TX8_ORACLE,
+    "tx9_bigram_lift": TX9_ORACLE,
 }

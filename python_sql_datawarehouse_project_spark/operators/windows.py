@@ -120,13 +120,53 @@ FROM customer
 """
 
 
+def w4_ntile_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend quartiles via NTILE(4) — the segmentation shape
+    (gold/silver tiering) the reference's EDA builds with manual CASE
+    bands; NTILE is the general form.
+
+    Determinism: NTILE's tie handling follows the window ORDER BY, so
+    the sort carries the customer key as a total-order tiebreaker
+    (equal spends would otherwise land in engine-dependent quartiles).
+    Scale: spend is a per-customer hash agg (one shuffle); the NTILE
+    itself is an unpartitioned window — fine for dim-sized inputs
+    (same contract as w3's surrogate keys), and at fact scale the
+    same result comes from the qa5-style cumulative-counts percentile
+    split instead of a global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend_d")
+    )
+    w = Window.orderBy(F.desc("spend_d"), F.col("o_custkey"))
+    return spend.select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("spend_d").cast("double").alias("total_spend"),
+        F.ntile(4).over(w).alias("spend_quartile"),
+    )
+
+
+W4_ORACLE = """
+WITH spend AS (
+    SELECT o_custkey,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_d
+    FROM orders GROUP BY 1
+)
+SELECT o_custkey AS customer_id,
+       CAST(spend_d AS DOUBLE) AS total_spend,
+       NTILE(4) OVER (ORDER BY spend_d DESC, o_custkey) AS spend_quartile
+FROM spend
+"""
+
+
 QUERIES = {
     "w1_dedup_keep_latest": w1_dedup_keep_latest,
     "w2_lead_end_dating": w2_lead_end_dating,
     "w3_surrogate_keys": w3_surrogate_keys,
+    "w4_ntile_spend_quartiles": w4_ntile_spend_quartiles,
 }
 ORACLES = {
     "w1_dedup_keep_latest": W1_ORACLE,
     "w2_lead_end_dating": W2_ORACLE,
     "w3_surrogate_keys": W3_ORACLE,
+    "w4_ntile_spend_quartiles": W4_ORACLE,
 }
