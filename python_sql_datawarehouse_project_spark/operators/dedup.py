@@ -156,7 +156,18 @@ def _lsh_candidates(sk: DataFrame) -> DataFrame:
     hash joins keyed on doc_id.  Shuffling the sketches through the
     band exchange (bands x docs rows, each with the full hash set)
     is the naive plan and costs ~2x at sf0.1; at 100 TB it's the
-    difference between exchanging ids and exchanging the corpus."""
+    difference between exchanging ids and exchanging the corpus.
+
+    The sketch subplan is consumed THREE times below (band build +
+    both payload re-attach joins); Catalyst does not share common
+    subplans across self-joins, so without materialization the whole
+    shingle-explode + 16-way MIN aggregation runs 3x per query
+    (measured ~2.5x total query cost at sf0.1).  An eager
+    localCheckpoint computes it once into executor storage; the
+    blocks release with the RDD via ContextCleaner (same pattern as
+    the recursion frontiers), and on a cluster this is the standard
+    reuse answer for an expensive shared stage."""
+    sk = sk.localCheckpoint(eager=True)
     bands = sk.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(H.LSH_BANDS - 1))).alias("band"),
@@ -238,13 +249,24 @@ cand AS (
 def dd2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     cand = _lsh_candidates(_doc_sketches(docs))
-    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
-    union = (
-        F.size("hs_a") + F.size("hs_b") - F.size(F.array_intersect("hs_a", "hs_b"))
+    # Materialize the intersection size ONCE per pair: the naive
+    # jaccard expression evaluates array_intersect (the per-pair hot
+    # loop over two ~|doc| hash sets) up to 3x — numerator, union
+    # term, and again inside the pushed-down filter.  Sizing it in a
+    # first projection lets the score and the threshold test reuse
+    # one scan of the arrays.
+    sized = cand.select(
+        "doc_a",
+        "doc_b",
+        F.size(F.array_intersect("hs_a", "hs_b")).alias("ni"),
+        F.size("hs_a").alias("na"),
+        F.size("hs_b").alias("nb"),
     )
+    jac = F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni"))
     return (
-        cand.select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+        sized.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= JACCARD_T)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 
@@ -481,11 +503,16 @@ def _exact_rescore(n: DataFrame, cand: DataFrame) -> DataFrame:
     a = n.select(F.col("vec_id").alias("vec_a"), F.col("vn").alias("va"))
     b = n.select(F.col("vec_id").alias("vec_b"), F.col("vn").alias("vb"))
     withA = a.join(cand, "vec_a")
+    # Filter BEFORE projecting the score: project-then-filter runs the
+    # interpreted fold twice over EVERY candidate (the threshold
+    # pushes below the projection and re-evaluates it); filtering on
+    # the raw expression first pays one pass over the candidates and
+    # re-evaluates only for the handful of survivors.
+    d = H.dot_fold(F.col("va"), F.col("vb"))
     return (
         b.join(withA, "vec_b")
-        .withColumn("cosine", H.dot_fold(F.col("va"), F.col("vb")))
-        .filter(F.col("cosine") >= COSINE_T)
-        .select("vec_a", "vec_b", "cosine")
+        .filter(d >= COSINE_T)
+        .select("vec_a", "vec_b", d.alias("cosine"))
     )
 
 
@@ -498,7 +525,10 @@ def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     use dd6_embedding_neardup_lsh, which swaps in banded hyperplane
     buckets (sublinear candidates, recall < 1) around the SAME verify
     stage."""
-    n = _load_normalized(spark, sf_dir)
+    # The normalized frame feeds the candidate stage AND both rescore
+    # sides; checkpoint it once instead of re-running the norm fold
+    # 3x (same shared-subplan rationale as _lsh_candidates).
+    n = _load_normalized(spark, sf_dir).localCheckpoint(eager=True)
     cand = _block_candidates(n, _DD5_BLOCKS)
     return _exact_rescore(n, cand)
 
@@ -573,7 +603,7 @@ def dd6_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifies.  Same output shape as dd5; the plan contains no O(n^2)
     stage (asserted in tests/test_plans.py) — this is the operator to
     run at corpus scale."""
-    n = _load_normalized(spark, sf_dir)
+    n = _load_normalized(spark, sf_dir).localCheckpoint(eager=True)
     return _exact_rescore(n, _lsh_band_candidates(n))
 
 
@@ -761,11 +791,20 @@ def dd8_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly."""
     docs = load_table(spark, sf_dir, "documents")
     cand = _lsh_candidates(_doc_sketches(docs))
-    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
-    denom = F.least(F.size("hs_a"), F.size("hs_b"))
+    # Same one-scan-per-pair shape as dd2: size the intersection once
+    # so the score and the pushed-down threshold reuse it.
+    sized = cand.select(
+        "doc_a",
+        "doc_b",
+        F.size(F.array_intersect("hs_a", "hs_b")).alias("ni"),
+        F.least(F.size("hs_a"), F.size("hs_b")).alias("nmin"),
+    )
     return (
-        cand.select("doc_a", "doc_b", (inter / denom).alias("containment"))
+        sized.withColumn(
+            "containment", F.col("ni").cast("double") / F.col("nmin")
+        )
         .filter(F.col("containment") >= CONTAIN_T)
+        .select("doc_a", "doc_b", "containment")
     )
 
 
