@@ -44,6 +44,19 @@ def main() -> None:
     next(iter(queries.values()))(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # JIT/codegen warm-up for the two expression families whose first
+    # session use pays a one-off 3-5 s (interpreted higher-order
+    # folds + the sketch agg pipeline): run one tiny-SF query from
+    # each so per-query timings below measure steady-state execution,
+    # not whichever query alphabetically trips session init (PERF.md
+    # §4).  sf0.001 keeps the warm-up itself ~free.
+    warm_sf = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_sf):
+        for wname in ("dd3_minhash_lsh_pairs", "dd5_embedding_neardup"):
+            if wname in queries:
+                queries[wname](spark, warm_sf).write.format("noop").mode(
+                    "overwrite"
+                ).save()
 
     total = 0.0
     for name in sorted(queries):

@@ -600,6 +600,132 @@ JOIN uc u2 ON b.w2 = u2.w
 """
 
 
+# -- tx10: TextRank keyword scores (iterative PageRank) ---------------
+TR_ITERS = 5
+TR_SCALE = 1_000_000  # fixed-point micro-units
+TR_BASE = 150_000  # (1 - d) * SCALE with damping d = 0.85
+TR_D_NUM, TR_D_DEN = 85, 100
+
+
+def tx10_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level TextRank: PageRank over the word-adjacency graph
+    (undirected edges between words that appear next to each other in
+    any document), TR_ITERS fixed Jacobi iterations with damping
+    0.85 — the classic graph keyword scorer.
+
+    Determinism (the sim4 k-means trick applied to PageRank): scores
+    are int64 micro-units and every update is integer arithmetic —
+    contribution = pr div deg, update = BASE + (85 * sum) div 100 —
+    so an inherently iterative float algorithm becomes bitwise
+    reproducible on both engines and the oracle can unroll the same
+    five iterations as plain CTEs.  Integer division truncates toward
+    zero identically (all values non-negative).
+
+    Scale: the graph is vocabulary-sized (orders of magnitude smaller
+    than the corpus); edges+degrees build once and checkpoint, then
+    each iteration is one hash join (ranks are re-keyed by word) and
+    one map-side-combinable SUM — the standard distributed PageRank
+    round.  Per-round eager localCheckpoints keep the plan
+    constant-size (dd7's lesson: Catalyst analysis itself blows up on
+    an unrolled 5-deep self-referencing plan) and release via
+    ContextCleaner."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        _tokens(F.col("text")).alias("tk")
+    )
+    nodes = (
+        toks.select(F.explode("tk").alias("w"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    bp = (
+        toks.where(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - 1),
+                    lambda i: F.struct(
+                        F.element_at("tk", i).alias("w1"),
+                        F.element_at("tk", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .where(F.col("w1") != F.col("w2"))
+        .distinct()
+    )
+    edges = (
+        bp.select(F.col("w1").alias("u"), F.col("w2").alias("v"))
+        .unionByName(bp.select(F.col("w2").alias("u"), F.col("w1").alias("v")))
+        .distinct()
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # (v, u, deg(v)): static per-iteration join input, built once.
+    ev = edges.join(
+        deg.select(F.col("u").alias("v"), "deg"), "v"
+    ).localCheckpoint(eager=True)
+    ranks = nodes.select(
+        "w", F.lit(TR_SCALE).cast("long").alias("pr")
+    ).localCheckpoint(eager=True)
+    for _ in range(TR_ITERS):
+        sums = (
+            ev.join(ranks, ev["v"] == ranks["w"])
+            .select("u", F.expr("pr div deg").alias("c"))
+            .groupBy("u")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(sums, nodes["w"] == sums["u"], "left")
+            .select(
+                "w",
+                (
+                    F.lit(TR_BASE)
+                    + F.expr(f"({TR_D_NUM} * coalesce(s, 0)) div {TR_D_DEN}")
+                )
+                .cast("long")
+                .alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def _tx10_oracle() -> str:
+    prelude = f"""
+WITH toks AS (
+    SELECT {_sql_tokens('text')} AS tk FROM documents
+),
+uni AS (SELECT DISTINCT unnest(tk) AS w FROM toks),
+bp AS (
+    SELECT DISTINCT tk[CAST(i AS INT)] AS w1, tk[CAST(i AS INT) + 1] AS w2
+    FROM toks, unnest(range(1, len(tk))) AS t(i)
+    WHERE len(tk) >= 2 AND tk[CAST(i AS INT)] <> tk[CAST(i AS INT) + 1]
+),
+edges AS (SELECT w1 AS u, w2 AS v FROM bp UNION SELECT w2, w1 FROM bp),
+deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY 1),
+r0 AS (SELECT w, CAST({TR_SCALE} AS BIGINT) AS pr FROM uni)"""
+    its = "".join(
+        f""",
+r{k} AS (
+    SELECT n.w,
+           CAST({TR_BASE} + ({TR_D_NUM} * COALESCE(s.s, 0)) // {TR_D_DEN}
+                AS BIGINT) AS pr
+    FROM uni n LEFT JOIN (
+        SELECT e.u, SUM(r.pr // d.deg) AS s
+        FROM edges e
+        JOIN r{k - 1} r ON e.v = r.w
+        JOIN deg d ON e.v = d.u
+        GROUP BY 1
+    ) s ON n.w = s.u
+)"""
+        for k in range(1, TR_ITERS + 1)
+    )
+    return prelude + its + f"\nSELECT w, pr FROM r{TR_ITERS}\n"
+
+
+TX10_ORACLE = _tx10_oracle()
+
+
 QUERIES = {
     "tx1_token_count": tx1_token_count,
     "tx2_quality_score": tx2_quality_score,
@@ -610,6 +736,7 @@ QUERIES = {
     "tx7_repetition": tx7_repetition,
     "tx8_chunks": tx8_chunks,
     "tx9_bigram_lift": tx9_bigram_lift,
+    "tx10_textrank": tx10_textrank,
 }
 ORACLES = {
     "tx1_token_count": TX1_ORACLE,
@@ -621,4 +748,5 @@ ORACLES = {
     "tx7_repetition": TX7_ORACLE,
     "tx8_chunks": TX8_ORACLE,
     "tx9_bigram_lift": TX9_ORACLE,
+    "tx10_textrank": TX10_ORACLE,
 }
