@@ -667,27 +667,40 @@ def tx10_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.select(
         "w", F.lit(TR_SCALE).cast("long").alias("pr")
     ).localCheckpoint(eager=True)
-    for _ in range(TR_ITERS):
-        sums = (
-            ev.join(ranks, ev["v"] == ranks["w"])
-            .select("u", F.expr("pr div deg").alias("c"))
-            .groupBy("u")
-            .agg(F.sum("c").alias("s"))
-        )
-        ranks = (
-            nodes.join(sums, nodes["w"] == sums["u"], "left")
-            .select(
-                "w",
-                (
-                    F.lit(TR_BASE)
-                    + F.expr(f"({TR_D_NUM} * coalesce(s, 0)) div {TR_D_DEN}")
-                )
-                .cast("long")
-                .alias("pr"),
+    # The rounds join/aggregate VOCABULARY-sized frames (the corpus
+    # tokenize behind nodes/ev already materialized above, under the
+    # session partitioning); right-size the loop's shuffles to that
+    # cardinality — dd7's measured lesson that near-empty tasks cost
+    # more than graph rounds this small.  No-op once the graph is
+    # big enough for the session setting.
+    shuffle_conf = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(shuffle_conf)
+    parts = max(4, min(int(prev_parts), ranks.count() // 2_000_000 + 1))
+    spark.conf.set(shuffle_conf, str(parts))
+    try:
+        for _ in range(TR_ITERS):
+            sums = (
+                ev.join(ranks, ev["v"] == ranks["w"])
+                .select("u", F.expr("pr div deg").alias("c"))
+                .groupBy("u")
+                .agg(F.sum("c").alias("s"))
             )
-            .localCheckpoint(eager=True)
-        )
-    return ranks
+            ranks = (
+                nodes.join(sums, nodes["w"] == sums["u"], "left")
+                .select(
+                    "w",
+                    (
+                        F.lit(TR_BASE)
+                        + F.expr(f"({TR_D_NUM} * coalesce(s, 0)) div {TR_D_DEN}")
+                    )
+                    .cast("long")
+                    .alias("pr"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return ranks
+    finally:
+        spark.conf.set(shuffle_conf, prev_parts)
 
 
 def _tx10_oracle() -> str:
