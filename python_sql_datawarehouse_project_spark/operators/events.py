@@ -276,9 +276,14 @@ def ev6_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     through DOUBLE on both engines (exact for these integer
     magnitudes)."""
     ev = load_table(spark, sf_dir, "events")
-    user_day = ev.select(
-        "user_id", F.col("ts").cast("date").alias("day")
-    ).distinct()
+    # (user, day) distinct feeds both the cohort derivation and the
+    # activity join; materialize the event-scan + distinct once
+    # (shared-subplan rule, PERF.md §4).
+    user_day = (
+        ev.select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     cohort = user_day.groupBy("user_id").agg(
         F.min("day").alias("cohort_day")
     )

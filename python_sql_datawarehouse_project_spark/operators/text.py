@@ -533,6 +533,12 @@ def tx9_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lift join broadcasts the unigram table — vocab is orders of
     magnitude smaller than the corpus.  No per-doc windows, no
     self-joins."""
+    # The token frame feeds both the unigram and the bigram branch.
+    # Deliberately NOT checkpointed: materializing per-doc string
+    # arrays costs more than re-running the codegen'd scan+regex
+    # (measured 2.2 -> 3.2 s; the shared-subplan rule of PERF.md §4
+    # pays off only when the shared stage is expensive RELATIVE to
+    # its materialized size — sketches yes, raw token arrays no).
     toks = load_table(spark, sf_dir, "documents").select(
         _tokens(F.col("text")).alias("tk")
     )
@@ -631,7 +637,7 @@ def tx10_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ContextCleaner."""
     toks = load_table(spark, sf_dir, "documents").select(
         _tokens(F.col("text")).alias("tk")
-    )
+    )  # re-derived per consumer on purpose — see tx9's note
     nodes = (
         toks.select(F.explode("tk").alias("w"))
         .distinct()
