@@ -393,6 +393,54 @@ GROUP BY 1
 )
 
 
+# -- u3/u4: INTERSECT / EXCEPT ---------------------------------------
+# SURVEY §2.7 records these as unused by the reference ("available if
+# ever needed"); they are first-class here so a reference user gains
+# the full set-op family.  Spark plans both as hash semi/anti joins
+# after a distinct — same shuffle class as a grouped aggregate.
+def _order_years(spark: SparkSession, sf_dir: str, year: int) -> DataFrame:
+    from ..catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.where(
+        F.year(F.col("o_orderdate").cast("date")) == year
+    ).select(F.col("o_custkey").alias("customer_id"))
+
+
+def u3_active_both_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with orders in BOTH 1995 and 1996 (INTERSECT —
+    distinct semantics, planned as a left-semi hash join)."""
+    a = _order_years(spark, sf_dir, 1995)
+    b = _order_years(spark, sf_dir, 1996)
+    return a.intersect(b)
+
+
+U3_ORACLE = """
+SELECT o_custkey AS customer_id FROM orders
+WHERE EXTRACT(year FROM CAST(o_orderdate AS DATE)) = 1995
+INTERSECT
+SELECT o_custkey AS customer_id FROM orders
+WHERE EXTRACT(year FROM CAST(o_orderdate AS DATE)) = 1996
+"""
+
+
+def u4_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers active in 1995 but not in 1996 (EXCEPT — distinct
+    semantics, planned as a left-anti hash join)."""
+    a = _order_years(spark, sf_dir, 1995)
+    b = _order_years(spark, sf_dir, 1996)
+    return a.subtract(b)
+
+
+U4_ORACLE = """
+SELECT o_custkey AS customer_id FROM orders
+WHERE EXTRACT(year FROM CAST(o_orderdate AS DATE)) = 1995
+EXCEPT
+SELECT o_custkey AS customer_id FROM orders
+WHERE EXTRACT(year FROM CAST(o_orderdate AS DATE)) = 1996
+"""
+
+
 QUERIES = {
     "q1_monthly_sales_product": q1_monthly_sales_product,
     "q2_sales_customer_country": q2_sales_customer_country,
@@ -403,6 +451,8 @@ QUERIES = {
     "q7_customer_order_gap": q7_customer_order_gap,
     "q8_sales_rollup_product": q8_sales_rollup_product,
     "q10_sales_pivot_year": q10_sales_pivot_year,
+    "u3_active_both_years": u3_active_both_years,
+    "u4_lapsed_customers": u4_lapsed_customers,
 }
 
 ORACLES = {
@@ -415,4 +465,6 @@ ORACLES = {
     "q7_customer_order_gap": Q7_ORACLE,
     "q8_sales_rollup_product": Q8_ORACLE,
     "q10_sales_pivot_year": Q10_ORACLE,
+    "u3_active_both_years": U3_ORACLE,
+    "u4_lapsed_customers": U4_ORACLE,
 }
