@@ -155,11 +155,110 @@ FROM cum WHERE cum_tokens <= {TOKEN_BUDGET}
 """
 
 
+# -- ds3: composed keep/drop filter pipeline --------------------------
+# The C4/Gopher-class document gate: every rule is a column
+# expression over ONE scan, the verdict is the first failing rule —
+# observability (why was a doc dropped) without a second pass.
+DS3_LANG_ALLOW = ("en", "de", "es", "fr")
+DS3_MIN_TOKENS = 30
+DS3_MAX_DUP_FRAC = 0.2
+_DS3_NGRAM = 3
+
+
+def ds3_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keep/drop verdict composing the tx-family rules:
+    language allowlist, minimum token count, intra-doc repetition cap
+    (duplicate-3-gram fraction, tx7's metric).  Emits every doc with
+    its metrics, the verdict, and the FIRST failing rule as
+    `reject_reason` — what a curation dashboard aggregates.
+
+    Scale: single scan, zero shuffle, no UDF; all three rules fold
+    into one whole-stage-codegen'd projection, so the full pipeline
+    filter runs at parquet scan speed with column pruning intact."""
+    from .text import _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = _tokens(F.col("text"))
+    d = docs.select("doc_id", "lang", tk.alias("tk"))
+    gs = F.when(
+        F.size("tk") >= _DS3_NGRAM,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk") - (_DS3_NGRAM - 1)),
+            lambda i: F.array_join(F.slice("tk", i, _DS3_NGRAM), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = d.select(
+        "doc_id",
+        "lang",
+        F.size("tk").alias("n_tokens"),
+        F.when(
+            F.size(gs) > 0,
+            (F.size(gs) - F.size(F.array_distinct(gs))).cast("double")
+            / F.size(gs).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )
+    reason = (
+        F.when(~F.col("lang").isin(*DS3_LANG_ALLOW), "lang")
+        .when(F.col("n_tokens") < DS3_MIN_TOKENS, "too_short")
+        .when(F.col("dup_frac") > DS3_MAX_DUP_FRAC, "repetitive")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "dup_frac",
+        reason.alias("reject_reason"),
+        reason.isNull().alias("keep"),
+    )
+
+
+def _ds3_oracle() -> str:
+    from .text import _sql_tokens
+
+    allow = ", ".join(f"'{lg}'" for lg in DS3_LANG_ALLOW)
+    return f"""
+WITH toks AS (
+    SELECT doc_id, lang, {_sql_tokens('text')} AS tk FROM documents
+),
+grams AS (
+    SELECT doc_id, lang, len(tk) AS n_tokens,
+           CASE WHEN len(tk) >= {_DS3_NGRAM} THEN list_transform(
+               range(1, len(tk) - {_DS3_NGRAM - 2}),
+               i -> array_to_string(list_slice(tk, i, i + {_DS3_NGRAM - 1}), ' ')
+           ) ELSE [] END AS gs
+    FROM toks
+),
+metrics AS (
+    SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+           CASE WHEN len(gs) > 0 THEN
+               CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE)
+                   / CAST(len(gs) AS DOUBLE)
+           ELSE 0.0 END AS dup_frac
+    FROM grams
+)
+SELECT doc_id, lang, n_tokens, dup_frac,
+       CASE WHEN lang NOT IN ({allow}) THEN 'lang'
+            WHEN n_tokens < {DS3_MIN_TOKENS} THEN 'too_short'
+            WHEN dup_frac > {DS3_MAX_DUP_FRAC} THEN 'repetitive'
+       END AS reject_reason,
+       (CASE WHEN lang NOT IN ({allow}) THEN 'lang'
+             WHEN n_tokens < {DS3_MIN_TOKENS} THEN 'too_short'
+             WHEN dup_frac > {DS3_MAX_DUP_FRAC} THEN 'repetitive'
+        END) IS NULL AS keep
+FROM metrics
+"""
+
+
 QUERIES = {
     "ds1_training_mix": ds1_training_mix,
     "ds2_token_budget": ds2_token_budget,
+    "ds3_filter_pipeline": ds3_filter_pipeline,
 }
 ORACLES = {
     "ds1_training_mix": DS1_ORACLE,
     "ds2_token_budget": _ds2_oracle(),
+    "ds3_filter_pipeline": _ds3_oracle(),
 }
