@@ -342,3 +342,71 @@ def test_sk1_salted_agg_two_stage(spark, sf_dir):
     p = plan_of(skew.sk1_salted_hot_key_agg(spark, sf_dir), mode="simple")
     assert p.count("Exchange") - p.count("ReusedExchange") == 2, p
     assert "salt" in p, p
+
+
+def test_tx8_chunks_scan_speed_no_exchange(spark, sf_dir):
+    # Chunking is per-row explode work: any Exchange in its plan means
+    # a shuffle crept into a scan-speed operator.
+    from python_sql_datawarehouse_project_spark.operators import text
+
+    p = plan_of(text.tx8_chunks(spark, sf_dir), mode="simple")
+    assert "Exchange" not in p, p
+
+
+def test_ds3_filter_single_scan_no_exchange(spark, sf_dir):
+    # The composed filter pipeline is one projection over one scan:
+    # no shuffle, and exactly one parquet scan of documents.
+    from python_sql_datawarehouse_project_spark.operators import mix
+
+    p = plan_of(mix.ds3_filter_pipeline(spark, sf_dir), mode="simple")
+    assert "Exchange" not in p, p
+    assert p.count("FileScan parquet") == 1, p
+
+
+def test_tx9_unigram_join_broadcasts(spark, sf_dir):
+    # The lift join attaches vocabulary-sized unigram counts: both
+    # attach joins must broadcast (vocab << corpus), never sort-merge.
+    from python_sql_datawarehouse_project_spark.operators import text
+
+    p = plan_of(text.tx9_bigram_lift(spark, sf_dir), mode="simple")
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_q10_pivot_is_single_aggregate_no_expand(spark, sf_dir):
+    # Pivot with pinned values compiles to conditional aggregates in
+    # ONE grouping pass — no Expand (grouping-set multiplication) and
+    # no extra distinct-scan job for the pivot column.
+    p = plan_of(analytics.q10_sales_pivot_year(spark, sf_dir), mode="simple")
+    assert "Expand" not in p, p
+    scans = [ln for ln in p.splitlines() if "FileScan" in ln]
+    assert len(scans) <= 3, p  # lineitem + orders + part, scanned once each
+
+
+def test_u3_u4_plan_hash_set_ops_not_nested_loop(spark, sf_dir):
+    # INTERSECT/EXCEPT must plan as hash semi/anti joins over the
+    # distinct inputs — never a cartesian/nested-loop.
+    p3 = plan_of(analytics.u3_active_both_years(spark, sf_dir), mode="simple")
+    p4 = plan_of(analytics.u4_lapsed_customers(spark, sf_dir), mode="simple")
+    for p in (p3, p4):
+        assert "CartesianProduct" not in p, p
+        assert "BroadcastNestedLoopJoin" not in p, p
+    assert "LeftSemi" in p3, p3
+    assert "LeftAnti" in p4, p4
+
+
+def test_qa5_percentiles_window_runs_over_aggregated_counts(spark, sf_dir):
+    # The nearest-rank percentile must window over (priority, value)
+    # COUNTS, not raw rows: the plan shows a HashAggregate feeding the
+    # Window, so the per-partition window input is bounded by distinct
+    # values, not table size.
+    from python_sql_datawarehouse_project_spark.operators import quality as qa
+
+    p = plan_of(qa.qa5_exact_percentiles(spark, sf_dir), mode="simple")
+    agg_pos = p.find("HashAggregate")
+    win_pos = p.find("Window")
+    assert agg_pos != -1 and win_pos != -1, p
+    # simple-mode plans print top-down: the Window operator must
+    # appear ABOVE (before) only aggregates that feed it; assert the
+    # deepest aggregate sits below the window in the tree.
+    assert p.rfind("HashAggregate") > win_pos, p
