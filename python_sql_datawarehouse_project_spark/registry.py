@@ -30,6 +30,7 @@ from .operators import (
     text,
     windows,
 )
+from .streaming import dedup as stream_dedup
 from .streaming import joins as stream_joins
 from .streaming import stateful as stream_stateful
 from .streaming import windows as stream_windows
@@ -52,6 +53,7 @@ _MODULES = (
     stream_windows,
     stream_stateful,
     stream_joins,
+    stream_dedup,
 )
 
 

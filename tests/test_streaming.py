@@ -152,3 +152,63 @@ def test_stream_first_events_state_survives_batches(spark, sf_dir, tmp_path):
             .withColumnRenamed("min(ts)", "first_ts")
         )
         assert _rows(got) == _rows(want)
+
+
+def test_stream_dedup_suppresses_across_batches(spark, sf_dir, tmp_path):
+    """Two time-ordered micro-batches: duplicates of a (user, type,
+    day) key that span the batch boundary must be suppressed by the
+    watermark state store, leaving exactly the batch DISTINCT."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from python_sql_datawarehouse_project_spark.catalog import (
+        load_table,
+        table_path,
+    )
+    from python_sql_datawarehouse_project_spark.streaming import dedup as sd
+
+    src = table_path(sf_dir, "events")
+    with sw._scoped_nanos_conf(spark):
+        raw = spark.read.parquet(src)
+        from pyspark.sql.types import LongType
+
+        if isinstance(raw.schema["ts"].dataType, LongType):
+            tsn = raw.ts.cast("double")
+        else:
+            tsn = F.unix_micros(raw.ts.cast("timestamp")).cast("double")
+        raw = raw.withColumn("_tsn", tsn)
+        cut = raw.approxQuantile("_tsn", [0.5], 0.0)[0]
+        raw_ts = raw["_tsn"]
+        stage = tmp_path / "stage"
+        stage.mkdir()
+        for i, part in enumerate(
+            (
+                raw.where(raw_ts <= cut).drop("_tsn"),
+                raw.where(raw_ts > cut).drop("_tsn"),
+            )
+        ):
+            out = tmp_path / f"half{i}"
+            part.coalesce(1).write.parquet(str(out))
+            (pf,) = glob.glob(str(out / "part-*.parquet"))
+            dst = stage / f"batch{i}.parquet"
+            shutil.move(pf, dst)
+            os.utime(dst, (1_000_000 + i * 100, 1_000_000 + i * 100))
+
+        got = sw.run_available_now(
+            spark,
+            sd.dedup_events(sw.events_stream(spark, sf_dir, str(stage))),
+            output_mode="append",
+        )
+        want = (
+            load_table(spark, sf_dir, "events")
+            .select(
+                "user_id",
+                "event_type",
+                F.date_trunc("day", F.col("ts")).alias("day"),
+            )
+            .distinct()
+        )
+        assert _rows(got) == _rows(want)
