@@ -243,13 +243,108 @@ FROM bytes,
 """
 
 
+# -- mm4: perceptual-hash image near-dup ------------------------------
+# dHash over the payload bytes: bit i compares "pixel" byte 2i vs
+# byte 2i+1 — the classic difference-hash perceptual fingerprint
+# (real deployments compute it from the decoded, downscaled image;
+# here it reads the deterministic payload so the WHOLE pipeline —
+# fingerprint, banding, Hamming verify — is real and oracled, and a
+# real decoder swaps in exactly like mm2's).
+MM4_BITS = 32
+MM4_MAX_HAMMING = 1  # 2 x 16-bit pigeonhole bands: exact for <= 1
+
+_DHASH_EXPR = (
+    f"aggregate(sequence(0, {MM4_BITS - 1}), cast(0 as bigint), (acc, i) -> "
+    "acc + if(cast(conv(substr(hx, 4 * i + 1, 2), 16, 10) as bigint) > "
+    "cast(conv(substr(hx, 4 * i + 3, 2), 16, 10) as bigint), "
+    "shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"
+)
+
+
+def mm4_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs by perceptual-hash banding: dHash each
+    image payload, band the signature 2x16 bits (dd4's pigeonhole —
+    exact for Hamming distance <= 1), verify candidates with the
+    exact bit_count(xor).  The multimodal twin of dd4: byte-identical
+    re-uploads AND (with a real decoder) re-encoded/resized copies
+    land at distance 0-1 while distinct images scatter.
+
+    Scale: the fingerprint is a per-row expression over the payload's
+    hex (no shuffle); the band self-join exchanges (doc_id, signature,
+    band_key) longs only — payload bytes never cross the wire."""
+    c = mm_corpus(spark, sf_dir)
+    imgs = c.where(F.col("meta.format").isin("png", "jpeg")).select(
+        "doc_id", F.hex("payload").alias("hx")
+    )
+    ph = imgs.select("doc_id", F.expr(_DHASH_EXPR).alias("ph"))
+    bands = ph.select(
+        "doc_id",
+        "ph",
+        F.explode(
+            F.array(
+                F.col("ph") % F.lit(1 << 16),
+                (F.col("ph") / F.lit(1 << 16)).cast("long") + F.lit(1 << 17),
+            )
+        ).alias("band_key"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("ph").alias("ph_a"), "band_key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("ph").alias("ph_b"), "band_key"
+    )
+    return (
+        a.join(b, "band_key")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))))
+        .filter(F.col("hamming") <= MM4_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+MM4_ORACLE = f"""
+WITH b AS (
+    SELECT doc_id, repeat(md5(text), 8) AS h FROM documents
+    WHERE CAST(mod(doc_id, 4) AS INT) IN (0, 1)
+),
+dh AS (
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, {MM4_BITS}), i ->
+               CASE WHEN CAST('0x' || substr(h, CAST(4 * i + 1 AS INT), 2)
+                            AS BIGINT)
+                       > CAST('0x' || substr(h, CAST(4 * i + 3 AS INT), 2)
+                            AS BIGINT)
+                    THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END))
+               AS BIGINT) AS ph
+    FROM b
+),
+bands AS (
+    SELECT doc_id, ph,
+           unnest([mod(ph, {1 << 16}), (ph // {1 << 16}) + {1 << 17}])
+               AS band_key
+    FROM dh
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+           a.ph AS ph_a, b2.ph AS ph_b
+    FROM bands a JOIN bands b2
+      ON a.band_key = b2.band_key AND a.doc_id < b2.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= {MM4_MAX_HAMMING}
+"""
+
+
 QUERIES = {
     "mm1_metadata_profile": mm1_metadata_profile,
     "mm2_decode_features": mm2_decode_features,
     "mm3_frame_sample": mm3_frame_sample,
+    "mm4_phash_neardup": mm4_phash_neardup,
 }
 ORACLES = {
     "mm1_metadata_profile": MM1_ORACLE,
     "mm2_decode_features": MM2_ORACLE,
     "mm3_frame_sample": MM3_ORACLE,
+    "mm4_phash_neardup": MM4_ORACLE,
 }
