@@ -301,6 +301,118 @@ FROM o FULL OUTER JOIN e ON o.entity_id = e.entity_id
 """
 
 
+# -- qa7: fixed-bin value histogram -----------------------------------
+HIST_WIDTH = 50.0
+HIST_BINS = 10  # domain [0, 500): last bin clamps the tail
+
+
+def qa7_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type histogram of `value` over fixed-width bins —
+    the distribution profile a quality monitor charts.  Bin edges are
+    LITERALS (floor(value/width), tail-clamped): data-derived edges
+    (min/max, quantiles) would need an extra pass and make bins drift
+    batch to batch, which defeats cross-batch comparison — the same
+    reasoning as q10's pinned pivot columns.
+
+    Scale: one map-side-combinable hash agg; output is bounded by
+    |event types| x bins.  floor(value/width) on DOUBLE is a single
+    IEEE op — bit-identical cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_col = F.least(
+        F.floor(F.col("value") / HIST_WIDTH), F.lit(HIST_BINS - 1)
+    ).cast("int")
+    return (
+        ev.groupBy("event_type", bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "bin",
+            (F.col("bin") * HIST_WIDTH).alias("bin_low"),
+            "n",
+        )
+    )
+
+
+QA7_ORACLE = f"""
+SELECT event_type,
+       CAST(least(floor(value / {HIST_WIDTH}), {HIST_BINS - 1}) AS INT) AS bin,
+       CAST(least(floor(value / {HIST_WIDTH}), {HIST_BINS - 1}) AS INT)
+           * {HIST_WIDTH} AS bin_low,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+# -- qa8: categorical drift (chi-square contributions) ----------------
+DRIFT_BASE_YEAR, DRIFT_OBS_YEAR = 1995, 1996
+
+
+def qa8_chisq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-category chi-square drift contributions between two order
+    cohorts (1995 baseline vs 1996 observed) over o_orderpriority —
+    the categorical-distribution drift monitor.  Emits PER-CATEGORY
+    contributions, not the summed statistic: the sum of doubles is
+    order-dependent and un-oracle-able, while each contribution is a
+    fixed expression tree over exact integers — (c_obs*T_base -
+    c_base*T_obs) stays in int64, is cast to DOUBLE once, squared,
+    and divided by the exact int64 denominator (identical op order on
+    both engines).  Consumers sum (or max) the 5 rows driver-side.
+
+    Scale: one conditional-count hash agg + a broadcast of the 1-row
+    totals — same cost class as any grouped count."""
+    orders = load_table(spark, sf_dir, "orders")
+    yr = F.year(F.col("o_orderdate").cast("date"))
+    base = F.sum(F.when(yr == DRIFT_BASE_YEAR, 1).otherwise(0)).alias("c_base")
+    obs = F.sum(F.when(yr == DRIFT_OBS_YEAR, 1).otherwise(0)).alias("c_obs")
+    agg = (
+        orders.where(yr.isin(DRIFT_BASE_YEAR, DRIFT_OBS_YEAR))
+        .groupBy("o_orderpriority")
+        .agg(base, obs)
+    )
+    tot = agg.agg(
+        F.sum("c_base").alias("t_base"), F.sum("c_obs").alias("t_obs")
+    )
+    j = agg.crossJoin(F.broadcast(tot))
+    diff = F.col("c_obs") * F.col("t_base") - F.col("c_base") * F.col("t_obs")
+    denom = F.col("c_base") * F.col("t_obs") * F.col("t_base")
+    return j.select(
+        "o_orderpriority",
+        "c_base",
+        "c_obs",
+        (
+            diff.cast("double") * diff.cast("double") / denom.cast("double")
+        ).alias("chisq_contrib"),
+    )
+
+
+QA8_ORACLE = f"""
+WITH agg AS (
+    SELECT o_orderpriority,
+           SUM(CASE WHEN EXTRACT(year FROM CAST(o_orderdate AS DATE))
+                    = {DRIFT_BASE_YEAR} THEN 1 ELSE 0 END) AS c_base,
+           SUM(CASE WHEN EXTRACT(year FROM CAST(o_orderdate AS DATE))
+                    = {DRIFT_OBS_YEAR} THEN 1 ELSE 0 END) AS c_obs
+    FROM orders
+    WHERE EXTRACT(year FROM CAST(o_orderdate AS DATE))
+          IN ({DRIFT_BASE_YEAR}, {DRIFT_OBS_YEAR})
+    GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(c_base) AS BIGINT) AS t_base,
+           CAST(SUM(c_obs) AS BIGINT) AS t_obs
+    FROM agg
+)
+SELECT o_orderpriority,
+       CAST(c_base AS BIGINT) AS c_base,
+       CAST(c_obs AS BIGINT) AS c_obs,
+       CAST(c_obs * t_base - c_base * t_obs AS DOUBLE)
+           * CAST(c_obs * t_base - c_base * t_obs AS DOUBLE)
+           / CAST(c_base * t_obs * t_base AS DOUBLE) AS chisq_contrib
+FROM agg CROSS JOIN tot
+"""
+
+
 QUERIES = {
     "qa1_null_profile": qa1_null_profile,
     "qa2_dup_keys": qa2_dup_keys,
@@ -308,6 +420,8 @@ QUERIES = {
     "qa4_kmv_distinct": qa4_kmv_distinct,
     "qa5_exact_percentiles": qa5_exact_percentiles,
     "qa6_order_event_reconcile": qa6_order_event_reconcile,
+    "qa7_value_histogram": qa7_value_histogram,
+    "qa8_chisq_drift": qa8_chisq_drift,
 }
 ORACLES = {
     "qa1_null_profile": QA1_ORACLE,
@@ -316,4 +430,6 @@ ORACLES = {
     "qa4_kmv_distinct": QA4_ORACLE,
     "qa5_exact_percentiles": QA5_ORACLE,
     "qa6_order_event_reconcile": QA6_ORACLE,
+    "qa7_value_histogram": QA7_ORACLE,
+    "qa8_chisq_drift": QA8_ORACLE,
 }
