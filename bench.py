@@ -67,6 +67,7 @@ def main() -> None:
         total += dt
 
     _warn_regressions(timings)
+    _record_history(timings, sf)
 
     print(
         json.dumps(
@@ -81,28 +82,64 @@ def main() -> None:
     )
 
 
+_HISTORY = "BENCH_HISTORY.json"
+
+
+def _record_history(timings: dict[str, float], sf) -> None:
+    """Append this run's per-query timings to BENCH_HISTORY.json (a
+    list of runs, newest last).  The driver's BENCH_r*.json wrappers
+    truncate stdout and may drop the queries map, so the repo keeps
+    its own per-query record for cross-round comparison."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(here, _HISTORY)
+    try:
+        with open(path) as f:
+            hist = json.load(f)
+    except (OSError, ValueError):
+        hist = []
+    hist.append({"sf": sf, "queries": timings})
+    hist = hist[-20:]  # bounded
+    try:
+        with open(path, "w") as f:
+            json.dump(hist, f, indent=1)
+    except OSError:
+        pass
+
+
 def _warn_regressions(timings: dict[str, float], factor: float = 1.5) -> None:
-    """Compare per-query times against the newest BENCH_r*.json from a
-    prior round and warn (stderr, never the JSON line) on >factor
-    slowdowns — keeps per-round perf honest without failing the run on
-    a noisy-load machine."""
+    """Compare per-query times against the newest prior record —
+    BENCH_HISTORY.json (repo-kept, always has the queries map) or a
+    driver BENCH_r*.json — and warn (stderr, never the JSON line) on
+    >factor slowdowns.  Warn-only: single-sample local numbers swing
+    up to ~2x with box noise (PERF.md)."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    prior = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-    if not prior:
-        return
+    old: dict[str, float] = {}
+    src = _HISTORY
     try:
-        with open(prior[-1]) as f:
-            old = json.load(f).get("queries", {})
+        with open(os.path.join(here, _HISTORY)) as f:
+            hist = json.load(f)
+        if hist:
+            old = hist[-1].get("queries", {})
     except (OSError, ValueError):
-        return
+        pass
+    if not old:
+        prior = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+        if not prior:
+            return
+        src = os.path.basename(prior[-1])
+        try:
+            with open(prior[-1]) as f:
+                old = json.load(f).get("queries", {})
+        except (OSError, ValueError):
+            return
     for name, t in sorted(timings.items()):
         ref = old.get(name)
         if ref and ref > 0.05 and t > factor * ref:
             print(
                 f"bench: REGRESSION {name}: {t:.3f}s vs {ref:.3f}s "
-                f"in {os.path.basename(prior[-1])} ({t / ref:.2f}x)",
+                f"in {src} ({t / ref:.2f}x)",
                 file=sys.stderr,
             )
 
