@@ -845,6 +845,67 @@ WHERE CAST(len(list_intersect(hs_a, hs_b)) AS DOUBLE)
 """
 
 
+# -- dd9: blocked-Levenshtein fuzzy matching --------------------------
+DD9_PREFIX = 40
+DD9_MAX_DIST = 10
+DD9_BLOCK_CHARS = 16
+
+
+def dd9_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic entity-resolution shape: blocking + edit-distance
+    scoring.  Documents are blocked on (lang, length bucket); within
+    a block, pairs whose PREFIX edit distance is <= DD9_MAX_DIST
+    match.  The prefix cap bounds the O(m*n) Levenshtein DP per pair
+    (full-text edit distance on long documents is quadratic in doc
+    length — never do that; near-identical docs are near-identical in
+    their prefix, and dd2/dd8 cover content-level similarity).
+
+    Honest recall note (standard blocking trade): a true pair whose
+    lengths straddle a bucket boundary is missed; production ER runs
+    2-3 complementary blockings (length, sorted-token prefix,
+    phonetic key) and unions candidates — each is this same plan with
+    a different block key.  Both engines score the identical blocked
+    candidate set, so the gate checks the scoring exactly.
+
+    Scale: the self-join key (lang, bucket) bounds candidates per
+    block; the Levenshtein filter evaluates BEFORE the score is
+    projected (survivor-only re-eval, the _exact_rescore lesson)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(f"n_chars div {DD9_BLOCK_CHARS}").alias("blk"),
+        F.substring("text", 1, DD9_PREFIX).alias("pfx"),
+    )
+    a = d.select(
+        "lang", "blk", F.col("doc_id").alias("doc_a"), F.col("pfx").alias("pfx_a")
+    )
+    b = d.select(
+        "lang", "blk", F.col("doc_id").alias("doc_b"), F.col("pfx").alias("pfx_b")
+    )
+    dist = F.levenshtein("pfx_a", "pfx_b")
+    return (
+        a.join(b, ["lang", "blk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(dist <= DD9_MAX_DIST)
+        .select("doc_a", "doc_b", dist.alias("dist"))
+    )
+
+
+DD9_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, lang, n_chars // {DD9_BLOCK_CHARS} AS blk,
+           substr(text, 1, {DD9_PREFIX}) AS pfx
+    FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.pfx, b.pfx) AS INT) AS dist
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.pfx, b.pfx) <= {DD9_MAX_DIST}
+"""
+
+
 QUERIES = {
     "dd1_exact_dedup": dd1_exact_dedup,
     "dd2_ngram_jaccard_pairs": dd2_ngram_jaccard_pairs,
@@ -854,6 +915,7 @@ QUERIES = {
     "dd6_embedding_neardup_lsh": dd6_embedding_neardup_lsh,
     "dd7_dup_clusters": dd7_dup_clusters,
     "dd8_containment_pairs": dd8_containment_pairs,
+    "dd9_fuzzy_pairs": dd9_fuzzy_pairs,
 }
 ORACLES = {
     "dd1_exact_dedup": DD1_ORACLE,
@@ -864,4 +926,5 @@ ORACLES = {
     "dd6_embedding_neardup_lsh": DD6_ORACLE,
     "dd7_dup_clusters": DD7_ORACLE,
     "dd8_containment_pairs": DD8_ORACLE,
+    "dd9_fuzzy_pairs": DD9_ORACLE,
 }

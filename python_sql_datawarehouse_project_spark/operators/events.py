@@ -333,6 +333,67 @@ FROM active a JOIN sizes s ON a.cohort_day = s.cohort_day
 """
 
 
+# -- ev7: event-type transition matrix --------------------------------
+def ev7_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: counts and conditional probabilities of event_type B
+    immediately following A — the sequence-mining complement to ev5's
+    fixed funnel (which paths actually happen, not just the one we
+    ask about).
+
+    Determinism: the LAG window orders by (ts, event_id) — a total
+    order; ts alone ties under same-timestamp events and the previous
+    type becomes engine-dependent.  p = one BIGINT/BIGINT division.
+    Scale: one shuffle on user_id for the window (each user's
+    sequence is processed within its partition), then two
+    vocabulary-bounded aggs; the transition matrix is |types|^2
+    rows."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev"),
+    ).where(F.col("prev").isNotNull())
+    cnt = t.groupBy(
+        F.col("prev").alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    tot = cnt.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("n_from")
+    )
+    return cnt.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (F.col("n_transitions").cast("double") / F.col("n_from")).alias("p"),
+    )
+
+
+EV7_ORACLE = """
+WITH t AS (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+),
+cnt AS (
+    SELECT prev AS from_type, event_type AS to_type,
+           COUNT(*) AS n_transitions
+    FROM t WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+tot AS (
+    SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS n_from
+    FROM cnt GROUP BY 1
+)
+SELECT c.from_type, c.to_type, c.n_transitions,
+       CAST(c.n_transitions AS DOUBLE) / t2.n_from AS p
+FROM cnt c JOIN tot t2 ON c.from_type = t2.from_type
+"""
+
+
 QUERIES = {
     "ev1_tumbling_hourly": ev1_tumbling_hourly,
     "ev2_sliding_windows": ev2_sliding_windows,
@@ -340,6 +401,7 @@ QUERIES = {
     "ev4_props_json": ev4_props_json,
     "ev5_funnel": ev5_funnel,
     "ev6_cohort_retention": ev6_cohort_retention,
+    "ev7_transition_matrix": ev7_transition_matrix,
 }
 ORACLES = {
     "ev1_tumbling_hourly": EV1_ORACLE,
@@ -348,4 +410,5 @@ ORACLES = {
     "ev4_props_json": EV4_ORACLE,
     "ev5_funnel": EV5_ORACLE,
     "ev6_cohort_retention": EV6_ORACLE,
+    "ev7_transition_matrix": EV7_ORACLE,
 }
