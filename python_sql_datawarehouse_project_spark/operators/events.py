@@ -394,6 +394,75 @@ FROM cnt c JOIN tot t2 ON c.from_type = t2.from_type
 """
 
 
+# -- ev8: rolling 7-day window over daily aggregates ------------------
+ROLL_DAYS = 7
+_EPOCH = "2024-01-01"  # day-number origin (any fixed date works)
+
+
+def ev8_rolling_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type rolling 7-day totals: aggregate to daily grain
+    first, then a RANGE frame (6 preceding days + current) over an
+    integer day number — the standard trailing-window KPI.
+
+    The RANGE frame is over a DAY NUMBER, not ROWS: a ROWS frame
+    silently mis-windows whenever a day has no events (the frame
+    would reach back 7 *rows* = more than 7 days).  Determinism: the
+    daily roll-up is DECIMAL (order-independent), and the rolling
+    re-aggregation sums <= 7 DECIMALs inside the frame — still exact;
+    cast to DOUBLE only in the final projection.
+
+    Scale: the window partitions by event_type over DAILY rows (365
+    rows/type/year) — after the daily hash agg collapses the raw
+    stream, the window input is tiny regardless of event volume."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_dec").alias("day_value_d"),
+    )
+    daily = daily.withColumn(
+        "day_num", F.datediff("day", F.lit(_EPOCH).cast("date"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_num")
+        .rangeBetween(-(ROLL_DAYS - 1), 0)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.sum("n_events").over(w).alias("rolling_events"),
+        F.sum("day_value_d").over(w).cast("double").alias("rolling_value"),
+    )
+
+
+EV8_ORACLE = f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           COUNT(*) AS n_events,
+           SUM(CAST(value AS DECIMAL(18,6))) AS day_value_d,
+           date_diff('day', DATE '{_EPOCH}', CAST(ts AS DATE)) AS day_num
+    FROM events
+    GROUP BY 1, 2, 5
+)
+SELECT event_type, day, n_events,
+       SUM(n_events) OVER (
+           PARTITION BY event_type ORDER BY day_num
+           RANGE BETWEEN {ROLL_DAYS - 1} PRECEDING AND CURRENT ROW)
+           AS rolling_events,
+       CAST(SUM(day_value_d) OVER (
+           PARTITION BY event_type ORDER BY day_num
+           RANGE BETWEEN {ROLL_DAYS - 1} PRECEDING AND CURRENT ROW)
+           AS DOUBLE) AS rolling_value
+FROM daily
+"""
+
+
 QUERIES = {
     "ev1_tumbling_hourly": ev1_tumbling_hourly,
     "ev2_sliding_windows": ev2_sliding_windows,
@@ -402,6 +471,7 @@ QUERIES = {
     "ev5_funnel": ev5_funnel,
     "ev6_cohort_retention": ev6_cohort_retention,
     "ev7_transition_matrix": ev7_transition_matrix,
+    "ev8_rolling_7day": ev8_rolling_7day,
 }
 ORACLES = {
     "ev1_tumbling_hourly": EV1_ORACLE,
@@ -411,4 +481,5 @@ ORACLES = {
     "ev5_funnel": EV5_ORACLE,
     "ev6_cohort_retention": EV6_ORACLE,
     "ev7_transition_matrix": EV7_ORACLE,
+    "ev8_rolling_7day": EV8_ORACLE,
 }
