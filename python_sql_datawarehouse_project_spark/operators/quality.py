@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions import hashing as H
 
 
 # -- qa1: single-pass null/blank profile ------------------------------
@@ -413,6 +414,86 @@ FROM agg CROSS JOIN tot
 """
 
 
+# -- qa9: Count-Min heavy hitters -------------------------------------
+CMS_DEPTH = 4
+CMS_WIDTH = 64  # test-scale; production uses 2^16-2^20 buckets/row
+
+
+def qa9_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch frequency estimates for every user in the
+    event stream, alongside the exact counts (the sketch-quality
+    exhibit, same contract as qa4's KMV).  CMS is the mergeable
+    heavy-hitter sketch: D x W integer counters, update = +1 at
+    (d, h_d(x)), estimate = min over d — counters from different
+    partitions/days/streams ADD, which is what makes it a
+    pre-aggregable warehouse primitive where an exact per-key count
+    over an open key domain is not.
+
+    Determinism: bucket hashes are md5-derived (engine-portable by
+    functions/hashing.py's contract) and every counter is an integer
+    SUM — the sketch and its estimates hash-match DuckDB exactly.
+    Overestimation (est >= exact, whp within 2N/W) is visible in the
+    output by construction.
+
+    Scale: the update pass is one map-side-combinable groupBy on
+    (d, bucket) — the exchanged state is D*W counters TOTAL,
+    independent of stream size; estimates then broadcast-join that
+    tiny table to the distinct keys."""
+    from ..functions import hashing as H
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    d_col = F.explode(
+        F.array(*[F.lit(i) for i in range(CMS_DEPTH)])
+    ).alias("d")
+    bucket = (
+        H.md5_long(F.concat_ws(":", F.col("d"), F.col("k"))) % CMS_WIDTH
+    ).alias("bucket")
+    cms = (
+        ev.select("k", d_col)
+        .select("d", bucket)
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = ev.groupBy("k").agg(F.count(F.lit(1)).alias("exact_n"))
+    kb = exact.select("k", d_col).select(
+        "k", "d", bucket
+    )
+    est = (
+        kb.join(F.broadcast(cms), ["d", "bucket"])
+        .groupBy("k")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return exact.join(est, "k").select(
+        F.col("k").cast("long").alias("user_id"), "exact_n", "cms_est"
+    )
+
+
+QA9_ORACLE = f"""
+WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+upd AS (
+    SELECT d, mod({H.sql_md5_long("CAST(d AS VARCHAR) || ':' || k")},
+                  {CMS_WIDTH}) AS bucket
+    FROM ev, (SELECT unnest(range(0, {CMS_DEPTH})) AS d)
+),
+cms AS (SELECT d, bucket, COUNT(*) AS c FROM upd GROUP BY 1, 2),
+exact AS (SELECT k, COUNT(*) AS exact_n FROM ev GROUP BY 1),
+kb AS (
+    SELECT k, d, mod({H.sql_md5_long("CAST(d AS VARCHAR) || ':' || k")},
+                     {CMS_WIDTH}) AS bucket
+    FROM exact, (SELECT unnest(range(0, {CMS_DEPTH})) AS d)
+),
+est AS (
+    SELECT kb.k, MIN(cms.c) AS cms_est
+    FROM kb JOIN cms ON kb.d = cms.d AND kb.bucket = cms.bucket
+    GROUP BY 1
+)
+SELECT CAST(exact.k AS BIGINT) AS user_id, exact.exact_n, est.cms_est
+FROM exact JOIN est ON exact.k = est.k
+"""
+
+
 QUERIES = {
     "qa1_null_profile": qa1_null_profile,
     "qa2_dup_keys": qa2_dup_keys,
@@ -422,6 +503,7 @@ QUERIES = {
     "qa6_order_event_reconcile": qa6_order_event_reconcile,
     "qa7_value_histogram": qa7_value_histogram,
     "qa8_chisq_drift": qa8_chisq_drift,
+    "qa9_cms_heavy_hitters": qa9_cms_heavy_hitters,
 }
 ORACLES = {
     "qa1_null_profile": QA1_ORACLE,
@@ -432,4 +514,5 @@ ORACLES = {
     "qa6_order_event_reconcile": QA6_ORACLE,
     "qa7_value_histogram": QA7_ORACLE,
     "qa8_chisq_drift": QA8_ORACLE,
+    "qa9_cms_heavy_hitters": QA9_ORACLE,
 }
