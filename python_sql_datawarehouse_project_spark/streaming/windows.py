@@ -105,6 +105,19 @@ def stream_run_scope(spark: SparkSession, src: str):
         yield stage
 
 
+def _fast_tmpdir() -> str:
+    """tmpfs when available (/dev/shm), else the default temp dir.
+    The AvailableNow drain is the LOCAL harness mode and its
+    checkpoint/staging state is per-run scratch — ~2 s of each drained
+    stream gate was checkpoint fsync on the disk-backed /tmp.  A real
+    cluster run points checkpointLocation at durable shared storage
+    instead; this helper only routes the throwaway local case."""
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        return shm
+    return tempfile.gettempdir()
+
+
 @contextlib.contextmanager
 def _staged_source_dir(src: str):
     """Per-run staging directory holding a symlink to the source file.
@@ -115,7 +128,9 @@ def _staged_source_dir(src: str):
     — a shared cached dir would serve stale links if sf_dir content
     changed between runs.
     """
-    stage = tempfile.mkdtemp(prefix="spark-graft-stream-src-")
+    stage = tempfile.mkdtemp(
+        prefix="spark-graft-stream-src-", dir=_fast_tmpdir()
+    )
     try:
         os.symlink(src, os.path.join(stage, os.path.basename(src)))
         yield stage
@@ -206,7 +221,7 @@ def run_available_now(
     to a watermark that only advances between micro-batches).
     """
     qname = name or f"stream_{uuid.uuid4().hex[:8]}"
-    ckpt = os.path.join(tempfile.gettempdir(), "spark-graft-ckpt", qname)
+    ckpt = os.path.join(_fast_tmpdir(), "spark-graft-ckpt", qname)
     q = (
         result.writeStream.format("memory")
         .queryName(qname)
