@@ -252,13 +252,59 @@ FROM metrics
 """
 
 
+# -- ds4: exact-size stratified sample --------------------------------
+DS4_K = 25
+
+
+def ds4_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly DS4_K documents per language, picked by md5-hash order
+    — the fixed-size eval-set / holdout cut.  ds1's hash gate gives a
+    BINOMIAL sample (size varies batch to batch); ranking by hash
+    gives exact strata sizes while keeping every other property
+    (uniform, deterministic, reproducible on re-runs and across
+    engines, and stable under partitioning because rank depends only
+    on doc_id).
+
+    Determinism: the rank order ties are impossible (md5 of distinct
+    doc_ids; doc_id itself is the final tiebreak anyway).
+    Scale: one hash shuffle on lang for the rank window; per-language
+    partitions hold only that language's docs.  For heavily skewed
+    strata at corpus scale, the qa5 cumulative-counts trick replaces
+    the window (rank k-th hash by counts) — same output."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    h = H.md5_long(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= DS4_K)
+        .select("doc_id", "lang", "rk")
+    )
+
+
+DS4_ORACLE = f"""
+SELECT doc_id, lang, rk FROM (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {H.sql_md5_long("CAST(doc_id AS VARCHAR)")}, doc_id
+           ) AS rk
+    FROM documents
+)
+WHERE rk <= {DS4_K}
+"""
+
+
 QUERIES = {
     "ds1_training_mix": ds1_training_mix,
     "ds2_token_budget": ds2_token_budget,
     "ds3_filter_pipeline": ds3_filter_pipeline,
+    "ds4_stratified_sample": ds4_stratified_sample,
 }
 ORACLES = {
     "ds1_training_mix": DS1_ORACLE,
     "ds2_token_budget": _ds2_oracle(),
     "ds3_filter_pipeline": _ds3_oracle(),
+    "ds4_stratified_sample": DS4_ORACLE,
 }

@@ -494,6 +494,52 @@ FROM exact JOIN est ON exact.k = est.k
 """
 
 
+# -- qa10: join-explosion pre-flight probe ----------------------------
+# Binds at every test SF (p90 of the key products is ~900 at sf0.01);
+# production sets this to the per-key output-row budget.
+QA10_PRODUCT_T = 900
+
+
+def qa10_join_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew probe: for a planned orders⋈events join on the
+    customer/user key, the keys whose output contribution
+    (n_orders x n_events) exceeds a threshold — the check a pipeline
+    runs BEFORE a big join to decide salting / skew hints, and the
+    observability a post-mortem wants after an exploded join.
+
+    Scale: two map-side-combinable grouped counts (each bounded by
+    |keys|), one inner hash join of the two count tables — the probe
+    costs two scans and never materializes the join it is sizing."""
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    o = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    e = events.groupBy(F.col("user_id").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return (
+        o.join(e, "k")
+        .withColumn("out_rows", F.col("n_orders") * F.col("n_events"))
+        .where(F.col("out_rows") >= QA10_PRODUCT_T)
+        .select(F.col("k").alias("join_key"), "n_orders", "n_events", "out_rows")
+    )
+
+
+QA10_ORACLE = f"""
+WITH o AS (
+    SELECT o_custkey AS k, COUNT(*) AS n_orders FROM orders GROUP BY 1
+),
+e AS (
+    SELECT user_id AS k, COUNT(*) AS n_events FROM events GROUP BY 1
+)
+SELECT o.k AS join_key, o.n_orders, e.n_events,
+       o.n_orders * e.n_events AS out_rows
+FROM o JOIN e ON o.k = e.k
+WHERE o.n_orders * e.n_events >= {QA10_PRODUCT_T}
+"""
+
+
 QUERIES = {
     "qa1_null_profile": qa1_null_profile,
     "qa2_dup_keys": qa2_dup_keys,
@@ -504,6 +550,7 @@ QUERIES = {
     "qa7_value_histogram": qa7_value_histogram,
     "qa8_chisq_drift": qa8_chisq_drift,
     "qa9_cms_heavy_hitters": qa9_cms_heavy_hitters,
+    "qa10_join_explosion": qa10_join_explosion,
 }
 ORACLES = {
     "qa1_null_profile": QA1_ORACLE,
@@ -515,4 +562,5 @@ ORACLES = {
     "qa7_value_histogram": QA7_ORACLE,
     "qa8_chisq_drift": QA8_ORACLE,
     "qa9_cms_heavy_hitters": QA9_ORACLE,
+    "qa10_join_explosion": QA10_ORACLE,
 }

@@ -410,3 +410,53 @@ def test_qa5_percentiles_window_runs_over_aggregated_counts(spark, sf_dir):
     # appear ABOVE (before) only aggregates that feed it; assert the
     # deepest aggregate sits below the window in the tree.
     assert p.rfind("HashAggregate") > win_pos, p
+
+
+def test_mm4_band_join_never_ships_payload(spark, sf_dir):
+    # The perceptual-hash band join must exchange (id, signature,
+    # band_key) longs only — the binary payload column must not
+    # appear in any Exchange input, and no nested loop may form.
+    from python_sql_datawarehouse_project_spark.operators import multimodal
+
+    p = plan_of(multimodal.mm4_phash_neardup(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    for ln in p.splitlines():
+        if "Exchange" in ln:
+            assert "payload" not in ln, ln
+
+
+def test_dd9_blocking_is_equi_join(spark, sf_dir):
+    # Blocked ER must plan an EQUI join on (lang, block); a cartesian
+    # or pure-theta nested loop means blocking silently degraded.
+    from python_sql_datawarehouse_project_spark.operators import dedup as dd
+
+    p = plan_of(dd.dd9_fuzzy_pairs(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    joins = [ln for ln in p.splitlines() if "Join" in ln and "blk#" in ln]
+    assert joins, p
+
+
+def test_qa9_cms_state_is_aggregated_before_join(spark, sf_dir):
+    # The CMS update pass must reduce to (d, bucket) counters BEFORE
+    # any join: the estimate join's build side is the D*W counter
+    # table, never the raw event stream.
+    from python_sql_datawarehouse_project_spark.operators import quality as qa
+
+    p = plan_of(qa.qa9_cms_heavy_hitters(spark, sf_dir), mode="simple")
+    assert "BroadcastHashJoin" in p, p
+    # the counter aggregate must appear below the join in the tree
+    join_pos = p.find("BroadcastHashJoin")
+    assert "HashAggregate" in p[join_pos:], p
+
+
+def test_ev8_window_runs_over_daily_aggregate(spark, sf_dir):
+    # The rolling KPI must window over DAILY rows (post-aggregate),
+    # not raw events: a HashAggregate must sit below the Window.
+    from python_sql_datawarehouse_project_spark.operators import events as evm
+
+    p = plan_of(evm.ev8_rolling_7day(spark, sf_dir), mode="simple")
+    win_pos = p.find("Window")
+    assert win_pos != -1, p
+    assert "HashAggregate" in p[win_pos:], p
