@@ -463,6 +463,35 @@ FROM daily
 """
 
 
+# -- ev9: hourly active users (windowed COUNT DISTINCT) ---------------
+def ev9_hourly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-user counts per hour — the DAU/HAU metric, i.e. COUNT
+    DISTINCT inside time windows.  Formulated as distinct-then-count:
+    first reduce to distinct (hour, user) pairs (map-side combinable,
+    the dedup happens before the exchange), then a plain count per
+    hour.  The single-step COUNT(DISTINCT) formulation plans an
+    Expand that carries every raw event through the shuffle; at
+    stream scale the two-step is the difference between exchanging
+    |hours x users| and |events| rows.  qa4's KMV is the sketch
+    alternative when exact distincts stop being worth it."""
+    ev = load_table(spark, sf_dir, "events")
+    hu = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "user_id"
+    ).distinct()
+    return hu.groupBy("hour").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )
+
+
+EV9_ORACLE = """
+WITH hu AS (
+    SELECT DISTINCT date_trunc('hour', ts) AS hour, user_id FROM events
+)
+SELECT hour, COUNT(*) AS active_users
+FROM hu GROUP BY 1
+"""
+
+
 QUERIES = {
     "ev1_tumbling_hourly": ev1_tumbling_hourly,
     "ev2_sliding_windows": ev2_sliding_windows,
@@ -472,6 +501,7 @@ QUERIES = {
     "ev6_cohort_retention": ev6_cohort_retention,
     "ev7_transition_matrix": ev7_transition_matrix,
     "ev8_rolling_7day": ev8_rolling_7day,
+    "ev9_hourly_active_users": ev9_hourly_active_users,
 }
 ORACLES = {
     "ev1_tumbling_hourly": EV1_ORACLE,
@@ -482,4 +512,5 @@ ORACLES = {
     "ev6_cohort_retention": EV6_ORACLE,
     "ev7_transition_matrix": EV7_ORACLE,
     "ev8_rolling_7day": EV8_ORACLE,
+    "ev9_hourly_active_users": EV9_ORACLE,
 }
