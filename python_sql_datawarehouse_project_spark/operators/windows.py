@@ -158,15 +158,54 @@ FROM spend
 """
 
 
+def w5_spend_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's spend percentile via PERCENT_RANK (plus
+    CUME_DIST) — the continuous segmentation complement to w4's
+    NTILE quartiles.
+
+    Determinism: both functions are rank arithmetic over the window
+    ORDER BY — (rank-1)/(n-1) and rank_last/n — so with the total
+    (spend, customer) order the doubles are single exact-int
+    divisions, bit-identical cross-engine.  Same dim-scale
+    unpartitioned-window contract as w3/w4."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend_d")
+    )
+    w = Window.orderBy(F.desc("spend_d"), F.col("o_custkey"))
+    return spend.select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("spend_d").cast("double").alias("total_spend"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+    )
+
+
+W5_ORACLE = """
+WITH spend AS (
+    SELECT o_custkey,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_d
+    FROM orders GROUP BY 1
+)
+SELECT o_custkey AS customer_id,
+       CAST(spend_d AS DOUBLE) AS total_spend,
+       PERCENT_RANK() OVER (ORDER BY spend_d DESC, o_custkey) AS pct_rank,
+       CUME_DIST() OVER (ORDER BY spend_d DESC, o_custkey) AS cume_dist
+FROM spend
+"""
+
+
 QUERIES = {
     "w1_dedup_keep_latest": w1_dedup_keep_latest,
     "w2_lead_end_dating": w2_lead_end_dating,
     "w3_surrogate_keys": w3_surrogate_keys,
     "w4_ntile_spend_quartiles": w4_ntile_spend_quartiles,
+    "w5_spend_percentile": w5_spend_percentile,
 }
 ORACLES = {
     "w1_dedup_keep_latest": W1_ORACLE,
     "w2_lead_end_dating": W2_ORACLE,
     "w3_surrogate_keys": W3_ORACLE,
     "w4_ntile_spend_quartiles": W4_ORACLE,
+    "w5_spend_percentile": W5_ORACLE,
 }
