@@ -540,6 +540,56 @@ WHERE o.n_orders * e.n_events >= {QA10_PRODUCT_T}
 """
 
 
+# -- qa11: functional-dependency profile ------------------------------
+def qa11_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does X functionally determine Y?  The FD-discovery primitive of
+    a data profiler, here checking o_custkey -> o_orderpriority (a
+    candidate a profiler would test and REJECT — customers order under
+    many priorities): one row with how many keys exist, how many
+    violate (|distinct Y| > 1), the worst key's distinct-Y count, and
+    the violation rate.  An FD that holds is a join-safety /
+    normalization fact; the violation count is the data-debt metric.
+
+    Scale: one (X, Y)-distinct reduction (map-side combinable), one
+    grouped count over it, one global fold to a single row — the same
+    two-level distinct-then-count shape as ev9, never a COUNT
+    DISTINCT Expand of the raw table."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_key = (
+        orders.select("o_custkey", "o_orderpriority")
+        .distinct()
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_y"))
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.when(F.col("n_y") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violating"),
+        F.max("n_y").alias("max_distinct_y"),
+        (
+            F.sum(F.when(F.col("n_y") > 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("violation_rate"),
+    )
+
+
+QA11_ORACLE = """
+WITH per_key AS (
+    SELECT o_custkey, COUNT(*) AS n_y
+    FROM (SELECT DISTINCT o_custkey, o_orderpriority FROM orders)
+    GROUP BY 1
+)
+SELECT COUNT(*) AS n_keys,
+       CAST(SUM(CASE WHEN n_y > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating,
+       MAX(n_y) AS max_distinct_y,
+       CAST(SUM(CASE WHEN n_y > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+           AS violation_rate
+FROM per_key
+"""
+
+
 QUERIES = {
     "qa1_null_profile": qa1_null_profile,
     "qa2_dup_keys": qa2_dup_keys,
@@ -551,6 +601,7 @@ QUERIES = {
     "qa8_chisq_drift": qa8_chisq_drift,
     "qa9_cms_heavy_hitters": qa9_cms_heavy_hitters,
     "qa10_join_explosion": qa10_join_explosion,
+    "qa11_fd_profile": qa11_fd_profile,
 }
 ORACLES = {
     "qa1_null_profile": QA1_ORACLE,
@@ -563,4 +614,5 @@ ORACLES = {
     "qa8_chisq_drift": QA8_ORACLE,
     "qa9_cms_heavy_hitters": QA9_ORACLE,
     "qa10_join_explosion": QA10_ORACLE,
+    "qa11_fd_profile": QA11_ORACLE,
 }

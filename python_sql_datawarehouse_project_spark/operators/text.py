@@ -745,6 +745,58 @@ r{k} AS (
 TX10_ORACLE = _tx10_oracle()
 
 
+# -- tx11: vocabulary statistics per source ---------------------------
+def tx11_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus vocabulary profile: token count, type count
+    (distinct words), hapax count (words seen exactly once in that
+    source), type-token ratio and hapax share — the lexical-diversity
+    fingerprint that separates template/boilerplate sources (low TTR)
+    from organic text, and the Heaps'-law input for vocabulary-growth
+    monitoring as a corpus scales.
+
+    Scale: one explode + (source, word) count (map-side combinable;
+    bounded by |sources| x vocab), then a per-source fold.  Ratios
+    are single exact-int divisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("source", F.explode(_tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return wc.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+        (F.count(F.lit(1)).cast("double") / F.sum("c")).alias("ttr"),
+        (
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("hapax_share"),
+    )
+
+
+TX11_ORACLE = f"""
+WITH wc AS (
+    SELECT source, w, COUNT(*) AS c
+    FROM (
+        SELECT source, unnest({_sql_tokens('text')}) AS w FROM documents
+    )
+    GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_types,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(COUNT(*) AS DOUBLE) / SUM(c) AS ttr,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+           AS hapax_share
+FROM wc
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "tx1_token_count": tx1_token_count,
     "tx2_quality_score": tx2_quality_score,
@@ -756,6 +808,7 @@ QUERIES = {
     "tx8_chunks": tx8_chunks,
     "tx9_bigram_lift": tx9_bigram_lift,
     "tx10_textrank": tx10_textrank,
+    "tx11_vocab_stats": tx11_vocab_stats,
 }
 ORACLES = {
     "tx1_token_count": TX1_ORACLE,
@@ -768,4 +821,5 @@ ORACLES = {
     "tx8_chunks": TX8_ORACLE,
     "tx9_bigram_lift": TX9_ORACLE,
     "tx10_textrank": TX10_ORACLE,
+    "tx11_vocab_stats": TX11_ORACLE,
 }
