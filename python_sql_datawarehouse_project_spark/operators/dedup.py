@@ -906,6 +906,81 @@ WHERE levenshtein(a.pfx, b.pfx) <= {DD9_MAX_DIST}
 """
 
 
+# -- dd10: sorted-neighborhood fuzzy matching -------------------------
+DD10_WINDOW = 8  # compare each doc with its next 8 sort neighbors
+
+
+def dd10_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER classic ER candidate generator: sort the records on
+    a similarity-correlated key ((lang, n_chars, doc_id) here), then
+    compare each record only with its next DD10_WINDOW sort
+    neighbors.  Complements dd9's disjoint length-bucket blocking —
+    the sliding window catches exactly the near-boundary pairs a
+    bucket edge splits; production ER unions both candidate sets.
+
+    Plan shape: the rank-offset join is a PURE EQUI-join — each left
+    row explodes into (rank + o) probes for o in 1..W, joined on
+    (lang, rank) — never a range/theta join (a BETWEEN on rank plans
+    a nested loop or a skewed sort-merge + filter; the offset explode
+    is W x |docs| rows of a few columns, bounded and shuffle-friendly)
+    — and the scoring filter evaluates before the score projection
+    (the _exact_rescore lesson).  The per-lang rank window is
+    dim-scale here; at corpus scale the rank comes from a
+    range-partitioned sort + per-partition offsets instead of one
+    window partition per language."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "lang",
+        "n_chars",
+        "doc_id",
+        F.substring("text", 1, DD9_PREFIX).alias("pfx"),
+        F.row_number().over(w).alias("rn"),
+    )
+    probes = ranked.select(
+        "lang",
+        F.col("doc_id").alias("doc_a"),
+        F.col("pfx").alias("pfx_a"),
+        "rn",
+        F.explode(F.sequence(F.lit(1), F.lit(DD10_WINDOW))).alias("o"),
+    ).select(
+        "lang",
+        "doc_a",
+        "pfx_a",
+        (F.col("rn") + F.col("o")).alias("rn"),
+    )
+    right = ranked.select(
+        "lang", "rn", F.col("doc_id").alias("doc_b"), F.col("pfx").alias("pfx_b")
+    )
+    dist = F.levenshtein("pfx_a", "pfx_b")
+    return (
+        probes.join(right, ["lang", "rn"])
+        .filter(dist <= DD9_MAX_DIST)
+        .select("doc_a", "doc_b", dist.alias("dist"))
+    )
+
+
+DD10_ORACLE = f"""
+WITH ranked AS (
+    SELECT lang, n_chars, doc_id, substr(text, 1, {DD9_PREFIX}) AS pfx,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY n_chars, doc_id) AS rn
+    FROM documents
+),
+probes AS (
+    SELECT lang, doc_id AS doc_a, pfx AS pfx_a,
+           rn + CAST(o AS INT) AS rn
+    FROM ranked, unnest(range(1, {DD10_WINDOW + 1})) AS t(o)
+)
+SELECT p.doc_a, r.doc_id AS doc_b,
+       CAST(levenshtein(p.pfx_a, r.pfx) AS INT) AS dist
+FROM probes p JOIN ranked r ON p.lang = r.lang AND p.rn = r.rn
+WHERE levenshtein(p.pfx_a, r.pfx) <= {DD9_MAX_DIST}
+"""
+
+
 QUERIES = {
     "dd1_exact_dedup": dd1_exact_dedup,
     "dd2_ngram_jaccard_pairs": dd2_ngram_jaccard_pairs,
@@ -916,6 +991,7 @@ QUERIES = {
     "dd7_dup_clusters": dd7_dup_clusters,
     "dd8_containment_pairs": dd8_containment_pairs,
     "dd9_fuzzy_pairs": dd9_fuzzy_pairs,
+    "dd10_sorted_neighborhood": dd10_sorted_neighborhood,
 }
 ORACLES = {
     "dd1_exact_dedup": DD1_ORACLE,
@@ -927,4 +1003,5 @@ ORACLES = {
     "dd7_dup_clusters": DD7_ORACLE,
     "dd8_containment_pairs": DD8_ORACLE,
     "dd9_fuzzy_pairs": DD9_ORACLE,
+    "dd10_sorted_neighborhood": DD10_ORACLE,
 }
