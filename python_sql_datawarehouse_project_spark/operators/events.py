@@ -492,6 +492,71 @@ FROM hu GROUP BY 1
 """
 
 
+# -- ev10: inter-event gap histogram ----------------------------------
+# Bin edges in MICROSECONDS: <1 min, 1-5 min, 5-30 min, 30-120 min,
+# >= 2 h.  Gaps are computed in epoch-microseconds on BOTH engines:
+# date_diff('second', ...) counts SECOND-BOUNDARY crossings in DuckDB
+# while an epoch subtraction truncates — same sub-second gap, different
+# integer — so the portable formulation never leaves integer micros.
+GAP_EDGES_US = (60_000_000, 300_000_000, 1_800_000_000, 7_200_000_000)
+GAP_LABELS = ("lt_1m", "1m_5m", "5m_30m", "30m_2h", "ge_2h")
+
+
+def ev10_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of per-user inter-event gaps over fixed bins —
+    the engagement-cadence profile (and the empirical input for
+    choosing ev3's session gap).  One LAG window per user, then a
+    bounded hash agg; bin edges are literals (qa7's cross-batch
+    comparability argument)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts arrives TIMESTAMP_NTZ; the cast to TIMESTAMP applies the
+    # session zone, but gaps are DIFFERENCES so a consistent offset
+    # cancels — the binned micros match DuckDB's naive epoch_us.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = ev.select(
+        (us - F.lag(us).over(w)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    bin_expr = F.lit(len(GAP_EDGES_US))
+    for i, edge in reversed(list(enumerate(GAP_EDGES_US))):
+        bin_expr = F.when(F.col("gap_us") < edge, i).otherwise(bin_expr)
+    label = F.element_at(
+        F.array(*[F.lit(s) for s in GAP_LABELS]), F.col("bin") + 1
+    )
+    return (
+        gaps.select(bin_expr.cast("int").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
+        .select("bin", label.alias("bin_label"), "n_gaps")
+    )
+
+
+def _ev10_oracle() -> str:
+    case = "CASE "
+    for i, edge in enumerate(GAP_EDGES_US):
+        case += f"WHEN gap_us < {edge} THEN {i} "
+    case += f"ELSE {len(GAP_EDGES_US)} END"
+    labels = "[" + ", ".join(f"'{s}'" for s in GAP_LABELS) + "]"
+    return f"""
+WITH gaps AS (
+    SELECT epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events
+),
+binned AS (
+    SELECT CAST({case} AS INT) AS bin
+    FROM gaps WHERE gap_us IS NOT NULL
+)
+SELECT bin, {labels}[bin + 1] AS bin_label, COUNT(*) AS n_gaps
+FROM binned GROUP BY 1
+"""
+
+
+EV10_ORACLE = _ev10_oracle()
+
+
 QUERIES = {
     "ev1_tumbling_hourly": ev1_tumbling_hourly,
     "ev2_sliding_windows": ev2_sliding_windows,
@@ -502,6 +567,7 @@ QUERIES = {
     "ev7_transition_matrix": ev7_transition_matrix,
     "ev8_rolling_7day": ev8_rolling_7day,
     "ev9_hourly_active_users": ev9_hourly_active_users,
+    "ev10_gap_histogram": ev10_gap_histogram,
 }
 ORACLES = {
     "ev1_tumbling_hourly": EV1_ORACLE,
@@ -513,4 +579,5 @@ ORACLES = {
     "ev7_transition_matrix": EV7_ORACLE,
     "ev8_rolling_7day": EV8_ORACLE,
     "ev9_hourly_active_users": EV9_ORACLE,
+    "ev10_gap_histogram": EV10_ORACLE,
 }

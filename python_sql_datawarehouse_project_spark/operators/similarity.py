@@ -267,13 +267,59 @@ pairs AS (
 """
 
 
+# -- sim5: radius (range) search --------------------------------------
+RADIUS_T = 0.35
+
+
+def sim5_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL corpus neighbors within a cosine radius of each probe — the
+    range-query retrieval mode (recall-complete context gathering,
+    near-dup audits) where sim1-4 answer top-k.  Same broadcast-probe
+    map-side scan as sim1: the corpus streams, each partition emits
+    its qualifying pairs, no shuffle of the corpus and no window at
+    all (radius search needs no rank).
+
+    The filter evaluates the fold ONCE per (probe, vector) and the
+    projection re-evaluates only for the qualifying survivors (the
+    _exact_rescore lesson); count per query is data-dependent by
+    design — that is what distinguishes range search from top-k."""
+    emb = _emb_normalized(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vn").alias("qv")
+    )
+    d = H.dot_fold(F.col("qv"), F.col("vn"))
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .filter(d >= RADIUS_T)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            d.alias("cosine"),
+        )
+    )
+
+
+SIM5_ORACLE = f"""
+WITH {_SQL_NORM_CTE},
+q AS (SELECT vec_id AS query_id, vn AS qv FROM e WHERE vec_id < {N_QUERIES})
+SELECT q.query_id, e.vec_id AS neighbor_id,
+       {H.sql_dot('q.qv', 'e.vn')} AS cosine
+FROM e CROSS JOIN q
+WHERE e.vec_id <> q.query_id
+  AND {H.sql_dot('q.qv', 'e.vn')} >= {RADIUS_T}
+"""
+
+
 QUERIES = {
     "sim1_topk_bruteforce": sim1_topk_bruteforce,
+    "sim5_radius_search": sim5_radius_search,
     "sim2_lsh_topk": sim2_lsh_topk,
     "sim3_ivf_topk": sim3_ivf_topk,
 }
 ORACLES = {
     "sim1_topk_bruteforce": SIM1_ORACLE,
+    "sim5_radius_search": SIM5_ORACLE,
     "sim2_lsh_topk": SIM2_ORACLE,
     "sim3_ivf_topk": SIM3_ORACLE,
 }
