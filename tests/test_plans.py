@@ -460,3 +460,46 @@ def test_ev8_window_runs_over_daily_aggregate(spark, sf_dir):
     win_pos = p.find("Window")
     assert win_pos != -1, p
     assert "HashAggregate" in p[win_pos:], p
+
+
+def test_dd10_rank_offset_join_is_equi(spark, sf_dir):
+    # Sorted-neighborhood candidates must join on (lang, rank) EQUI
+    # keys — a BETWEEN-on-rank formulation degrades to a nested loop.
+    from python_sql_datawarehouse_project_spark.operators import dedup as dd
+
+    p = plan_of(dd.dd10_sorted_neighborhood(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    joins = [ln for ln in p.splitlines() if "Join" in ln and "rn#" in ln]
+    assert joins, p
+
+
+def test_sim5_radius_probes_broadcast(spark, sf_dir):
+    # Range search streams the corpus map-side against broadcast
+    # probes: the only join is a broadcast nested-loop over the tiny
+    # probe set (a cross join by construction), and the corpus side
+    # must not exchange.
+    from python_sql_datawarehouse_project_spark.operators import similarity as sim
+
+    p = plan_of(sim.sim5_radius_search(spark, sf_dir), mode="simple")
+    # probes broadcast; the only hash exchange allowed is the
+    # intentional REPARTITION spread of the single-file scan
+    assert "BroadcastExchange" in p, p
+    assert "SortMergeJoin" not in p, p
+    for ln in p.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "REPARTITION" in ln, ln
+
+
+def test_ev9_and_qa11_distinct_then_count_no_expand(spark, sf_dir):
+    # Windowed/keyed COUNT DISTINCT must plan as distinct-then-count
+    # (two aggregates), never an Expand of the raw stream.
+    from python_sql_datawarehouse_project_spark.operators import events as evm
+    from python_sql_datawarehouse_project_spark.operators import quality as qa
+
+    for df in (
+        evm.ev9_hourly_active_users(spark, sf_dir),
+        qa.qa11_fd_profile(spark, sf_dir),
+    ):
+        p = plan_of(df, mode="simple")
+        assert "Expand" not in p, p
