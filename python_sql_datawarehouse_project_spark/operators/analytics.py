@@ -393,6 +393,45 @@ GROUP BY 1
 )
 
 
+# -- q11: CUBE grouping sets -----------------------------------------
+def q11_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sales totals over the full CUBE of (product_line, category):
+    all four grouping sets in one pass — completing the grouping-sets
+    family next to q8's ROLLUP and q10's PIVOT.  GROUPING_ID
+    disambiguates a subtotal row from a genuine NULL group value
+    (the standard CUBE-consumer contract).
+
+    Scale: one Expand (4x the input rows, BEFORE the map-side partial
+    agg) feeding a single hash aggregate — one exchange, same as any
+    grouped SUM."""
+    f = _fact_with_product(spark, sf_dir)
+    return (
+        f.cube("product_line", "category")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum("sales").cast("double").alias("total_sales"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select("product_line", "category", "gid", "total_sales", "n_rows")
+    )
+
+
+Q11_ORACLE = (
+    STAR_SQL_PRELUDE
+    + """
+SELECT
+    dp.product_line,
+    dp.category,
+    CAST(GROUPING(dp.product_line, dp.category) AS BIGINT) AS gid,
+    CAST(SUM(fs.sales) AS DOUBLE) AS total_sales,
+    COUNT(*) AS n_rows
+FROM fact_sales fs
+JOIN dim_products dp ON fs.product_key = dp.product_key
+GROUP BY CUBE (dp.product_line, dp.category)
+"""
+)
+
+
 # -- u3/u4: INTERSECT / EXCEPT ---------------------------------------
 # SURVEY §2.7 records these as unused by the reference ("available if
 # ever needed"); they are first-class here so a reference user gains
@@ -451,6 +490,7 @@ QUERIES = {
     "q7_customer_order_gap": q7_customer_order_gap,
     "q8_sales_rollup_product": q8_sales_rollup_product,
     "q10_sales_pivot_year": q10_sales_pivot_year,
+    "q11_sales_cube": q11_sales_cube,
     "u3_active_both_years": u3_active_both_years,
     "u4_lapsed_customers": u4_lapsed_customers,
 }
@@ -465,6 +505,7 @@ ORACLES = {
     "q7_customer_order_gap": Q7_ORACLE,
     "q8_sales_rollup_product": Q8_ORACLE,
     "q10_sales_pivot_year": Q10_ORACLE,
+    "q11_sales_cube": Q11_ORACLE,
     "u3_active_both_years": U3_ORACLE,
     "u4_lapsed_customers": U4_ORACLE,
 }

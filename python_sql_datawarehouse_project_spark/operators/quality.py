@@ -590,6 +590,81 @@ FROM per_key
 """
 
 
+# -- qa12: cross-column correlation -----------------------------------
+def qa12_corr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation (and OLS slope) between order line count
+    and order total — the cross-column dependence profile.  Built
+    from EXACT sufficient statistics, not F.corr: engine-native corr
+    aggregates accumulate floating partial states in partition order
+    and can never hash-match across engines; here every sufficient
+    statistic (n, Σx, Σy, Σx², Σy², Σxy) is exact integer/DECIMAL
+    arithmetic, cast to DOUBLE once, and the closed-form r/slope are
+    fixed expression trees — bit-identical both sides.
+
+    Scale: one grouped count on lineitem (map-side combinable), one
+    hash join to orders, one single-row fold — the sufficient
+    statistics ARE the mergeable sketch (this is how distributed corr
+    works anyway; the determinism comes from keeping the partials
+    exact)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cnt = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    j = orders.select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("y")
+    ).join(cnt, "o_orderkey")
+    stats = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = [F.col(c).cast("double") for c in ("n", "sx", "sy")]
+    sxx, syy, sxy = [F.col(c).cast("double") for c in ("sxx", "syy", "sxy")]
+    num = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return stats.select(
+        F.col("n").alias("n_orders"),
+        (num / F.sqrt(vx * vy)).alias("corr_r"),
+        (num / vx).alias("slope"),
+    )
+
+
+QA12_ORACLE = """
+WITH cnt AS (
+    SELECT l_orderkey AS o_orderkey, COUNT(*) AS x
+    FROM lineitem GROUP BY 1
+),
+j AS (
+    SELECT CAST(o.o_totalprice AS DECIMAL(18,2)) AS y, c.x
+    FROM orders o JOIN cnt c ON o.o_orderkey = c.o_orderkey
+),
+stats AS (
+    SELECT COUNT(*) AS n,
+           SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+    FROM j
+)
+SELECT n AS n_orders,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           AS corr_r,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+FROM stats
+"""
+
+
 QUERIES = {
     "qa1_null_profile": qa1_null_profile,
     "qa2_dup_keys": qa2_dup_keys,
@@ -602,6 +677,7 @@ QUERIES = {
     "qa9_cms_heavy_hitters": qa9_cms_heavy_hitters,
     "qa10_join_explosion": qa10_join_explosion,
     "qa11_fd_profile": qa11_fd_profile,
+    "qa12_corr_profile": qa12_corr_profile,
 }
 ORACLES = {
     "qa1_null_profile": QA1_ORACLE,
@@ -615,4 +691,5 @@ ORACLES = {
     "qa9_cms_heavy_hitters": QA9_ORACLE,
     "qa10_join_explosion": QA10_ORACLE,
     "qa11_fd_profile": QA11_ORACLE,
+    "qa12_corr_profile": QA12_ORACLE,
 }
