@@ -74,5 +74,71 @@ FROM events
 GROUP BY 1
 """
 
-QUERIES = {"sk1_salted_hot_key_agg": sk1_salted_hot_key_agg}
-ORACLES = {"sk1_salted_hot_key_agg": SK1_ORACLE}
+# -- sk2: salted skew JOIN --------------------------------------------
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_src: str,
+    buckets: int = SALT_BUCKETS,
+) -> DataFrame:
+    """Hot-key JOIN spread: the fact side salts each row
+    deterministically, the dim side replicates every row across all
+    `buckets` salts, and the join runs on (key, salt) — a hot join
+    key's rows land on `buckets` reducers instead of one.  The
+    replication cost is |dim| x buckets, which is the right trade
+    exactly when the dim is small relative to the skewed fact (the
+    manual form of what AQE's skew-join split does at runtime; this
+    operator is for engines/plans where AQE cannot see the skew, e.g.
+    a skew concentrated INSIDE one partition-sized key).
+
+    The salt never changes the join semantics: every fact row meets
+    every dim row of its key exactly once (dim carries each salt
+    once), certified by the plain-join oracle."""
+    salted_fact = fact.withColumn(
+        "salt",
+        F.pmod(H.md5_long(F.col(salt_src).cast("string")), F.lit(buckets)),
+    )
+    salted_dim = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    return salted_fact.join(salted_dim, [key, "salt"])
+
+
+def sk2_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events joined to their user's customer row through the salted
+    join, aggregated per market segment — result identical to the
+    plain join (the oracle), plan spread over (key, salt)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("value_dec", F.col("value").cast(VALUE_DEC))
+        .select(
+            F.col("user_id").alias("c_custkey"), "event_id", "value_dec"
+        )
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = salted_join(ev, cust, key="c_custkey", salt_src="event_id")
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_dec").cast("double").alias("total_value"),
+    )
+
+
+SK2_ORACLE = """
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+"""
+
+QUERIES = {
+    "sk1_salted_hot_key_agg": sk1_salted_hot_key_agg,
+    "sk2_salted_skew_join": sk2_salted_skew_join,
+}
+ORACLES = {
+    "sk1_salted_hot_key_agg": SK1_ORACLE,
+    "sk2_salted_skew_join": SK2_ORACLE,
+}

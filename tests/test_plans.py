@@ -503,3 +503,16 @@ def test_ev9_and_qa11_distinct_then_count_no_expand(spark, sf_dir):
     ):
         p = plan_of(df, mode="simple")
         assert "Expand" not in p, p
+
+
+def test_sk2_salted_join_spreads_key(spark, sf_dir):
+    # The salted join must plan its equi-join on a key set that
+    # includes the salt column (the spread), never a plain single-key
+    # join or a nested loop.
+    from python_sql_datawarehouse_project_spark.operators import skew
+
+    p = plan_of(skew.sk2_salted_skew_join(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    joins = [ln for ln in p.splitlines() if "Join" in ln and "salt#" in ln]
+    assert joins, p
