@@ -336,15 +336,85 @@ FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= {MM4_MAX_HAMMING}
 """
 
 
+# -- mm5: peak-energy frame (argmax over frames) ----------------------
+_MM5_FRAMES = 8  # 128-byte payload / FRAME_BYTES contiguous frames
+
+_MM5_ENERGIES = (
+    f"transform(sequence(0, {_MM5_FRAMES - 1}), k -> "
+    f"aggregate(sequence(0, {FRAME_BYTES - 1}), cast(0 as bigint), (acc, j) -> "
+    f"acc + cast(conv(substr(hx, 2 * ({FRAME_BYTES} * k + j) + 1, 2), 16, 10) "
+    "as bigint) * cast(conv(substr(hx, 2 * "
+    f"({FRAME_BYTES} * k + j) + 1, 2), 16, 10) as bigint)))"
+)
+
+
+def mm5_peak_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loudest frame per audio/video asset: per-frame energy (sum of
+    squared byte values over contiguous FRAME_BYTES windows) and the
+    ARGMAX frame — the clip-selection / thumbnail-picking shape
+    (max-energy audio frame, max-variance video frame).
+
+    Determinism: argmax ties break to the LOWEST frame index by
+    construction (array_position returns the first match) — the
+    explicit contract an engine-native max_by leaves undefined.  All
+    arithmetic is int64.  Mirrors mm2/mm3's deterministic payload; a
+    real decoder swaps in upstream of the same frame math.
+
+    Scale: pure per-row expressions over the payload hex — no
+    shuffle, no UDF; at 100 TB this runs at scan speed per split."""
+    c = mm_corpus(spark, sf_dir)
+    av = c.where(F.col("meta.format").isin("wav", "mp4")).select(
+        "doc_id", F.hex("payload").alias("hx")
+    )
+    e = av.select("doc_id", F.expr(_MM5_ENERGIES).alias("el"))
+    peak = F.array_max("el")
+    return e.select(
+        "doc_id",
+        (F.array_position("el", peak) - 1).cast("int").alias("peak_frame"),
+        peak.alias("peak_energy"),
+        F.aggregate(
+            "el", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("total_energy"),
+    )
+
+
+MM5_ORACLE = f"""
+WITH b AS (
+    SELECT doc_id, repeat(md5(text), 8) AS h FROM documents
+    WHERE CAST(mod(doc_id, 4) AS INT) IN (2, 3)
+),
+bytes AS (
+    SELECT doc_id, {_SQL_BYTE_LIST} AS bl FROM b
+),
+en AS (
+    SELECT doc_id,
+           list_transform(range(0, {_MM5_FRAMES}), k ->
+               CAST(list_sum(list_transform(
+                   list_slice(bl, CAST({FRAME_BYTES} * k + 1 AS INT),
+                              CAST({FRAME_BYTES} * k + {FRAME_BYTES} AS INT)),
+                   x -> x * x)) AS BIGINT)) AS el
+    FROM bytes
+)
+SELECT doc_id,
+       CAST(list_position(el, list_aggregate(el, 'max')) - 1 AS INT)
+           AS peak_frame,
+       list_aggregate(el, 'max') AS peak_energy,
+       CAST(list_sum(el) AS BIGINT) AS total_energy
+FROM en
+"""
+
+
 QUERIES = {
     "mm1_metadata_profile": mm1_metadata_profile,
     "mm2_decode_features": mm2_decode_features,
     "mm3_frame_sample": mm3_frame_sample,
     "mm4_phash_neardup": mm4_phash_neardup,
+    "mm5_peak_frame": mm5_peak_frame,
 }
 ORACLES = {
     "mm1_metadata_profile": MM1_ORACLE,
     "mm2_decode_features": MM2_ORACLE,
     "mm3_frame_sample": MM3_ORACLE,
     "mm4_phash_neardup": MM4_ORACLE,
+    "mm5_peak_frame": MM5_ORACLE,
 }
