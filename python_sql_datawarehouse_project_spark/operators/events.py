@@ -451,10 +451,10 @@ WITH daily AS (
     GROUP BY 1, 2, 5
 )
 SELECT event_type, day, n_events,
-       SUM(n_events) OVER (
+       CAST(SUM(n_events) OVER (
            PARTITION BY event_type ORDER BY day_num
            RANGE BETWEEN {ROLL_DAYS - 1} PRECEDING AND CURRENT ROW)
-           AS rolling_events,
+           AS BIGINT) AS rolling_events,
        CAST(SUM(day_value_d) OVER (
            PARTITION BY event_type ORDER BY day_num
            RANGE BETWEEN {ROLL_DAYS - 1} PRECEDING AND CURRENT ROW)

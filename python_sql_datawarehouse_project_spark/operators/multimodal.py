@@ -123,18 +123,28 @@ _FEATURES_SCHEMA = (
 )
 
 
-def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: one Arrow batch in, one out — the
-    batch-shape contract a real decoder inherits."""
-    for pdf in batches:
-        feats = [fake_decode_features(p) for p in pdf["payload"]]
-        out = pd.DataFrame(
-            feats, columns=["f_len", "f_sum", "f_mean", "f_var", "f_first", "f_last"]
-        )
-        out.insert(0, "doc_id", pdf["doc_id"].values)
-        out.insert(1, "format", pdf["format"].values)
-        out.insert(2, "n_bytes", pdf["n_bytes"].values)
-        yield out
+def _decode_batches(decode_fn):
+    """mapInPandas worker factory: one Arrow batch in, one out — the
+    batch-shape contract a real decoder inherits.  `decode_fn` is the
+    injection seam (bytes -> 6 floats): the oracled pipeline uses
+    `fake_decode_features`; an environment that ships an imaging
+    library passes its own extractor and every other line — schema,
+    Arrow transfer, batch iteration, partition behavior — is reused
+    untouched (seam pinned by tests/test_multimodal.py)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_fn(p) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                feats,
+                columns=["f_len", "f_sum", "f_mean", "f_var", "f_first", "f_last"],
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            out.insert(1, "format", pdf["format"].values)
+            out.insert(2, "n_bytes", pdf["n_bytes"].values)
+            yield out
+
+    return gen
 
 
 # DuckDB re-derivation of the fake payload's byte list: the payload is
@@ -177,7 +187,9 @@ FROM m
 """
 
 
-def mm2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mm2_decode_features(
+    spark: SparkSession, sf_dir: str, decode_fn=fake_decode_features
+) -> DataFrame:
     ensure_package_on_workers(spark)  # workers must import this module
     c = mm_corpus(spark, sf_dir).select(
         "doc_id",
@@ -185,7 +197,7 @@ def mm2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.format").alias("format"),
         F.col("meta.n_bytes").alias("n_bytes"),
     )
-    return c.mapInPandas(_decode_batches, schema=_FEATURES_SCHEMA)
+    return c.mapInPandas(_decode_batches(decode_fn), schema=_FEATURES_SCHEMA)
 
 
 # -- mm3: frame sampling ---------------------------------------------

@@ -230,7 +230,7 @@ cum AS (
     FROM counts
 )
 SELECT o_orderpriority,
-       MAX(n) AS n_rows,
+       CAST(MAX(n) AS BIGINT) AS n_rows,
        {", ".join(
            f"MIN(CASE WHEN cum >= CAST(CEIL({p} * n) AS BIGINT) "
            f"THEN o_totalprice END) AS p{label}"
@@ -337,8 +337,8 @@ def qa7_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 QA7_ORACLE = f"""
 SELECT event_type,
        CAST(least(floor(value / {HIST_WIDTH}), {HIST_BINS - 1}) AS INT) AS bin,
-       CAST(least(floor(value / {HIST_WIDTH}), {HIST_BINS - 1}) AS INT)
-           * {HIST_WIDTH} AS bin_low,
+       CAST(CAST(least(floor(value / {HIST_WIDTH}), {HIST_BINS - 1}) AS INT)
+           * {HIST_WIDTH} AS DOUBLE) AS bin_low,
        COUNT(*) AS n
 FROM events
 GROUP BY 1, 2, 3
@@ -377,12 +377,17 @@ def qa8_chisq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = agg.crossJoin(F.broadcast(tot))
     diff = F.col("c_obs") * F.col("t_base") - F.col("c_base") * F.col("t_obs")
     denom = F.col("c_base") * F.col("t_obs") * F.col("t_base")
+    # NULLIF guards the degenerate cohort (c_base = 0 at tiny SFs):
+    # without it Spark's non-ANSI / returns NULL while DuckDB's double
+    # division returns inf — the guard makes both engines emit NULL.
     return j.select(
         "o_orderpriority",
         "c_base",
         "c_obs",
         (
-            diff.cast("double") * diff.cast("double") / denom.cast("double")
+            diff.cast("double")
+            * diff.cast("double")
+            / F.nullif(denom.cast("double"), F.lit(0.0))
         ).alias("chisq_contrib"),
     )
 
@@ -409,7 +414,7 @@ SELECT o_orderpriority,
        CAST(c_obs AS BIGINT) AS c_obs,
        CAST(c_obs * t_base - c_base * t_obs AS DOUBLE)
            * CAST(c_obs * t_base - c_base * t_obs AS DOUBLE)
-           / CAST(c_base * t_obs * t_base AS DOUBLE) AS chisq_contrib
+           / NULLIF(CAST(c_base * t_obs * t_base AS DOUBLE), 0) AS chisq_contrib
 FROM agg CROSS JOIN tot
 """
 

@@ -63,10 +63,23 @@ def finalize_recursion(union: DataFrame, cached: list[DataFrame]) -> DataFrame:
 
 
 def order_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders |x| lineitem rolled up to order grain — the one genuinely
+    big-big join in the warehouse.  When the session has materialized
+    the bucketed layout (plans/bucketing.bucketize_star), both scans
+    resolve to their bucketed twins and the join + aggregate plan with
+    ZERO Exchange (plan-pinned in tests/test_plans.py); otherwise the
+    plain parquet scans shuffle once on the order key.  At 100 TB the
+    bucketed path is the difference between a per-run lineitem shuffle
+    and none."""
     from ..catalog import load_table
+    from ..plans.bucketing import bucketed_scan
 
-    orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = bucketed_scan(spark, sf_dir, "orders")
+    if orders is None:
+        orders = load_table(spark, sf_dir, "orders")
+    lineitem = bucketed_scan(spark, sf_dir, "lineitem")
+    if lineitem is None:
+        lineitem = load_table(spark, sf_dir, "lineitem")
     order_date = F.col("o_orderdate").cast("date")
     return (
         orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"], "inner")

@@ -28,6 +28,7 @@ order_shipments inherits the bucketing through the aggregate.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,6 +37,30 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 
 DEFAULT_BUCKETS = 8  # test-scale; production: ceil(table_size / 256MB)
+
+
+def bucketed_name(sf_dir: str, table: str) -> str:
+    """Catalog name of `table`'s bucketed twin for a given data root.
+
+    The sf_dir digest is part of the name so a layout built from one
+    scale factor can never serve a query over another (the in-memory
+    catalog outlives any single query run)."""
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    return f"b_{table}_{digest}"
+
+
+def bucketed_scan(
+    spark: SparkSession, sf_dir: str, table: str
+) -> DataFrame | None:
+    """The bucketed twin of (sf_dir, table) if a prior `bucketize`
+    registered one this session, else None.  Query operators use this
+    to transparently consume the co-located layout when the warehouse
+    has materialized it (opt-in write-time contract, module
+    docstring)."""
+    name = bucketed_name(sf_dir, table)
+    if spark.catalog.tableExists(name):
+        return spark.table(name)
+    return None
 
 
 def bucketize(
@@ -47,10 +72,9 @@ def bucketize(
     buckets: int = DEFAULT_BUCKETS,
 ) -> DataFrame:
     """Materialize a registry table bucketed+sorted by `bucket_col` as
-    an external parquet table `b_<table>` rooted at out_dir, and
-    return the table DataFrame (re-reads report the bucket spec to the
-    planner)."""
-    name = f"b_{table}"
+    an external parquet table rooted at out_dir, and return the table
+    DataFrame (re-reads report the bucket spec to the planner)."""
+    name = bucketed_name(sf_dir, table)
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     (
         load_table(spark, sf_dir, table)
@@ -79,6 +103,17 @@ def order_shipments_plan(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         )
         .agg(F.max(F.col("l_shipdate").cast("date")).alias("shipping_date"))
     )
+
+
+def bucketize_star(
+    spark: SparkSession, sf_dir: str, out_dir: str, buckets: int = DEFAULT_BUCKETS
+) -> None:
+    """Materialize the big-big join pair (orders, lineitem) bucketed by
+    the order key — after this, any operator that resolves its scans
+    through `bucketed_scan` (q9's order_shipments) plans the
+    orders|x|lineitem leg with zero Exchange."""
+    bucketize(spark, sf_dir, "orders", "o_orderkey", out_dir, buckets)
+    bucketize(spark, sf_dir, "lineitem", "l_orderkey", out_dir, buckets)
 
 
 def bucketed_order_shipments(

@@ -25,6 +25,22 @@ from .warehouse import Warehouse
 DEFAULT_CHURN_AS_OF = None  # None -> current_date()
 
 
+def _money_sum(col: str):
+    """SUM for money columns, routed through the SAME decimal policy as
+    the incremental-MV state (mv_incremental._DEC/_STATE_DEC): cast to
+    decimal(18,4) before the sum so addition is exact and
+    order-independent, re-pin the widened sum to decimal(28,4), cast to
+    DOUBLE only at publish.  This is what makes incremental-vs-full
+    equality bitwise rather than approximate — a FULL path summing
+    doubles directly would differ from the decimal-routed incremental
+    path in low-order bits (ADVICE r2)."""
+    return (
+        F.sum(F.col(col).cast("decimal(18,4)"))
+        .cast("decimal(28,4)")
+        .cast("double")
+    )
+
+
 def _gold(wh: Warehouse, batch_id: str | None):
     def read(name: str) -> DataFrame:
         df = wh.read_table("gold", name)
@@ -45,7 +61,7 @@ def mv_sales_monthly_productline(wh, batch_id=None) -> DataFrame:
             "category",
             "sub_category",
         )
-        .agg(F.sum("sales").alias("total_sales"))
+        .agg(_money_sum("sales").alias("total_sales"))
     )
 
 
@@ -60,7 +76,7 @@ def mv_sales_customer_country(wh, batch_id=None) -> DataFrame:
                 " ", F.col("customer_firstname"), F.col("customer_lastname")
             ).alias("customer_name"),
         )
-        .agg(F.sum("sales").alias("total_sales"))
+        .agg(_money_sum("sales").alias("total_sales"))
     )
 
 
@@ -75,7 +91,7 @@ def mv_customer_lifetime_value(wh, batch_id=None) -> DataFrame:
             ).alias("customer_name"),
         )
         .agg(
-            F.sum("sales").alias("lifetime_value"),
+            _money_sum("sales").alias("lifetime_value"),
             F.countDistinct("order_number").alias("order_count"),
         )
     )
@@ -91,7 +107,9 @@ def mv_running_sales_customer(wh, batch_id=None) -> DataFrame:
     return fs.join(dc, "customer_key").select(
         "customer_id",
         "order_date",
-        F.sum("sales").over(w).alias("running_sales"),
+        F.sum(F.col("sales").cast("decimal(18,4)")).over(w)
+        .cast("double")
+        .alias("running_sales"),
     )
 
 
@@ -105,7 +123,7 @@ def mv_top3_products_month_country(wh, batch_id=None) -> DataFrame:
             "country",
             "product_name",
         )
-        .agg(F.sum("sales").alias("total_sales"))
+        .agg(_money_sum("sales").alias("total_sales"))
     )
     w = Window.partitionBy("month", "country").orderBy(F.desc("total_sales"))
     return (
@@ -158,7 +176,7 @@ def mv_sales_rollup_product(wh, batch_id=None) -> DataFrame:
     return (
         fs.join(dp, "product_key")
         .rollup("product_line", "category", "sub_category")
-        .agg(F.sum("sales").alias("total_sales"))
+        .agg(_money_sum("sales").alias("total_sales"))
     )
 
 

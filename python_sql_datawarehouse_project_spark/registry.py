@@ -35,25 +35,33 @@ from .streaming import joins as stream_joins
 from .streaming import stateful as stream_stateful
 from .streaming import windows as stream_windows
 
+# Module order is load-bearing: the driver's correctness gate checks the
+# FIRST 50 registry keys in insertion order.  Round 2's gate cut off
+# mid-registry and left every query after quality.qa7 without a driver
+# correctness row (VERDICT.md r2, "What's wrong" #1).  Modules whose
+# queries had never been driver-checked (windows, recursive, rangejoin,
+# similarity, skew, text, streaming, quality.qa8-12) therefore come
+# first; the families that were driver-green in r2 and stay covered by
+# pytest oracle-parity fill the tail.
 _MODULES = (
-    analytics,
-    asof,
-    dedup,
-    events,
-    kmeans,
-    mix,
-    multimodal,
-    quality,
-    rangejoin,
+    windows,
     recursive,
+    rangejoin,
     similarity,
     skew,
     text,
-    windows,
     stream_windows,
     stream_stateful,
     stream_joins,
     stream_dedup,
+    quality,
+    events,  # ahead of analytics so ev8 (r2 hash-fail, cast fixed) re-gates
+    analytics,
+    asof,
+    dedup,
+    kmeans,
+    mix,
+    multimodal,
 )
 
 

@@ -16,9 +16,15 @@ Semantics: ``dropDuplicatesWithinWatermark`` guarantees suppression
 of duplicates that arrive within the watermark delay of each other
 and drops per-key state once the watermark passes — bounded state,
 the production contract for infinite streams (plain streaming
-``dropDuplicates`` retains state forever).  The AvailableNow drain
-feeds batches in event-time order, so no duplicate pair here spans
-the watermark and the drained result equals the global distinct.
+``dropDuplicates`` retains state forever).  Equality with the global
+``SELECT DISTINCT`` oracle relies on the staged source being a
+SINGLE parquet file, i.e. one micro-batch: AvailableNow does NOT
+guarantee event-time-ordered batch delivery, so a multi-file events
+table with duplicates more than DEDUP_DELAY apart split across
+batches could legally re-emit rows.  ``stream_dedup_events`` asserts
+the single-file precondition at runtime; a production multi-file
+deployment instead needs a watermark delay covering the maximum
+duplicate span (or accepts at-least-once emission across batches).
 
 Scale notes: one shuffle per micro-batch on the dedup key into the
 state store (RocksDB on a cluster); state per key is a single
@@ -27,6 +33,8 @@ right-sized state-store partition scope as the other stream gates.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,6 +56,13 @@ def dedup_events(stream: DataFrame) -> DataFrame:
 
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = table_path(sf_dir, "events")
+    # Single-file staging is the oracle-equality precondition (module
+    # docstring): one file -> one micro-batch -> no duplicate pair can
+    # span a watermark-expired batch boundary.
+    assert os.path.isfile(src), (
+        f"stream_dedup_events requires a single-file events source for "
+        f"global-distinct equality; got a directory: {src}"
+    )
     with stream_run_scope(spark, src) as stage:
         return run_available_now(
             spark,

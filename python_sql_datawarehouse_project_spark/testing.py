@@ -44,6 +44,37 @@ def _canon_value(v):
     return v
 
 
+def _type_category(t) -> str:
+    """Coarse cross-engine type category for the strict type check.
+
+    The driver's value hash distinguishes int from Decimal, so a
+    DuckDB oracle that carries SUM(BIGINT) as HUGEINT (arrow
+    decimal128(38,0)) hash-fails at the driver even when every value
+    is identical — the bug class that shipped in rounds 1 (ev4/mm1)
+    and 2 (ev8/qa5) because fetchall() converts HUGEINT to Python int
+    and the old canonicalizer coerced Decimal to float.  Comparing
+    categories (integral / floating / decimal) per column catches it
+    locally before the driver does.
+    """
+    import pyarrow as pa
+
+    if isinstance(t, str):  # Spark simpleString
+        if t in ("tinyint", "smallint", "int", "bigint"):
+            return "integral"
+        if t in ("float", "double"):
+            return "floating"
+        if t.startswith("decimal"):
+            return "decimal"
+        return "other"
+    if pa.types.is_integer(t):
+        return "integral"
+    if pa.types.is_floating(t):
+        return "floating"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    return "other"
+
+
 def _canon_rows(cols: list[str], rows) -> list[tuple]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     canon = [tuple(_canon_value(r[i]) for i in order) for r in rows]
@@ -58,6 +89,7 @@ class ParityResult:
     oracle_rows: int
     columns_match: bool
     values_match: bool
+    types_match: bool = True
     mismatches: list[str] = field(default_factory=list)
 
     @property
@@ -65,6 +97,7 @@ class ParityResult:
         return (
             self.spark_rows == self.oracle_rows
             and self.columns_match
+            and self.types_match
             and self.values_match
         )
 
@@ -81,10 +114,16 @@ def run_oracle(sql: str, sf_dir: str):
                 con.execute(
                     f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
                 )
-        cur = con.execute(sql)
-        cols = [d[0] for d in cur.description]
-        rows = cur.fetchall()
-        return cols, rows
+        # Arrow fetch (not fetchall) so the oracle's carried types are
+        # visible: DuckDB's relational fetchall() narrows HUGEINT to a
+        # Python int, which is exactly what made the old harness blind
+        # to the HUGEINT-vs-BIGINT driver hash failures.
+        tbl = con.execute(sql).fetch_arrow_table()
+        cols = list(tbl.schema.names)
+        types = [tbl.schema.field(i).type for i in range(tbl.num_columns)]
+        pycols = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+        rows = list(zip(*pycols)) if tbl.num_columns else []
+        return cols, rows, types
     finally:
         con.close()
 
@@ -100,7 +139,7 @@ def compare(
     sdf: DataFrame = query_fn(spark, sf_dir)
     s_cols = list(sdf.columns)
     s_rows = [tuple(r) for r in sdf.collect()]
-    o_cols, o_rows = run_oracle(oracle, sf_dir)
+    o_cols, o_rows, o_types = run_oracle(oracle, sf_dir)
 
     res = ParityResult(
         name=name,
@@ -111,6 +150,17 @@ def compare(
     )
     if not res.columns_match:
         res.mismatches.append(f"columns: spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+        return res
+
+    s_types = dict(sdf.dtypes)
+    for c, ot in zip(o_cols, o_types):
+        s_cat, o_cat = _type_category(s_types[c]), _type_category(ot)
+        if s_cat != o_cat:
+            res.types_match = False
+            res.mismatches.append(
+                f"type: {c} spark={s_types[c]}({s_cat}) oracle={ot}({o_cat})"
+            )
+    if not res.types_match:
         return res
 
     sc = _canon_rows(s_cols, s_rows)

@@ -45,3 +45,44 @@ def test_frame_sampling_shape(spark, sf_dir):
 def test_real_decoder_is_stubbed():
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"\x89PNG...")
+
+
+def test_mm2_decode_fn_seam(spark, sf_dir):
+    # VERDICT r2 #8: a replacement decoder must slot into mm2 without
+    # touching the oracled pipeline — same schema, same rows-in/rows-out
+    # plumbing, only the per-payload feature values change.
+    def _toy_decoder(payload: bytes) -> list[float]:
+        # Stand-in for a real imaging-library extractor: any callable
+        # with the bytes -> 6-floats contract slots into the seam.
+        # (Defined as a closure so cloudpickle ships it by value — a
+        # production decoder would live in an importable package.)
+        return [
+            float(payload[0]),
+            float(payload[1]),
+            float(payload[2] + payload[3]),
+            0.5,
+            -1.0,
+            float(len(payload)),
+        ]
+
+    default = mm.mm2_decode_features(spark, sf_dir)
+    injected = mm.mm2_decode_features(spark, sf_dir, decode_fn=_toy_decoder)
+    assert injected.schema == default.schema
+    rows = {r["doc_id"]: r for r in injected.collect()}
+    assert len(rows) == default.count()
+
+    # Verify the injected features are the toy decoder's output on the
+    # actual payloads (the seam really feeds payload bytes through).
+    payloads = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in mm.mm_corpus(spark, sf_dir).select("doc_id", "payload").collect()
+    }
+    for doc_id, r in list(rows.items())[:25]:
+        exp = _toy_decoder(payloads[doc_id])
+        got = [r["f_len"], r["f_sum"], r["f_mean"], r["f_var"], r["f_first"], r["f_last"]]
+        assert got == exp, (doc_id, got, exp)
+
+    # And the default path still produces the oracle-pinned fake features.
+    d0 = {r["doc_id"]: r for r in default.collect()}
+    some = next(iter(payloads))
+    assert d0[some]["f_len"] == 128.0

@@ -516,3 +516,36 @@ def test_sk2_salted_join_spreads_key(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p, p
     joins = [ln for ln in p.splitlines() if "Join" in ln and "salt#" in ln]
     assert joins, p
+
+
+def test_q9_order_shipments_uses_bucketed_layout(spark, sf_dir, tmp_path):
+    # VERDICT r2 #5: the bucketed layout must reach q9's actual bench
+    # path, not just the standalone bucketed_order_shipments exhibit.
+    # After bucketize_star, operators/recursive.order_shipments must
+    # resolve to the bucketed twins and plan its orders|x|lineitem leg
+    # with ZERO Exchange; with no layout registered it must still run
+    # on the plain scans (registry/parity path unchanged).
+    from python_sql_datawarehouse_project_spark.operators import recursive
+    from python_sql_datawarehouse_project_spark.plans import bucketing
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = recursive.order_shipments(spark, sf_dir)
+        plain_rows = sorted(map(str, plain.collect()))
+
+        bucketing.bucketize_star(spark, sf_dir, str(tmp_path))
+        try:
+            df = recursive.order_shipments(spark, sf_dir)
+            df.collect()  # final adaptive plan
+            p = plan_of(df)
+            assert "Exchange" not in p, p
+            assert "SortMergeJoin" in p
+            assert sorted(map(str, df.collect())) == plain_rows
+        finally:
+            for t in ("orders", "lineitem"):
+                spark.sql(
+                    f"DROP TABLE IF EXISTS {bucketing.bucketed_name(sf_dir, t)}"
+                )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
