@@ -557,7 +557,11 @@ FROM binned GROUP BY 1
 EV10_ORACLE = _ev10_oracle()
 
 
+# ev8 leads: it hash-failed the r2 driver gate on a (fixed) oracle
+# typing bug, so it must re-gate inside the driver's 50-entry
+# correctness window (registry._MODULES ordering contract).
 QUERIES = {
+    "ev8_rolling_7day": ev8_rolling_7day,
     "ev1_tumbling_hourly": ev1_tumbling_hourly,
     "ev2_sliding_windows": ev2_sliding_windows,
     "ev3_session_windows": ev3_session_windows,
@@ -565,7 +569,6 @@ QUERIES = {
     "ev5_funnel": ev5_funnel,
     "ev6_cohort_retention": ev6_cohort_retention,
     "ev7_transition_matrix": ev7_transition_matrix,
-    "ev8_rolling_7day": ev8_rolling_7day,
     "ev9_hourly_active_users": ev9_hourly_active_users,
     "ev10_gap_histogram": ev10_gap_histogram,
 }

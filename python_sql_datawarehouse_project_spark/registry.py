@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .operators import (
     analytics,
     asof,
+    corpus,
     dedup,
     events,
     kmeans,
@@ -55,7 +56,8 @@ _MODULES = (
     stream_joins,
     stream_dedup,
     quality,
-    events,  # ahead of analytics so ev8 (r2 hash-fail, cast fixed) re-gates
+    corpus,  # round-3 additions: never driver-checked, must be in window
+    events,  # ev8 leads its module so it (r2 hash-fail, cast fixed) re-gates
     analytics,
     asof,
     dedup,

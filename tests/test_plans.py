@@ -549,3 +549,56 @@ def test_q9_order_shipments_uses_bucketed_layout(spark, sf_dir, tmp_path):
                 )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_eq1_quantize_zero_exchange_scan_speed(spark, sf_dir):
+    # Stateless per-row column math: any Exchange here would be a
+    # scale bug (eq1 must stream through executors at scan speed).
+    from python_sql_datawarehouse_project_spark.operators import corpus
+
+    df = corpus.eq1_int8_quantize(spark, sf_dir)
+    p = plan_of(df)
+    assert "Exchange" not in p
+    assert "embedding" in p  # reads only what it needs
+    assert "label" not in p  # column pruning reaches the scan
+
+
+def test_pd1_window_dedup_exchanges_hashes_not_text(spark, sf_dir):
+    # The window stream must cross the wire as (doc_id, 60-bit hash)
+    # pairs: 3 exchanges (spread-by-doc_id, whash window, doc_id
+    # rollup) and the distinct must reuse the doc_id partitioning
+    # rather than add a fourth.  No exchange may carry window text.
+    import re
+
+    from python_sql_datawarehouse_project_spark.operators import corpus
+
+    df = corpus.pd1_window_dedup(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") <= 3, p
+    fmt = plan_of(df)
+    for m in re.finditer(r"\(\d+\) Exchange\n(Input \[\d+\]: \[[^\]]*\])", fmt):
+        assert "win#" not in m.group(1), m.group(1)
+
+
+def test_pk1_packing_is_one_global_sort(spark, sf_dir):
+    # The only wide dependency is the global running token count —
+    # exactly one ordered exchange (range partitioning at scale),
+    # everything else per-row integer arithmetic.
+    from python_sql_datawarehouse_project_spark.operators import corpus
+
+    df = corpus.pk1_pack_chunks(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") == 1, p
+    assert "Join" not in p
+
+
+def test_sq1_sequences_single_user_shuffle(spark, sf_dir):
+    # One hash shuffle on user_id; the distinct-type count rides the
+    # same grouping (partial agg on (user_id, event_type)), so at most
+    # two exchanges and no join.
+    from python_sql_datawarehouse_project_spark.operators import corpus
+
+    df = corpus.sq1_event_sequences(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") <= 2, p
+    assert "Join" not in p
