@@ -206,7 +206,10 @@ def _lsh_candidates(sk: DataFrame) -> DataFrame:
     return pairs.join(lhs, "doc_a").join(rhs, "doc_b")
 
 
-def _sql_sketch_ctes() -> str:
+def _sql_band_ctes() -> str:
+    """shingled -> sketches -> bands CTE chain (no pairing policy) —
+    shared by the self-join oracles below and the asymmetric
+    new-vs-corpus probe in operators/incremental.py."""
     sig_items = ", ".join(
         f"list_min(list_transform(hs, x -> mod({H.MINHASH_A[i]} * x + "
         f"{H.MINHASH_B[i]}, {H.MINHASH_P})))"
@@ -235,7 +238,11 @@ bands AS (
                list_slice(sig, band * {H.LSH_ROWS} + 1, (band + 1) * {H.LSH_ROWS}),
                s -> CAST(s AS VARCHAR)), ',')) AS band_key
     FROM sketches, (SELECT unnest(range(0, {H.LSH_BANDS})) AS band)
-),
+)"""
+
+
+def _sql_sketch_ctes() -> str:
+    return f"""{_sql_band_ctes()},
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            a.hs AS hs_a, b.hs AS hs_b, a.sig AS sig_a, b.sig AS sig_b

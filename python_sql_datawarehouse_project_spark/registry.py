@@ -20,6 +20,8 @@ from .operators import (
     corpus,
     dedup,
     events,
+    incremental,
+    layout,
     kmeans,
     mix,
     multimodal,
@@ -57,6 +59,8 @@ _MODULES = (
     stream_dedup,
     quality,
     corpus,  # round-3 additions: never driver-checked, must be in window
+    layout,
+    incremental,
     events,  # ev8 leads its module so it (r2 hash-fail, cast fixed) re-gates
     analytics,
     asof,

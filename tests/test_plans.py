@@ -602,3 +602,99 @@ def test_sq1_sequences_single_user_shuffle(spark, sf_dir):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert p.count("Exchange") <= 2, p
     assert "Join" not in p
+
+
+def test_zorder_layout_prunes_2d_box_better_than_date_sort(
+    spark, sf_dir, tmp_path
+):
+    # The 100 TB rationale for operators/layout.py: a 2-D box
+    # predicate (customer range x date range) must touch materially
+    # fewer files on the Z-ordered layout than on the conventional
+    # date-sorted one, because each Z file owns a small
+    # hyper-rectangle instead of a full-width date stripe.  Files
+    # "touched" = files contributing matching rows (the proxy parquet
+    # min/max skipping acts on — tight per-file ranges are exactly
+    # what sortWithinPartitions buys).
+    from pyspark.sql import functions as F
+
+    from python_sql_datawarehouse_project_spark.catalog import load_table
+    from python_sql_datawarehouse_project_spark.operators import layout
+
+    zdir, ddir = str(tmp_path / "z"), str(tmp_path / "d")
+    layout.zorder_write(spark, sf_dir, zdir, n_files=64)
+    (
+        load_table(spark, sf_dir, "orders")
+        .repartitionByRange(64, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(ddir)
+    )
+
+    # ~12% of each dimension, derived from the data (the custkey
+    # domain scales with SF).  Alignment with the Morton grid is not
+    # assumed — the strict assert is only that 2-D clustering beats
+    # the 1-D stripe layout by 2x on the same predicate.
+    b = (
+        load_table(spark, sf_dir, "orders")
+        .agg(
+            F.min("o_custkey").alias("ck_lo"),
+            F.max("o_custkey").alias("ck_hi"),
+            F.min("o_orderdate").alias("d_lo"),
+            F.max("o_orderdate").alias("d_hi"),
+        )
+        .first()
+    )
+    ck_cut = b.ck_lo + int((b.ck_hi - b.ck_lo) * 0.12)
+    d_cut = b.d_lo + (b.d_hi - b.d_lo) * 0.12
+    box = (
+        (F.col("o_custkey") >= b.ck_lo)
+        & (F.col("o_custkey") < ck_cut)
+        & (F.col("o_orderdate") >= F.lit(b.d_lo))
+        & (F.col("o_orderdate") < F.lit(d_cut))
+    )
+
+    def files_touched(path):
+        return (
+            spark.read.parquet(path)
+            .filter(box)
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+
+    z, d = files_touched(zdir), files_touched(ddir)
+    # Same rows either way; the layouts only move them around.
+    assert (
+        spark.read.parquet(zdir).filter(box).count()
+        == spark.read.parquet(ddir).filter(box).count()
+    )
+    assert z * 2 <= d, f"z-order touched {z} files, date-sort {d}"
+
+
+def test_zo1_bounds_broadcast_single_pass(spark, sf_dir):
+    # The min/max normalization bounds come from a 1-row aggregate
+    # broadcast against the scan — no shuffle of the fact, no
+    # cartesian of anything bigger than that single row.
+    from python_sql_datawarehouse_project_spark.operators import layout
+
+    df = layout.zo1_zorder_code(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in p  # 1-row bounds cross join
+    assert "hashpartitioning" not in p, p  # no fact shuffle
+
+
+def test_dd11_band_join_exchanges_ids_not_sketches(spark, sf_dir):
+    # Same contract as dd3: the new-vs-corpus band join must move
+    # only (doc_id, band, band_key); hs payloads re-attach afterwards.
+    from python_sql_datawarehouse_project_spark.operators import incremental
+
+    p = plan_of(
+        incremental.dd11_incremental_lsh(spark, sf_dir), mode="simple"
+    )
+    assert "CartesianProduct" not in p
+    joins = [
+        seg for seg in p.splitlines() if "Join" in seg and "band_key" in seg
+    ]
+    assert joins, p
+    for j in joins:
+        assert "hs" not in j.replace("hash", ""), j
