@@ -163,7 +163,12 @@ def eq1_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential left-fold so it bitwise-matches the DuckDB oracle
     (hashing.py portability contract).  Each stage is materialized
     into its own projection so interpreted lambdas never re-evaluate
-    an upstream expression tree per element."""
+    an upstream expression tree per element.
+
+    Domain: all-zero vectors yield NULL stats (nullif guard); a
+    max|x| below ~1e-306 would overflow the scale to inf identically
+    on both engines (found by tests/test_corpus_properties.py) — real
+    embedding components sit many orders of magnitude above that."""
     emb = load_table(spark, sf_dir, "embeddings")
     xd = emb.select(
         "vec_id",
@@ -393,12 +398,99 @@ GROUP BY user_id
 """
 
 
+# -- ds7: epoch repetition schedule by quality tier -------------------
+EPOCHS_BY_QUARTILE = {1: 4, 2: 2, 3: 1, 4: 0}  # quartile 1 = best
+
+
+def ds7_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch data mixing: allocate repetition budget by quality
+    tier — the best quartile of documents trains for 4 epochs, the
+    worst is dropped (the "repeat good data instead of adding bad
+    data" recipe modern pretraining mixes use).  Quartiles come from
+    NTILE(4) over the tx2 quality score with doc_id tiebreak (the
+    score is already proven bit-identical cross-engine, so the total
+    order — and therefore every assignment — is deterministic).
+
+    Output is the per-quartile budget sheet: documents, raw tokens,
+    the epoch multiplier, and effective (epoch-weighted) tokens.
+    Scale: one global sort for the NTILE (range partition at cluster
+    scale) over (score, id) pairs only, then a 4-group rollup."""
+    from .text import tx2_quality_score, _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = (
+        tx2_quality_score(spark, sf_dir)
+        .select("doc_id", "quality_score")
+        .join(
+            docs.select(
+                "doc_id",
+                F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+            ),
+            "doc_id",
+        )
+    )
+    w = Window.orderBy(F.col("quality_score").desc(), F.col("doc_id").asc())
+    epochs = F.col("quartile")
+    for q, e in EPOCHS_BY_QUARTILE.items():
+        epochs = F.when(F.col("quartile") == q, e).otherwise(epochs)
+    return (
+        scored.select(
+            "doc_id", "n_tokens", F.ntile(4).over(w).alias("quartile")
+        )
+        .withColumn("n_epochs", epochs.cast("long"))
+        .groupBy("quartile", "n_epochs")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum(F.col("n_tokens") * F.col("n_epochs")).alias(
+                "effective_tokens"
+            ),
+        )
+    )
+
+
+def _ds7_oracle() -> str:
+    cases = " ".join(
+        f"WHEN quartile = {q} THEN {e}" for q, e in EPOCHS_BY_QUARTILE.items()
+    )
+    # reuse tx2's ratio CTEs verbatim for the score
+    from .text import TX2_ORACLE
+
+    score_sql = TX2_ORACLE.strip().rstrip()
+    return f"""
+WITH scored AS ({score_sql}),
+sized AS (
+    SELECT s.doc_id, s.quality_score,
+           CAST(len({_sql_tokens('d.text')}) AS BIGINT) AS n_tokens
+    FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+),
+tiered AS (
+    SELECT doc_id, n_tokens,
+           NTILE(4) OVER (ORDER BY quality_score DESC, doc_id ASC)
+               AS quartile
+    FROM sized
+),
+sched AS (
+    SELECT doc_id, n_tokens, quartile,
+           CAST(CASE {cases} END AS BIGINT) AS n_epochs
+    FROM tiered
+)
+SELECT quartile, n_epochs,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_tokens * n_epochs) AS BIGINT) AS effective_tokens
+FROM sched
+GROUP BY quartile, n_epochs
+"""
+
+
 QUERIES = {
     "pd1_window_dedup": pd1_window_dedup,
     "eq1_int8_quantize": eq1_int8_quantize,
     "pk1_pack_chunks": pk1_pack_chunks,
     "ls1_leakage_safe_split": ls1_leakage_safe_split,
     "sq1_event_sequences": sq1_event_sequences,
+    "ds7_epoch_schedule": ds7_epoch_schedule,
 }
 ORACLES = {
     "pd1_window_dedup": PD1_ORACLE,
@@ -406,4 +498,5 @@ ORACLES = {
     "pk1_pack_chunks": PK1_ORACLE,
     "ls1_leakage_safe_split": LS1_ORACLE,
     "sq1_event_sequences": SQ1_ORACLE,
+    "ds7_epoch_schedule": _ds7_oracle(),
 }

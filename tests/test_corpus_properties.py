@@ -1,0 +1,101 @@
+"""Property tests (hypothesis) for the corpus-assembly portability
+primitives (operators/corpus.py): the int8 quantization rounding and
+the chunk-span arithmetic must hold their contracts over ARBITRARY
+inputs, and the rounding must agree bitwise with the DuckDB
+formulation the oracle uses — not just on the embeddings/documents
+the gates happen to scan."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from python_sql_datawarehouse_project_spark.operators.corpus import (
+    PACK_BUDGET,
+)
+
+# Exact zeros plus magnitudes >= 1e-6: eq1's documented domain.  A
+# max|x| below ~1e-306 would push 127/max to inf on BOTH engines —
+# real embedding components never get there, and hypothesis found the
+# edge immediately, hence the explicit bound (see eq1's docstring).
+components = st.one_of(
+    st.just(0.0),
+    st.floats(min_value=1e-6, max_value=8.0, allow_nan=False),
+    st.floats(min_value=-8.0, max_value=-1e-6, allow_nan=False),
+)
+
+
+def _py_quantize(xs: list[float]) -> tuple[list[int], float]:
+    m = max(abs(x) for x in xs)
+    if m == 0.0:
+        return [0 for _ in xs], float("nan")
+    scale = 127.0 / m
+    return [math.floor(x * scale + 0.5) for x in xs], scale
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(components, min_size=1, max_size=64))
+def test_int8_quantize_codes_in_range_and_error_bounded(xs):
+    q, scale = _py_quantize(xs)
+    if math.isnan(scale):  # all-zero vector: eq1 emits NULLs by contract
+        return
+    # symmetric int8: every code representable, max |code| hit exactly
+    assert all(-127 <= c <= 127 for c in q)
+    assert max(abs(c) for c in q) == 127
+    # reconstruction error bound: floor(x*s + .5) is within half a
+    # quantization step
+    for x, c in zip(xs, q):
+        assert abs(c / scale - x) <= 0.5 / scale + 1e-12
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(components, min_size=1, max_size=32))
+def test_int8_rounding_bitwise_matches_duckdb(xs):
+    # The exact expression pair the eq1 oracle relies on: Spark's
+    # floor(x*scale + 0.5) (long) vs DuckDB's floor(...) (double) must
+    # produce the same integer for every double input.
+    if max(abs(x) for x in xs) == 0.0:
+        return
+    con = duckdb.connect()
+    got = con.execute(
+        """
+        WITH s AS (
+            SELECT CAST(127 AS DOUBLE)
+                   / list_max(list_transform(?::DOUBLE[], x -> abs(x)))
+                       AS scale
+        )
+        SELECT list_transform(?::DOUBLE[],
+                              x -> CAST(floor(x * scale + CAST(0.5 AS DOUBLE))
+                                        AS BIGINT))
+        FROM s
+        """,
+        [xs, xs],
+    ).fetchone()[0]
+    want, _ = _py_quantize(xs)
+    assert list(got) == want
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=5000), min_size=1, max_size=200))
+def test_pack_chunks_spans_partition_the_token_stream(token_counts):
+    # pk1's integer chunk arithmetic: document spans must tile the
+    # concatenated token stream — consecutive docs meet exactly at
+    # chunk boundaries, spans never go backwards, and the total chunk
+    # count equals ceil(total/BUDGET).
+    cum = 0
+    prev_last = 0
+    total = sum(token_counts)
+    for n in token_counts:
+        first = cum // PACK_BUDGET
+        last = (cum + n - 1) // PACK_BUDGET
+        assert first <= last
+        assert first >= prev_last - 1 + (0 if cum % PACK_BUDGET else 0)
+        # a doc starts in the chunk where the previous doc ended (or
+        # the next one if the boundary fell exactly between them)
+        assert first - prev_last in (0, 1) or cum == 0
+        prev_last = last
+        cum += n
+    assert prev_last == (total - 1) // PACK_BUDGET

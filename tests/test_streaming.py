@@ -325,3 +325,51 @@ def test_streaming_mv_replay_is_idempotent(spark, tmp_path):
     # lineage resolved from the state layer, not driver memory: B2's
     # snapshot must have been built on B1's both times
     assert maint._prev_of(B2) == B1
+
+
+def test_streaming_mv_restart_processes_only_new_files(spark, tmp_path):
+    # Source-checkpoint recovery: drain batch 1, then stage batch 2
+    # and drain again WITH THE SAME CHECKPOINT.  The second run must
+    # fold only the new arrival (B1's files are committed in the
+    # checkpoint's file index) and chain its state on B1's snapshot.
+    import shutil
+
+    from python_sql_datawarehouse_project_spark.streaming.mv_maintenance import (
+        StreamingMVMaintenance,
+    )
+    from tests.test_mv_incremental import B1, B2, _rows
+
+    wh, staging = _seed_mv_stream(spark, tmp_path)
+    # hold B2 back
+    held = tmp_path / "held"
+    held.mkdir()
+    shutil.move(f"{staging}/{B2}.parquet", str(held / f"{B2}.parquet"))
+
+    names = ["mv_sales_monthly_productline"]
+    maint = StreamingMVMaintenance(wh, names)
+    schema = (
+        "order_number string, customer_key int, product_key int, "
+        "order_date date, shipping_date date, due_date date, "
+        "sales double, quantity int, price double, dwh_batch_id string"
+    )
+    cp = str(tmp_path / "cp")
+    maint.run_available_now(spark, staging, cp, schema)
+    assert maint._known_state_batches() == [B1]
+
+    shutil.move(str(held / f"{B2}.parquet"), f"{staging}/{B2}.parquet")
+    maint.run_available_now(spark, staging, cp, schema)
+    assert maint._known_state_batches() == [B1, B2]
+    assert maint._prev_of(B2) == B1
+    # and the folded result equals the batch-path literal oracle
+    import datetime as dt
+
+    d = dt.date
+    got = _rows(
+        wh, names[0], B2, ["month", "product_name", "total_sales"]
+    )
+    assert got == {
+        (d(2024, 1, 1), "Widget", 130.0),
+        (d(2024, 1, 1), "Brake", 50.0),
+        (d(2024, 2, 1), "Brake", 70.0),
+        (d(2024, 3, 1), "Gear", 80.0),
+    }
