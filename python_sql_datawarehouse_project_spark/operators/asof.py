@@ -94,6 +94,59 @@ def asof_join_backward(
     )
 
 
+def asof_join_forward(
+    probes: DataFrame,
+    right: DataFrame,
+    probe_key: str,
+    right_key: str,
+    probe_time: str,
+    right_time: str,
+    payload: dict[str, str],
+    right_tiebreak: str,
+) -> DataFrame:
+    """Mirror of `asof_join_backward`: the EARLIEST right row with
+    right_time >= probe_time per key ("what happened next").  Same
+    single-exchange merge plan; the running frame flips to
+    CURRENT..UNBOUNDED FOLLOWING with first(ignorenulls), and probes
+    sort BEFORE right rows at equal timestamps (src 0 < 1) so
+    at-or-after (>=) ties are included.  Ties at equal right_time
+    resolve to the smallest tiebreak — the exact twin of the
+    backward join's largest-tiebreak rule, both matching their
+    LATERAL oracles."""
+    probe_cols = probes.columns
+    tagged_r = right.select(
+        F.col(right_key).alias(_K),
+        F.col(right_time).alias(_T),
+        F.lit(1).alias(_SRC),
+        F.col(right_tiebreak).alias(_TB),
+        *[F.col(src).alias(out) for out, src in payload.items()],
+        *[F.lit(None).alias(c) for c in probe_cols],
+    )
+    tb_type = dict(tagged_r.dtypes)[_TB]
+    tagged_p = probes.select(
+        F.col(probe_key).alias(_K),
+        F.col(probe_time).alias(_T),
+        F.lit(0).alias(_SRC),
+        F.lit(None).cast(tb_type).alias(_TB),
+        *[F.lit(None).cast(dict(tagged_r.dtypes)[out]).alias(out) for out in payload],
+        *probe_cols,
+    )
+    w = (
+        Window.partitionBy(_K)
+        .orderBy(_T, _SRC, _TB)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried: list[Column] = [
+        F.first(out, ignorenulls=True).over(w).alias(out) for out in payload
+    ]
+    return (
+        tagged_r.unionByName(tagged_p)
+        .select(*probe_cols, F.col(_SRC).alias(_SRC), *carried)
+        .where(F.col(_SRC) == 0)
+        .drop(_SRC)
+    )
+
+
 # -- gate: last click before each purchase ---------------------------
 def aj1_asof_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each purchase event: the same user's latest click at or
@@ -135,5 +188,51 @@ FROM events p LEFT JOIN LATERAL (
 WHERE p.event_type = 'purchase'
 """
 
-QUERIES = {"aj1_asof_last_event": aj1_asof_last_event}
-ORACLES = {"aj1_asof_last_event": AJ1_ORACLE}
+# -- gate: next click after each purchase ----------------------------
+def aj2_asof_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase event: the same user's earliest click at or
+    after it — the post-conversion re-engagement lookup, and the
+    forward twin of aj1 (time-to-next-touch feeds churn/retention
+    features the same way last-touch feeds attribution)."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = events.where(F.col("event_type") == "click")
+    return asof_join_forward(
+        purchases,
+        clicks,
+        probe_key="user_id",
+        right_key="user_id",
+        probe_time="purchase_ts",
+        right_time="ts",
+        payload={"next_click_ts": "ts", "next_click_value": "value"},
+        right_tiebreak="event_id",
+    )
+
+
+AJ2_ORACLE = """
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       nc.ts AS next_click_ts, nc.value AS next_click_value
+FROM events p LEFT JOIN LATERAL (
+    SELECT c.ts, c.value
+    FROM events c
+    WHERE c.user_id = p.user_id
+      AND c.event_type = 'click'
+      AND c.ts >= p.ts
+    ORDER BY c.ts ASC, c.event_id ASC
+    LIMIT 1
+) nc ON TRUE
+WHERE p.event_type = 'purchase'
+"""
+
+QUERIES = {
+    "aj1_asof_last_event": aj1_asof_last_event,
+    "aj2_asof_next_event": aj2_asof_next_event,
+}
+ORACLES = {
+    "aj1_asof_last_event": AJ1_ORACLE,
+    "aj2_asof_next_event": AJ2_ORACLE,
+}

@@ -988,6 +988,69 @@ WHERE levenshtein(p.pfx_a, r.pfx) <= {DD9_MAX_DIST}
 """
 
 
+# -- cs1: quality-ranked canonical selection over dd7 clusters --------
+def cs1_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's FINAL verdict: within each near-dup
+    cluster (dd7's connected components), keep the HIGHEST-QUALITY
+    document rather than dd7's min-id representative — tx2's quality
+    score with doc_id tiebreak, the "canonical selection" stage real
+    corpora apply so boilerplate-laden copies lose to the clean one.
+
+    Pure composition: dd7's labels (one row per doc) joined to tx2's
+    scores (proven bit-identical cross-engine, so the argmax is
+    deterministic), ROW_NUMBER per cluster.  Costs one extra
+    label-sized shuffle on top of dd7 — the window partitions by
+    cluster_id over (id, label, score) triples only."""
+    from pyspark.sql import Window
+
+    from .text import tx2_quality_score
+
+    labels = dd7_dup_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+    scored = labels.join(
+        tx2_quality_score(spark, sf_dir).select("doc_id", "quality_score"),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return scored.select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        "quality_score",
+        (F.row_number().over(w) == 1).alias("selected"),
+    )
+
+
+def _cs1_oracle() -> str:
+    from .text import TX2_ORACLE
+
+    # DD7_ORACLE is a complete WITH RECURSIVE ... SELECT; wrap it and
+    # tx2's score query as CTE bodies for the ranked composition.
+    dd7_body = DD7_ORACLE.strip()
+    assert dd7_body.upper().startswith("WITH RECURSIVE")
+    ctes = dd7_body[len("WITH RECURSIVE") :]
+    # split the trailing top-level SELECT off the CTE list: it starts
+    # at the last "SELECT doc_id, cluster_id" occurrence
+    cut = ctes.rindex("SELECT doc_id, cluster_id")
+    return f"""
+WITH RECURSIVE {ctes[:cut].rstrip()},
+labeled AS ({ctes[cut:]}),
+scored AS ({TX2_ORACLE.strip()})
+SELECT l.doc_id, l.cluster_id, l.cluster_size, s.quality_score,
+       ROW_NUMBER() OVER (
+           PARTITION BY l.cluster_id
+           ORDER BY s.quality_score DESC, l.doc_id ASC
+       ) = 1 AS selected
+FROM labeled l JOIN scored s ON l.doc_id = s.doc_id
+"""
+
+
+CS1_ORACLE = _cs1_oracle()
+
+
 QUERIES = {
     "dd1_exact_dedup": dd1_exact_dedup,
     "dd2_ngram_jaccard_pairs": dd2_ngram_jaccard_pairs,
@@ -999,6 +1062,7 @@ QUERIES = {
     "dd8_containment_pairs": dd8_containment_pairs,
     "dd9_fuzzy_pairs": dd9_fuzzy_pairs,
     "dd10_sorted_neighborhood": dd10_sorted_neighborhood,
+    "cs1_canonical_selection": cs1_canonical_selection,
 }
 ORACLES = {
     "dd1_exact_dedup": DD1_ORACLE,
@@ -1011,4 +1075,5 @@ ORACLES = {
     "dd8_containment_pairs": DD8_ORACLE,
     "dd9_fuzzy_pairs": DD9_ORACLE,
     "dd10_sorted_neighborhood": DD10_ORACLE,
+    "cs1_canonical_selection": CS1_ORACLE,
 }

@@ -1,0 +1,155 @@
+"""Statistical data-profiling operators (BASELINE.json quality
+extensions beyond qa1-qa12; the reference's profiling surface is its
+EDA notebook aggregates, SURVEY.md §3.3).
+
+  qa13_benford_digits   first-significant-digit distribution of the
+                        money column vs Benford's law — the classic
+                        fabricated/synthetic-data smell test
+  tx12_commonness       per-document mean corpus-frequency of its
+                        tokens — the rational (log-free) analogue of
+                        a unigram-LM quality score (CCNet-class
+                        filtering signal)
+
+Portability: qa13 never formats a DOUBLE as a string (engine-
+dependent) and never takes log10 of data (libm-dependent at bin
+boundaries) — the money value becomes exact integer cents via
+floor(x*100 + 0.5), integer->string is exact on both engines, and
+the Benford expected shares are PYTHON literal doubles shared by
+both sides.  tx12 is integer counts + one final double division —
+the tx5 rational-idf lesson applied again.
+
+Scale notes: qa13 is one scan + a 9-row aggregate (the window total
+rides the agg output, not the fact stream).  tx12's frequency table
+is vocab-sized; the probe join broadcasts it (plan: one explode, one
+broadcast hash join, one doc-keyed agg).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .text import _sql_tokens, _tokens
+
+# Benford expected share per first digit, as shared literals.
+BENFORD = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def qa13_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit histogram of o_totalprice against Benford's law.
+
+    digit = first character of the exact integer cents — substring of
+    an INT64's decimal rendering, which (unlike double formatting) is
+    engine-identical.  Expected counts multiply the shared literal
+    shares by the total, so expected/excess are bitwise comparable."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = (
+        orders.select(digit.alias("digit"))
+        .where(F.col("digit") >= 1)  # zero/negative totals: no first digit
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    total = F.sum("n_obs").over(Window.partitionBy())
+    expected = F.lit(0.0)
+    for d, p in BENFORD.items():
+        expected = F.when(F.col("digit") == d, F.lit(p)).otherwise(expected)
+    return counts.select(
+        "digit",
+        "n_obs",
+        (total.cast("double") * expected).alias("expected"),
+        (F.col("n_obs").cast("double") - total.cast("double") * expected).alias(
+            "excess"
+        ),
+    )
+
+
+def _qa13_oracle() -> str:
+    cases = " ".join(
+        f"WHEN digit = {d} THEN {p!r}" for d, p in BENFORD.items()
+    )
+    return f"""
+WITH counts AS (
+    SELECT digit, COUNT(*) AS n_obs
+    FROM (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT) AS VARCHAR), 1, 1)
+                    AS INT) AS digit
+        FROM orders
+    )
+    WHERE digit >= 1
+    GROUP BY digit
+)
+SELECT digit, n_obs,
+       CAST(SUM(n_obs) OVER () AS DOUBLE)
+           * (CASE {cases} ELSE 0.0 END) AS expected,
+       CAST(n_obs AS DOUBLE)
+           - CAST(SUM(n_obs) OVER () AS DOUBLE)
+             * (CASE {cases} ELSE 0.0 END) AS excess
+FROM counts
+"""
+
+
+def tx12_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean corpus-frequency of each document's tokens: documents of
+    common words score high, documents of rare/garbled tokens score
+    low — the unigram-LM filtering signal without the log (rational
+    arithmetic keeps it bitwise cross-engine, the tx5 idf trade).
+
+    Two passes over the token stream: corpus term counts (vocab-sized
+    result), then a broadcast re-join onto the exploded tokens and a
+    per-doc rollup.  Token multiplicity counts on both passes — a
+    doc repeating one common word scores that word each time."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        toks.join(F.broadcast(freq), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("tf").cast("long").alias("freq_mass"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "freq_mass",
+            (
+                F.col("freq_mass").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("mean_token_freq"),
+        )
+    )
+
+
+TX12_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_sql_tokens('text')}) AS tok FROM documents
+),
+freq AS (
+    SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(f.tf) AS BIGINT) AS freq_mass,
+       CAST(SUM(f.tf) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           AS mean_token_freq
+FROM toks t JOIN freq f ON t.tok = f.tok
+GROUP BY t.doc_id
+"""
+
+
+QUERIES = {
+    "qa13_benford_digits": qa13_benford_digits,
+    "tx12_commonness": tx12_commonness,
+}
+ORACLES = {
+    "qa13_benford_digits": _qa13_oracle(),
+    "tx12_commonness": TX12_ORACLE,
+}

@@ -25,6 +25,7 @@ from .operators import (
     kmeans,
     mix,
     multimodal,
+    profiling,
     quality,
     rangejoin,
     recursive,
@@ -68,6 +69,8 @@ _MODULES = (
     kmeans,
     mix,
     multimodal,
+    profiling,  # new r3 tail additions (aj2/cs1/qa13/tx12 live after
+    # the window; round 4 reorders them in once r3 rows land)
 )
 
 
