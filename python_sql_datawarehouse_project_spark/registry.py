@@ -35,6 +35,7 @@ from .operators import (
     windows,
 )
 from .streaming import dedup as stream_dedup
+from .streaming import extras as stream_extras
 from .streaming import joins as stream_joins
 from .streaming import stateful as stream_stateful
 from .streaming import windows as stream_windows
@@ -71,6 +72,7 @@ _MODULES = (
     multimodal,
     profiling,  # new r3 tail additions (aj2/cs1/qa13/tx12 live after
     # the window; round 4 reorders them in once r3 rows land)
+    stream_extras,  # stream_sliding_windows — same tail rule
 )
 
 

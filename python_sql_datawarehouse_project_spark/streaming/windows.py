@@ -184,6 +184,29 @@ def tumbling_hourly(stream: DataFrame) -> DataFrame:
     )
 
 
+def sliding_windows(stream: DataFrame) -> DataFrame:
+    """Streaming twin of ev2_sliding_windows: overlapping 1-hour
+    windows sliding every 15 minutes.  Each event updates 4 open
+    windows; state is (4 x open-windows x types) rows, still bounded
+    by the watermark — the standard smoothing/trend window shape."""
+    return (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_dec").cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def session_windows(stream: DataFrame) -> DataFrame:
     """Streaming twin of ev3_session_windows (stateful session merge)."""
     return (
@@ -255,6 +278,10 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream(spark, sf_dir, session_windows)
+
+
+def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_stream(spark, sf_dir, sliding_windows)
 
 
 QUERIES = {

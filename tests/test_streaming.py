@@ -25,6 +25,12 @@ def test_stream_sessions_equal_batch(spark, sf_dir):
     assert _rows(got) == _rows(want)
 
 
+def test_stream_sliding_equals_batch(spark, sf_dir):
+    got = sw.stream_sliding_windows(spark, sf_dir)
+    want = batch_events.ev2_sliding_windows(spark, sf_dir)
+    assert _rows(got) == _rows(want)
+
+
 def test_stream_is_incremental(spark, sf_dir):
     # the source really is a stream (not a disguised batch read)
     from python_sql_datawarehouse_project_spark.catalog import table_path
