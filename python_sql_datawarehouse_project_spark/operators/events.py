@@ -560,6 +560,73 @@ EV10_ORACLE = _ev10_oracle()
 # ev8 leads: it hash-failed the r2 driver gate on a (fixed) oracle
 # typing bug, so it must re-gate inside the driver's 50-entry
 # correctness window (registry._MODULES ordering contract).
+
+# -- ev11: per-user hourly gap fill (time-series densification) ------
+_HOUR_US = 3_600_000_000
+
+
+def ev11_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-user hourly activity series: every hour between a
+    user's first and last event carries a row, zero-filled where no
+    events landed — the densification step a downstream
+    forecaster/feature-window consumer needs (sparse event logs make
+    lag features silently skip time).
+
+    Hour buckets are exact integer epoch-hour arithmetic (the ev10
+    epoch-micros trick, absolute this time — the session runs UTC so
+    Spark's cast matches DuckDB's naive epoch_us).  The hour grid is
+    generated per user with sequence+explode from the user's own
+    (min, max) span — the Spark-native generate_series.
+
+    Scale: counts and spans ride the same (user, hour)/(user) aggs;
+    the grid explode is span-bounded per user and the final left
+    join is (user, hour)-keyed hash join — skew-safe because grid
+    rows are the per-user spans, not the event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    hours = ev.select(
+        "user_id",
+        ((us - F.pmod(us, F.lit(_HOUR_US))) / F.lit(_HOUR_US))
+        .cast("long")
+        .alias("h"),
+    )
+    counts = hours.groupBy("user_id", "h").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    span = counts.groupBy("user_id").agg(
+        F.min("h").alias("a"), F.max("h").alias("b")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence(F.col("a"), F.col("b"))).alias("h"),
+    )
+    return grid.join(counts, ["user_id", "h"], "left").select(
+        "user_id",
+        F.col("h").alias("hour_bucket"),
+        F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_events"),
+    )
+
+
+EV11_ORACLE = f"""
+WITH hrs AS (
+    SELECT user_id, epoch_us(ts) // {_HOUR_US} AS h FROM events
+),
+counts AS (
+    SELECT user_id, h, COUNT(*) AS n FROM hrs GROUP BY 1, 2
+),
+span AS (
+    SELECT user_id, MIN(h) AS a, MAX(h) AS b FROM counts GROUP BY 1
+),
+grid AS (
+    SELECT user_id, unnest(range(a, b + 1)) AS h FROM span
+)
+SELECT g.user_id,
+       CAST(g.h AS BIGINT) AS hour_bucket,
+       COALESCE(c.n, 0) AS n_events
+FROM grid g LEFT JOIN counts c ON g.user_id = c.user_id AND g.h = c.h
+"""
+
+
 QUERIES = {
     "ev8_rolling_7day": ev8_rolling_7day,
     "ev1_tumbling_hourly": ev1_tumbling_hourly,
@@ -571,6 +638,7 @@ QUERIES = {
     "ev7_transition_matrix": ev7_transition_matrix,
     "ev9_hourly_active_users": ev9_hourly_active_users,
     "ev10_gap_histogram": ev10_gap_histogram,
+    "ev11_gap_fill": ev11_gap_fill,
 }
 ORACLES = {
     "ev1_tumbling_hourly": EV1_ORACLE,
@@ -583,4 +651,5 @@ ORACLES = {
     "ev8_rolling_7day": EV8_ORACLE,
     "ev9_hourly_active_users": EV9_ORACLE,
     "ev10_gap_histogram": EV10_ORACLE,
+    "ev11_gap_fill": EV11_ORACLE,
 }

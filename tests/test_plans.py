@@ -698,3 +698,20 @@ def test_dd11_band_join_exchanges_ids_not_sketches(spark, sf_dir):
     assert joins, p
     for j in joins:
         assert "hs" not in j.replace("hash", ""), j
+
+
+def test_q12_date_filter_pushed_and_no_cartesian(spark, sf_dir):
+    # TPC-H Q5 shape: the year predicate must reach the orders scan
+    # (pruning the big-big leg's build side before the join), and the
+    # c_nationkey = s_nationkey theta must ride the equi-joins as a
+    # post-join filter — never a cartesian/nested-loop.
+    from python_sql_datawarehouse_project_spark.operators import analytics
+
+    df = analytics.q12_regional_revenue(spark, sf_dir)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p
+    assert "PushedFilters" in p
+    import re
+
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", p))
+    assert "o_orderdate" in pushed, pushed
