@@ -1,0 +1,144 @@
+"""Embedding-space quality control over the `embeddings` table —
+the "drop mis-embedded / mislabeled rows before training" filter of
+a large-scale training-data pipeline (BASELINE.json ANN-family
+extension; no counterpart in the reference repo).
+
+  emb1_centroid_outliers   per-label centroid, then the 5 vectors
+                           per label LEAST similar to their own
+                           centroid — the standard
+                           embedding-coherence outlier screen
+
+Cross-engine determinism (the float-mean trap, solved the sim4 way):
+a per-label MEAN of doubles is summation-order-dependent, so the
+centroid is instead built from int64 fixed-point component sums
+(q = floor(x * 2^18), exact integer addition — order-free).  Cosine
+is scale-invariant, so the UN-divided sum vector IS the centroid for
+scoring purposes: no mean, no division, no error.  Scoring then uses
+the same sequential-fold double dot product as sim1-4 (bitwise
+cross-engine, functions/hashing.py), against the exact integer sums
+cast to double.
+
+int64 headroom: |q| <= 2^18 per component (vectors are pre-normalized
+so |x| <= 1), so component sums stay exact below 2^45 vectors per
+label — effectively unbounded.  The double fold over cv*cv peaks at
+~64*(2^18*n)^2, inside double range for any real corpus.
+
+Scale design (100 TB of embeddings):
+  * Centroid build: one posexplode + codegen'd integer SUM with
+    map-side partial aggregation — the shuffle carries (label, dim)
+    partials only, label_count x 64 rows.
+  * Scoring: the centroid table (labels x 64 doubles) broadcasts;
+    each vector is scored map-side with a single fold — no shuffle.
+  * Per-label bottom-5: rank window partitioned by label; at scale
+    this is the same bounded per-group top-k as q5 (partial heaps
+    under AQE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import hashing as H
+
+EMB_Q = 1 << 18
+EMB_DIM = H.RP_DIM  # 64 — the embeddings table's dimensionality
+EMB_OUTLIERS = 5
+
+
+def _norm_with_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity._emb_normalized, keeping the label column (same
+    norm expression so the vn doubles agree bitwise with the oracle
+    CTE)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    return emb.withColumn(
+        "nrm", F.sqrt(H.dot_fold(F.col("v"), F.col("v")))
+    ).select(
+        "vec_id",
+        "label",
+        F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("vn"),
+    )
+
+
+def emb1_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-EMB_OUTLIERS cosine-to-own-label-centroid per label.
+
+    Low cosine to the label centroid = the vector disagrees with its
+    cohort — the screen that catches mislabeled rows and embedding-
+    service failures before they reach a training mix."""
+    n = _norm_with_label(spark, sf_dir)
+    quant = n.select(
+        "label",
+        F.transform(
+            F.col("vn"), lambda x: F.floor(x * F.lit(float(EMB_Q)))
+        ).alias("qv"),
+    )
+    cent = (
+        quant.select("label", F.posexplode("qv").alias("j", "x"))
+        .groupBy("label", "j")
+        .agg(F.sum("x").alias("s"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "s"))),
+                lambda t: t.getField("s").cast("double"),
+            ).alias("cv")
+        )
+        .withColumn("cn", F.sqrt(H.dot_fold(F.col("cv"), F.col("cv"))))
+    )
+    scored = n.join(F.broadcast(cent), "label").select(
+        "label",
+        "vec_id",
+        (H.dot_fold(F.col("vn"), F.col("cv")) / F.col("cn")).alias("cosine"),
+    )
+    w = Window.partitionBy("label").orderBy(F.asc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= EMB_OUTLIERS)
+        .select("label", "vec_id", "cosine", "rank")
+    )
+
+
+EMB1_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, label,
+           list_transform(v, x -> x / sqrt({H.sql_dot('v', 'v')})) AS vn
+    FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings)
+),
+q AS (
+    SELECT label,
+           list_transform(vn, x -> CAST(floor(x * {float(EMB_Q)!r})
+                                        AS BIGINT)) AS qv
+    FROM e
+),
+dims AS (SELECT unnest(range(0, {EMB_DIM})) AS j),
+sums AS (
+    SELECT label, j, CAST(SUM(qv[j + 1]) AS BIGINT) AS s
+    FROM q, dims GROUP BY label, j
+),
+cent AS (
+    SELECT label, list(CAST(s AS DOUBLE) ORDER BY j) AS cv
+    FROM sums GROUP BY label
+),
+scored AS (
+    SELECT e.label, e.vec_id,
+           {H.sql_dot('e.vn', 'c.cv')} / sqrt({H.sql_dot('c.cv', 'c.cv')})
+               AS cosine
+    FROM e JOIN cent c ON e.label = c.label
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY label ORDER BY cosine ASC, vec_id ASC) AS rank
+    FROM scored
+)
+SELECT label, vec_id, cosine, rank FROM ranked WHERE rank <= {EMB_OUTLIERS}
+"""
+
+
+QUERIES = {"emb1_centroid_outliers": emb1_centroid_outliers}
+ORACLES = {"emb1_centroid_outliers": EMB1_ORACLE}

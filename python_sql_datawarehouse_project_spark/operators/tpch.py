@@ -1,0 +1,252 @@
+"""Classic warehouse report shapes over the raw TPC-H-ish tables
+(lineitem/orders/customer/supplier) — the scan-heavy plans a
+reference user would run against the bronze layer directly, before
+the medallion star exists.  Complements analytics.py's star-schema
+gates (q1-q12) with the three canonical TPC-H plan shapes the star
+queries don't exercise:
+
+  q13_pricing_summary    TPC-H Q1 shape: full-scan multi-aggregate
+                         over lineitem — the pure scan+agg throughput
+                         probe (no join at all)
+  q14_shipping_priority  TPC-H Q3 shape: 3-way join + grouped agg +
+                         global top-k (TakeOrdered, not a full sort)
+  q15_top_supplier       TPC-H Q15 shape: an aggregate joined against
+                         its own global MAX — the "view + self-probe"
+                         pattern the reference builds with a
+                         materialized view (scripts/materialized_view.sql
+                         builds report MVs; this is the query-side
+                         analogue)
+
+Cross-engine determinism: money expressions are written with
+IDENTICAL parse trees on both engines and routed through
+DECIMAL(18,4) before summing (star.py SALES_DECIMAL policy — decimal
+addition is exact, so summation order cannot matter), then cast to
+DOUBLE once on the way out.  Quantities are integer-valued doubles
+and are summed as BIGINT.  Averages divide the exact sums by exact
+counts in one final double op.
+
+Scale notes (100 TB):
+  * q13 is one scan with map-side partial aggregation into a handful
+    of (returnflag, linestatus) groups — the shuffle carries only
+    per-partition partials (bytes, not rows).  The shipdate predicate
+    reaches the parquet scan (PushedFilters, pinned in test_plans).
+  * q14's lineitem|x|orders leg is the big-big join; the
+    plans/bucketing.py layout removes its Exchange when materialized.
+    The top-10 is orderBy+limit, which Spark plans as
+    TakeOrderedAndProject — per-partition heaps + a 10-row driver
+    merge, never a global sort (pinned in test_plans).
+  * q15 joins the supplier aggregate against a broadcast 1-row MAX —
+    no second scan of lineitem, no shuffle beyond the one grouped agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..star import SALES_DECIMAL
+
+Q13_CUTOFF = "1998-09-01"
+Q14_SEGMENT = "BUILDING"
+Q14_DATE = "1996-03-15"
+Q14_TOP = 10
+Q15_QUARTER = ("1996-01-01", "1996-04-01")
+
+
+def q13_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shape pricing summary: one lineitem scan, grouped
+    SUM/AVG/COUNT per (returnflag, linestatus).
+
+    The three money sums use literally the same expression trees as
+    the oracle (`x*(1-d)`, `(x*(1-d))*(1+t)`) so the doubles agree
+    bitwise BEFORE the decimal cast; decimal sums are then
+    order-independent.  Averages are exact-sum / exact-count."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit(f"{Q13_CUTOFF} 00:00:00").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc * (F.lit(1.0) + F.col("l_tax"))
+    out = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("_sq"),
+            F.sum(F.col("l_extendedprice").cast(SALES_DECIMAL)).alias("_sb"),
+            F.sum(disc.cast(SALES_DECIMAL)).alias("_sd"),
+            # 6-decimal scale: price(2dp)*(1-disc)(2dp)*(1+tax)(2dp)
+            # has at most 6 decimal digits, so this cast is EXACT on
+            # both engines.  DECIMAL(18,4) would round, and Spark
+            # (HALF_UP on the shortest decimal repr) and DuckDB
+            # (nearest on the binary value) break x.xxxx5 ties
+            # differently — measured: 6 of 60k rows diverge.
+            F.sum(charge.cast("decimal(18,6)")).alias("_sc"),
+            F.sum(F.col("l_discount").cast("decimal(18,6)")).alias("_sdisc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    n = F.col("count_order").cast("double")
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sq").alias("sum_qty"),
+        F.col("_sb").cast("double").alias("sum_base_price"),
+        F.col("_sd").cast("double").alias("sum_disc_price"),
+        F.col("_sc").cast("double").alias("sum_charge"),
+        (F.col("_sq").cast("double") / n).alias("avg_qty"),
+        (F.col("_sb").cast("double") / n).alias("avg_price"),
+        (F.col("_sdisc").cast("double") / n).alias("avg_disc"),
+        "count_order",
+    )
+
+
+Q13_ORACLE = f"""
+WITH g AS (
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           SUM(CAST(l_extendedprice AS {SALES_DECIMAL})) AS sb,
+           SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                    AS {SALES_DECIMAL})) AS sd,
+           SUM(CAST((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax)
+                    AS DECIMAL(18,6))) AS sc,
+           SUM(CAST(l_discount AS DECIMAL(18,6))) AS sdisc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{Q13_CUTOFF} 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus, sum_qty,
+       CAST(sb AS DOUBLE) AS sum_base_price,
+       CAST(sd AS DOUBLE) AS sum_disc_price,
+       CAST(sc AS DOUBLE) AS sum_charge,
+       CAST(sum_qty AS DOUBLE) / CAST(count_order AS DOUBLE) AS avg_qty,
+       CAST(sb AS DOUBLE) / CAST(count_order AS DOUBLE) AS avg_price,
+       CAST(sdisc AS DOUBLE) / CAST(count_order AS DOUBLE) AS avg_disc,
+       count_order
+FROM g
+"""
+
+
+def q14_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shape: revenue of not-yet-shipped orders for one
+    market segment, top 10.
+
+    The top-k is `orderBy(...).limit(k)` — Spark plans it as
+    TakeOrderedAndProject (per-partition bounded heaps, k-row driver
+    merge), so the global "sort" moves k rows, not the result set.
+    The tie-break on l_orderkey makes the cut deterministic; rank is
+    assigned after the limit over the 10 surviving rows."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == Q14_SEGMENT
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit(f"{Q14_DATE} 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit(f"{Q14_DATE} 00:00:00").cast("timestamp")
+    )
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast(SALES_DECIMAL)
+    top = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(Q14_TOP)
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+    return top.select(
+        "l_orderkey",
+        "revenue",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        "o_orderpriority",
+        F.row_number().over(w).alias("rank"),
+    )
+
+
+Q14_ORACLE = f"""
+WITH g AS (
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS {SALES_DECIMAL})) AS DOUBLE) AS revenue,
+           CAST(o_orderdate AS DATE) AS order_date,
+           o_orderpriority
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = '{Q14_SEGMENT}'
+      AND o_orderdate < TIMESTAMP '{Q14_DATE} 00:00:00'
+      AND l_shipdate  > TIMESTAMP '{Q14_DATE} 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT {Q14_TOP}
+)
+SELECT l_orderkey, revenue, order_date, o_orderpriority,
+       ROW_NUMBER() OVER (ORDER BY revenue DESC, l_orderkey ASC) AS rank
+FROM g
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shape: suppliers whose quarterly revenue equals the
+    global maximum — an aggregate probed against its own MAX.
+
+    The MAX rides a window over the aggregate itself, so lineitem is
+    scanned ONCE (a broadcast-join formulation re-materializes the
+    aggregate's whole lineage — Catalyst does not dedupe common
+    subplans — which doubles the 100 TB scan; pinned in test_plans).
+    The window moves only the per-supplier aggregate rows, not the
+    fact.  Equality on the DOUBLE revenue is safe because both sides
+    derive it from the same exact decimal sum."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(f"{Q15_QUARTER[0]} 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(f"{Q15_QUARTER[1]} 00:00:00").cast("timestamp"))
+    )
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast(SALES_DECIMAL)
+    revenue = li.groupBy("l_suppkey").agg(
+        F.sum(rev).cast("double").alias("total_revenue")
+    )
+    best = F.max("total_revenue").over(Window.partitionBy())
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.withColumn("_best", best)
+        .filter(F.col("total_revenue") == F.col("_best"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supplier_name"),
+            "total_revenue",
+        )
+    )
+
+
+Q15_ORACLE = f"""
+WITH revenue0 AS (
+    SELECT l_suppkey,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS {SALES_DECIMAL})) AS DOUBLE) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{Q15_QUARTER[0]} 00:00:00'
+      AND l_shipdate <  TIMESTAMP '{Q15_QUARTER[1]} 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey AS suppkey, s_name AS supplier_name, total_revenue
+FROM revenue0 JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+"""
+
+
+QUERIES = {
+    "q13_pricing_summary": q13_pricing_summary,
+    "q14_shipping_priority": q14_shipping_priority,
+    "q15_top_supplier": q15_top_supplier,
+}
+
+ORACLES = {
+    "q13_pricing_summary": Q13_ORACLE,
+    "q14_shipping_priority": Q14_ORACLE,
+    "q15_top_supplier": Q15_ORACLE,
+}

@@ -19,6 +19,7 @@ from .operators import (
     asof,
     corpus,
     dedup,
+    embquality,
     events,
     incremental,
     layout,
@@ -32,6 +33,7 @@ from .operators import (
     similarity,
     skew,
     text,
+    tpch,
     windows,
 )
 from .streaming import dedup as stream_dedup
@@ -73,6 +75,8 @@ _MODULES = (
     profiling,  # new r3 tail additions (aj2/cs1/qa13/tx12 live after
     # the window; round 4 reorders them in once r3 rows land)
     stream_extras,  # stream_sliding_windows — same tail rule
+    tpch,  # q13-q15 TPC-H report shapes — same tail rule
+    embquality,  # emb1 centroid outliers — same tail rule
 )
 
 

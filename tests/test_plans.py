@@ -715,3 +715,53 @@ def test_q12_date_filter_pushed_and_no_cartesian(spark, sf_dir):
 
     pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", p))
     assert "o_orderdate" in pushed, pushed
+
+
+def test_q13_pushes_shipdate_and_prunes_commentless_scan(spark, sf_dir):
+    # TPC-H Q1 shape: the cutoff predicate must reach the parquet scan
+    # and the plan must contain no join or window — one scan, one
+    # partial/final aggregate pair.
+    from python_sql_datawarehouse_project_spark.operators import tpch
+
+    p = plan_of(tpch.q13_pricing_summary(spark, sf_dir))
+    assert "Join" not in p and "Window" not in p
+    import re
+
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", p))
+    assert "l_shipdate" in pushed, pushed
+
+
+def test_q14_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    # The top-10 must plan as TakeOrderedAndProject (bounded
+    # per-partition heaps + k-row driver merge) — a global Sort of the
+    # whole aggregate would shuffle every group at 100 TB.
+    from python_sql_datawarehouse_project_spark.operators import tpch
+
+    p = plan_of(tpch.q14_shipping_priority(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+    assert "CartesianProduct" not in p
+
+
+def test_q15_max_probe_is_single_scan(spark, sf_dir):
+    # The MAX probe is a window over the aggregate, so lineitem is
+    # scanned exactly once (a broadcast self-join would re-run the
+    # whole aggregate lineage — Catalyst does not dedupe subplans).
+    from python_sql_datawarehouse_project_spark.operators import tpch
+
+    p = plan_of(tpch.q15_top_supplier(spark, sf_dir))
+    assert "BroadcastHashJoin" in p  # supplier dim
+    assert "CartesianProduct" not in p
+    li_scans = p.count("lineitem.parquet")
+    assert li_scans == 1, f"lineitem scanned {li_scans} times:\n{p}"
+
+
+def test_emb1_centroids_broadcast_and_single_explode(spark, sf_dir):
+    # Scoring joins the labels x 64 centroid table via broadcast (the
+    # corpus side never shuffles for the join); only the centroid
+    # BUILD explodes — the scoring pass is a map-side fold.
+    from python_sql_datawarehouse_project_spark.operators import embquality
+
+    p = plan_of(embquality.emb1_centroid_outliers(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert p.count("+- Generate (") + p.count("+- Generate\n") == 1, p
