@@ -296,15 +296,71 @@ WHERE rk <= {DS4_K}
 """
 
 
+# -- ds5: per-language quality-quantile filter ------------------------
+DS5_QUANTILE = 0.5
+
+
+def ds5_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep each language's top half by quality score — the adaptive
+    per-cohort threshold (an absolute score cutoff over-prunes
+    whichever language the scorer is miscalibrated for; a per-language
+    quantile self-calibrates).
+
+    The score is tx2's expression tree verbatim (text.quality_scored
+    — bitwise cross-engine), the threshold is PERCENT_RANK over the
+    total order (quality_score, doc_id), and the comparison is on the
+    exact rational (rank-1)/(n-1) both engines compute identically.
+
+    Scale: one shuffle on lang (the window partition); the filter
+    emits rows map-side after the per-partition sort.  Skewed
+    language sizes are exactly the sk1 salting case if one cohort
+    dominates — at corpus scale route through percentile buckets
+    instead of a single-partition-per-lang sort."""
+    from .text import quality_scored
+
+    scored = quality_scored(load_table(spark, sf_dir, "documents"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.asc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        scored.select(
+            "doc_id", "lang", "quality_score",
+            F.percent_rank().over(w).alias("_pr"),
+        )
+        .filter(F.col("_pr") >= F.lit(DS5_QUANTILE))
+        .select("doc_id", "lang", "quality_score")
+    )
+
+
+def _ds5_oracle() -> str:
+    from .text import SQL_QUALITY_SCORED
+
+    return f"""
+WITH scored AS (SELECT * FROM {SQL_QUALITY_SCORED} s),
+r AS (
+    SELECT doc_id, lang, quality_score,
+           PERCENT_RANK() OVER (
+               PARTITION BY lang
+               ORDER BY quality_score ASC, doc_id ASC) AS pr
+    FROM scored
+)
+SELECT doc_id, lang, quality_score FROM r WHERE pr >= {DS5_QUANTILE}
+"""
+
+
 QUERIES = {
     "ds1_training_mix": ds1_training_mix,
     "ds2_token_budget": ds2_token_budget,
     "ds3_filter_pipeline": ds3_filter_pipeline,
     "ds4_stratified_sample": ds4_stratified_sample,
+    "ds5_quality_quantile_filter": ds5_quality_quantile_filter,
 }
 ORACLES = {
     "ds1_training_mix": DS1_ORACLE,
     "ds2_token_budget": _ds2_oracle(),
     "ds3_filter_pipeline": _ds3_oracle(),
     "ds4_stratified_sample": DS4_ORACLE,
+    "ds5_quality_quantile_filter": _ds5_oracle(),
 }

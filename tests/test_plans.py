@@ -765,3 +765,42 @@ def test_emb1_centroids_broadcast_and_single_explode(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
     assert p.count("+- Generate (") + p.count("+- Generate\n") == 1, p
+
+
+def test_runtime_bloom_filter_prunes_big_side_of_selective_join(spark, sf_dir):
+    # 100 TB exhibit: when a shuffle join's build side carries a
+    # selective predicate, Spark injects a bloom filter of its join
+    # keys as a `might_contain` condition on the probe side's scan —
+    # rows that cannot match are dropped BEFORE the shuffle.  On a
+    # 1000-executor cluster this is the difference between shuffling
+    # all of lineitem and shuffling only the ~20% that joins a
+    # filtered orders slice.  Enabled by default in Spark 4; the size
+    # thresholds (which gate it off at test SF) are lowered here only
+    # to exhibit the plan shape the warehouse SF gets automatically.
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        p = plan_of(j)
+        assert "might_contain" in p, p
+        assert "bloom_filter_agg" in p, p
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
