@@ -627,6 +627,67 @@ FROM grid g LEFT JOIN counts c ON g.user_id = c.user_id AND g.h = c.h
 """
 
 
+# -- ev12: hourly OHLC resample --------------------------------------
+def ev12_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, hour) OHLC downsample: open/close = value of
+    the first/last event in the bucket, high/low = extremes — the
+    classic time-series resample a metrics warehouse serves from a
+    rollup instead of raw points.
+
+    open/close use a single MIN/MAX over (ts, event_id, value)
+    structs: event_id makes the order total, so "first" is
+    deterministic under ties, and the whole thing stays one
+    map-side-combinable aggregate — no window, no second shuffle (the
+    ROW_NUMBER formulation sorts every bucket; this one keeps 2
+    struct extremes per partition).  high/low are plain double
+    comparisons (no float summation anywhere)."""
+    ev = load_table(spark, sf_dir, "events")
+    first = F.min(F.struct("ts", "event_id", "value")).alias("_f")
+    last = F.max(F.struct("ts", "event_id", "value")).alias("_l")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            first,
+            last,
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            F.col("_f.value").alias("open_value"),
+            "high_value",
+            "low_value",
+            F.col("_l.value").alias("close_value"),
+            "n_events",
+        )
+    )
+
+
+EV12_ORACLE = """
+WITH b AS (
+    SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+           ts, event_id, value
+    FROM events
+), r AS (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY event_type, h
+                              ORDER BY ts ASC, event_id ASC) AS rn_a,
+           ROW_NUMBER() OVER (PARTITION BY event_type, h
+                              ORDER BY ts DESC, event_id DESC) AS rn_d
+    FROM b
+)
+SELECT h AS window_start, event_type,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open_value,
+       MAX(value) AS high_value,
+       MIN(value) AS low_value,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close_value,
+       COUNT(*) AS n_events
+FROM r GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "ev8_rolling_7day": ev8_rolling_7day,
     "ev1_tumbling_hourly": ev1_tumbling_hourly,
@@ -639,6 +700,7 @@ QUERIES = {
     "ev9_hourly_active_users": ev9_hourly_active_users,
     "ev10_gap_histogram": ev10_gap_histogram,
     "ev11_gap_fill": ev11_gap_fill,
+    "ev12_ohlc_hourly": ev12_ohlc_hourly,
 }
 ORACLES = {
     "ev1_tumbling_hourly": EV1_ORACLE,
@@ -652,4 +714,5 @@ ORACLES = {
     "ev9_hourly_active_users": EV9_ORACLE,
     "ev10_gap_histogram": EV10_ORACLE,
     "ev11_gap_fill": EV11_ORACLE,
+    "ev12_ohlc_hourly": EV12_ORACLE,
 }

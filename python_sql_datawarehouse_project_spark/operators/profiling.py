@@ -9,6 +9,10 @@ EDA notebook aggregates, SURVEY.md §3.3).
                         tokens — the rational (log-free) analogue of
                         a unigram-LM quality score (CCNet-class
                         filtering signal)
+  qa14_kmv_set_ops      distinct-set UNION/INTERSECTION estimated by
+                        MERGING two KMV sketches — the mergeability
+                        property that lets per-partition sketches
+                        roll up without re-reading raw data
 
 Portability: qa13 never formats a DOUBLE as a string (engine-
 dependent) and never takes log10 of data (libm-dependent at bin
@@ -32,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions import hashing as H
 from .text import _sql_tokens, _tokens
 
 # Benford expected share per first digit, as shared literals.
@@ -145,11 +150,125 @@ GROUP BY t.doc_id
 """
 
 
+# -- qa14: KMV sketch set operations ----------------------------------
+def qa14_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-customer UNION and INTERSECTION across two years,
+    estimated from MERGED KMV sketches — the property that makes a
+    sketch a warehouse primitive: min-K(A ∪ B) is computable from
+    min-K(A) and min-K(B) alone, so per-partition/per-day sketches
+    combine into any rollup without touching raw data again.  The
+    intersection uses the standard Jaccard route: ρ = |merged K-set
+    present in both sketches| / K, est∩ = ρ · est∪.
+
+    The gate carries the exact union/intersection alongside (the u3
+    INTERSECT gate's star twin) to exhibit estimate quality; at 100 TB
+    only the K-row sketches move — the truth branch is the thing the
+    sketch exists to avoid.
+
+    Determinism: integer MIN-K + COUNT everywhere; the two estimates
+    are each a fixed-order chain of exactly-representable double ops
+    (same rationale as qa4)."""
+    from .quality import KMV_K, _POW60
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year_hashes(y: int) -> DataFrame:
+        return (
+            orders.where(F.year(F.col("o_orderdate").cast("date")) == y)
+            .select(H.md5_long(F.col("o_custkey").cast("string")).alias("h"))
+            .distinct()
+        )
+
+    a, b = year_hashes(1995), year_hashes(1996)
+    ka = a.orderBy("h").limit(KMV_K)
+    kb = b.orderBy("h").limit(KMV_K)
+    merged = ka.union(kb).distinct().orderBy("h").limit(KMV_K)
+    msk = merged.agg(
+        F.count(F.lit(1)).alias("k_used"), F.max("h").alias("kth_hash")
+    )
+    both = (
+        merged.join(ka.withColumnRenamed("h", "ha"), F.col("h") == F.col("ha"))
+        .join(kb.withColumnRenamed("h", "hb"), F.col("h") == F.col("hb"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    truth_u = a.union(b).distinct().agg(
+        F.count(F.lit(1)).alias("true_union")
+    )
+    truth_i = a.intersect(b).agg(
+        F.count(F.lit(1)).alias("true_intersection")
+    )
+    est_u = F.when(
+        F.col("k_used") < KMV_K, F.col("k_used").cast("double")
+    ).otherwise(
+        (F.col("k_used") - 1).cast("double")
+        * F.lit(_POW60)
+        / F.col("kth_hash").cast("double")
+    )
+    jac = F.col("n_both").cast("double") / F.col("k_used").cast("double")
+    return (
+        msk.crossJoin(F.broadcast(both))
+        .crossJoin(F.broadcast(truth_u))
+        .crossJoin(F.broadcast(truth_i))
+        .select(
+            "k_used",
+            "kth_hash",
+            "n_both",
+            est_u.alias("est_union"),
+            (jac * est_u).alias("est_intersection"),
+            "true_union",
+            "true_intersection",
+        )
+    )
+
+
+def _qa14_oracle() -> str:
+    from .quality import KMV_K, _POW60
+
+    h = H.sql_md5_long("CAST(o_custkey AS VARCHAR)")
+    est = (
+        f"CASE WHEN k_used < {KMV_K} THEN CAST(k_used AS DOUBLE) "
+        f"ELSE CAST(k_used - 1 AS DOUBLE) * {_POW60!r} "
+        f"/ CAST(kth_hash AS DOUBLE) END"
+    )
+    return f"""
+WITH a AS (
+    SELECT DISTINCT {h} AS h FROM orders
+    WHERE EXTRACT(year FROM CAST(o_orderdate AS DATE)) = 1995
+),
+b AS (
+    SELECT DISTINCT {h} AS h FROM orders
+    WHERE EXTRACT(year FROM CAST(o_orderdate AS DATE)) = 1996
+),
+ka AS (SELECT h FROM a ORDER BY h LIMIT {KMV_K}),
+kb AS (SELECT h FROM b ORDER BY h LIMIT {KMV_K}),
+merged AS (
+    SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+    ORDER BY h LIMIT {KMV_K}
+),
+msk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_used, MAX(h) AS kth_hash
+        FROM merged),
+bo AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_both
+       FROM merged m JOIN ka ON m.h = ka.h JOIN kb ON m.h = kb.h),
+tu AS (SELECT CAST(COUNT(*) AS BIGINT) AS true_union
+       FROM (SELECT h FROM a UNION SELECT h FROM b)),
+ti AS (SELECT CAST(COUNT(*) AS BIGINT) AS true_intersection
+       FROM (SELECT h FROM a INTERSECT SELECT h FROM b))
+SELECT k_used, kth_hash, n_both,
+       {est} AS est_union,
+       (CAST(n_both AS DOUBLE) / CAST(k_used AS DOUBLE)) * ({est})
+           AS est_intersection,
+       true_union, true_intersection
+FROM msk, bo, tu, ti
+"""
+
+
 QUERIES = {
     "qa13_benford_digits": qa13_benford_digits,
     "tx12_commonness": tx12_commonness,
+    "qa14_kmv_set_ops": qa14_kmv_set_ops,
 }
 ORACLES = {
     "qa13_benford_digits": _qa13_oracle(),
     "tx12_commonness": TX12_ORACLE,
+    "qa14_kmv_set_ops": _qa14_oracle(),
 }

@@ -804,3 +804,25 @@ def test_runtime_bloom_filter_prunes_big_side_of_selective_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ev12_ohlc_is_one_aggregate_no_window(spark, sf_dir):
+    # OHLC via struct MIN/MAX must stay a single map-side-combinable
+    # aggregate: no Window (the ROW_NUMBER formulation sorts every
+    # bucket) and exactly one shuffle (the group-by exchange).
+    from python_sql_datawarehouse_project_spark.operators import events
+
+    p = plan_of(events.ev12_ohlc_hourly(spark, sf_dir), mode="simple")
+    assert "Window" not in p, p
+    assert p.count("Exchange") <= 1, p
+
+
+def test_qa14_sketch_branches_are_take_ordered(spark, sf_dir):
+    # Each KMV sketch is a min-K: orderBy+limit must plan as
+    # TakeOrderedAndProject (K rows per partition cross the wire),
+    # never a full global sort of the distinct hash sets.
+    from python_sql_datawarehouse_project_spark.operators import profiling
+
+    p = plan_of(profiling.qa14_kmv_set_ops(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+    assert "CartesianProduct" not in p  # the 1-row combines broadcast
