@@ -551,6 +551,61 @@ GROUP BY 1
 """
 
 
+# -- q16: mixed-grain GROUPING SETS report ---------------------------
+def q16_mixed_grain_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One pass over orders producing three report grains at once —
+    yearly totals, monthly detail, and priority-by-year — via GROUPING
+    SETS (the arbitrary lattice ROLLUP/CUBE can't express: q8's ROLLUP
+    is a prefix chain, q11's CUBE the full powerset; a real reporting
+    workload wants a hand-picked subset, one scan, one shuffle with
+    Spark's Expand supplying each grain's rows).
+
+    grouping_id disambiguates grains exactly as in q8/q11: Spark's
+    bit order (first grouping column = most significant) is rebuilt
+    in the oracle from per-column GROUPING() flags."""
+    from ..catalog import load_table
+    from ..star import SALES_DECIMAL
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.year(F.col("o_orderdate").cast("date")).alias("year"),
+        F.month(F.col("o_orderdate").cast("date")).alias("month"),
+        "o_orderpriority",
+        F.col("o_totalprice").cast(SALES_DECIMAL).alias("price_dec"),
+    )
+    return (
+        orders.groupingSets(
+            [["year"], ["year", "month"], ["year", "o_orderpriority"]],
+            "year",
+            "month",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_dec").cast("double").alias("revenue"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+Q16_ORACLE = f"""
+SELECT EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS year,
+       EXTRACT(month FROM CAST(o_orderdate AS DATE)) AS month,
+       o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(GROUPING(EXTRACT(year FROM CAST(o_orderdate AS DATE))) * 4
+            + GROUPING(EXTRACT(month FROM CAST(o_orderdate AS DATE))) * 2
+            + GROUPING(o_orderpriority) AS BIGINT) AS gid
+FROM orders
+GROUP BY GROUPING SETS (
+    (EXTRACT(year FROM CAST(o_orderdate AS DATE))),
+    (EXTRACT(year FROM CAST(o_orderdate AS DATE)),
+     EXTRACT(month FROM CAST(o_orderdate AS DATE))),
+    (EXTRACT(year FROM CAST(o_orderdate AS DATE)), o_orderpriority)
+)
+"""
+
+
 QUERIES = {
     "q1_monthly_sales_product": q1_monthly_sales_product,
     "q2_sales_customer_country": q2_sales_customer_country,
@@ -563,6 +618,7 @@ QUERIES = {
     "q10_sales_pivot_year": q10_sales_pivot_year,
     "q11_sales_cube": q11_sales_cube,
     "q12_regional_revenue": q12_regional_revenue,
+    "q16_mixed_grain_report": q16_mixed_grain_report,
     "u3_active_both_years": u3_active_both_years,
     "u4_lapsed_customers": u4_lapsed_customers,
 }
@@ -579,6 +635,7 @@ ORACLES = {
     "q10_sales_pivot_year": Q10_ORACLE,
     "q11_sales_cube": Q11_ORACLE,
     "q12_regional_revenue": Q12_ORACLE,
+    "q16_mixed_grain_report": Q16_ORACLE,
     "u3_active_both_years": U3_ORACLE,
     "u4_lapsed_customers": U4_ORACLE,
 }

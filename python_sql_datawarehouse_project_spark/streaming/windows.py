@@ -298,3 +298,38 @@ ORACLES: dict[str, str] = {
     "stream_tumbling_hourly": EV1_ORACLE,
     "stream_session_windows": EV3_ORACLE,
 }
+
+def ohlc_hourly(stream: DataFrame) -> DataFrame:
+    """Streaming twin of ev12_ohlc_hourly: per (event_type, hour)
+    open/high/low/close maintained incrementally.  The struct MIN/MAX
+    open/close trick carries over unchanged — each is a single
+    mergeable aggregate, so the state per open window is two structs
+    + two doubles + a count, and late rows fold in exactly like any
+    other aggregate update (no per-bucket sort ever happens)."""
+    first = F.min(F.struct("ts", "event_id", "value")).alias("_f")
+    last = F.max(F.struct("ts", "event_id", "value")).alias("_l")
+    return (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            first,
+            last,
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            F.col("_f.value").alias("open_value"),
+            "high_value",
+            "low_value",
+            F.col("_l.value").alias("close_value"),
+            "n_events",
+        )
+    )
+
+
+def stream_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_stream(spark, sf_dir, ohlc_hourly)
+
