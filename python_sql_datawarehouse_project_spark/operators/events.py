@@ -688,6 +688,49 @@ FROM r GROUP BY 1, 2
 """
 
 
+# -- ev13: VARIANT semi-structured profile ---------------------------
+def ev13_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ev4's JSON extraction re-expressed over Spark's VARIANT type
+    (parse_json once, then typed variant_get paths) — the modern
+    schema-on-read route: the parse happens a single time per row
+    into a binary-encoded value, every subsequent path access is a
+    cheap typed probe instead of a re-parse of the JSON string, and
+    the whole pipeline stays JVM-side/codegen.  At 100 TB the parse
+    cost dominates string-path extraction when a query touches more
+    than one field; VARIANT amortizes it to once per row (and a
+    VARIANT-typed column in storage would amortize it to once ever).
+
+    Output grain differs from ev4 (range + bucketed spread, not
+    sum/distinct) so the two gates exercise different aggregates over
+    the same semi-structured source."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type", (F.col("k") - F.col("k") % 10).alias("k_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+EV13_ORACLE = """
+SELECT event_type,
+       k - k % 10 AS k_decile,
+       COUNT(*) AS n_events,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k
+FROM (
+    SELECT event_type,
+           CAST(CAST(json_extract(props, '$.k') AS VARCHAR) AS INTEGER) AS k
+    FROM events
+)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "ev8_rolling_7day": ev8_rolling_7day,
     "ev1_tumbling_hourly": ev1_tumbling_hourly,
@@ -701,6 +744,7 @@ QUERIES = {
     "ev10_gap_histogram": ev10_gap_histogram,
     "ev11_gap_fill": ev11_gap_fill,
     "ev12_ohlc_hourly": ev12_ohlc_hourly,
+    "ev13_props_variant": ev13_props_variant,
 }
 ORACLES = {
     "ev1_tumbling_hourly": EV1_ORACLE,
@@ -715,4 +759,5 @@ ORACLES = {
     "ev10_gap_histogram": EV10_ORACLE,
     "ev11_gap_fill": EV11_ORACLE,
     "ev12_ohlc_hourly": EV12_ORACLE,
+    "ev13_props_variant": EV13_ORACLE,
 }
