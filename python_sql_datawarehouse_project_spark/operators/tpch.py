@@ -239,14 +239,72 @@ WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
 """
 
 
+Q17_BRAND = "Brand#1"
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost if small orders
+    (below 20% of the part's average quantity) were not filled — the
+    correlated-subquery report, decorrelated the way Catalyst would:
+    the per-part average becomes a grouped aggregate joined back on
+    partkey, so lineitem is scanned once per side with no per-row
+    subquery execution.
+
+    Determinism: the average is exact-integer sum / exact count (one
+    double division); the 0.2 multiplier and the comparison are single
+    IEEE ops; revenue routes through the decimal policy and divides by
+    7.0 once at the end."""
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_brand") == Q17_BRAND
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_q = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_q, F.col("l_partkey") == F.col("a_partkey"))
+        .where(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast(SALES_DECIMAL)).cast(
+                    "double"
+                )
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+Q17_ORACLE = f"""
+SELECT CAST(SUM(CAST(l_extendedprice AS {SALES_DECIMAL})) AS DOUBLE) / 7.0
+           AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN (
+    SELECT l_partkey AS a_partkey,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+    FROM lineitem GROUP BY l_partkey
+) a ON l_partkey = a_partkey
+WHERE p_brand = '{Q17_BRAND}'
+  AND l_quantity < 0.2 * avg_qty
+"""
+
+
 QUERIES = {
     "q13_pricing_summary": q13_pricing_summary,
     "q14_shipping_priority": q14_shipping_priority,
     "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
 }
 
 ORACLES = {
     "q13_pricing_summary": Q13_ORACLE,
     "q14_shipping_priority": Q14_ORACLE,
     "q15_top_supplier": Q15_ORACLE,
+    "q17_small_quantity_revenue": Q17_ORACLE,
 }

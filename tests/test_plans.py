@@ -826,3 +826,15 @@ def test_qa14_sketch_branches_are_take_ordered(spark, sf_dir):
     p = plan_of(profiling.qa14_kmv_set_ops(spark, sf_dir))
     assert "TakeOrderedAndProject" in p, p
     assert "CartesianProduct" not in p  # the 1-row combines broadcast
+
+
+def test_q17_decorrelated_no_per_row_subquery(spark, sf_dir):
+    # The correlated "below 20% of part's avg" must run as ONE grouped
+    # aggregate joined back on partkey — no cartesian/nested-loop, and
+    # the brand dim broadcasts.
+    from python_sql_datawarehouse_project_spark.operators import tpch
+
+    p = plan_of(tpch.q17_small_quantity_revenue(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
