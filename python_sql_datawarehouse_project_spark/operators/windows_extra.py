@@ -1,0 +1,123 @@
+"""Round-3 tail additions to the window family, registered at the
+REGISTRY TAIL (the driver's correctness gate checks the first 50
+registry keys and operators/windows is position-load-bearing this
+round — w1-w5 must stay at slots 1-5; see registry._MODULES).  Round
+4 folds these into the main module when the window reorders.
+
+  w6_first_last_nth   FIRST_VALUE / LAST_VALUE / NTH_VALUE over a
+                      full-partition frame — the navigation functions
+                      the w1-w5 set doesn't touch (reference uses
+                      ROW_NUMBER-keep-first for the same need,
+                      tools.load_crm_cust_info_v1.sql:102-113; these
+                      are the direct declarative forms)
+  w7_range_frame      RANGE-frame running aggregate (all orders
+                      within the 30 PRECEDING days, not the 30
+                      preceding ROWS) — value-based frames are the
+                      shape ROWS frames (q4) silently get wrong when
+                      events cluster or gap
+
+Determinism: every ORDER BY is made total with the key tiebreak
+(o_orderdate, o_orderkey); LAST_VALUE/NTH_VALUE use an explicit
+UNBOUNDED..UNBOUNDED frame on both engines (the SQL default frame
+stops at CURRENT ROW — a classic cross-engine footgun, pinned
+explicitly instead).  w7's range key is an integer day number, and
+the money sum routes through DECIMAL.
+
+Scale: both shuffle once on o_custkey, the same cost class as any
+grouped aggregate; frames evaluate inside the per-partition sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+W7_DAYS = 30
+
+
+def w6_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per customer: first, latest and second order price via
+    navigation functions over one full-partition frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        orders.select(
+            F.col("o_custkey").alias("customer_id"),
+            F.col("o_orderkey").alias("order_number"),
+            F.first("o_totalprice").over(w).alias("first_price"),
+            F.last("o_totalprice").over(w).alias("last_price"),
+            F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        )
+    )
+
+
+W6_ORACLE = """
+SELECT
+    o_custkey AS customer_id,
+    o_orderkey AS order_number,
+    FIRST_VALUE(o_totalprice) OVER w AS first_price,
+    LAST_VALUE(o_totalprice) OVER w AS last_price,
+    NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+FROM orders
+WINDOW w AS (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+)
+"""
+
+
+def w7_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order: customer's spend over the trailing 30 DAYS (RANGE
+    frame on an integer day number — all rows whose day value falls
+    in the window, regardless of how many there are)."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01"))
+    base = orders.select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderkey").alias("order_number"),
+        day.cast("long").alias("day_no"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("price_dec"),
+    )
+    w = (
+        Window.partitionBy("customer_id")
+        .orderBy("day_no")
+        .rangeBetween(-W7_DAYS, 0)
+    )
+    return base.select(
+        "customer_id",
+        "order_number",
+        "day_no",
+        F.sum("price_dec").over(w).cast("double").alias("trailing_30d_spend"),
+    )
+
+
+W7_ORACLE = f"""
+SELECT
+    o_custkey AS customer_id,
+    o_orderkey AS order_number,
+    CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+         AS BIGINT) AS day_no,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        PARTITION BY o_custkey
+        ORDER BY CAST(datediff('day', DATE '1995-01-01',
+                               CAST(o_orderdate AS DATE)) AS BIGINT)
+        RANGE BETWEEN {W7_DAYS} PRECEDING AND CURRENT ROW
+    ) AS DOUBLE) AS trailing_30d_spend
+FROM orders
+"""
+
+
+QUERIES = {
+    "w6_first_last_nth": w6_first_last_nth,
+    "w7_range_frame": w7_range_frame,
+}
+ORACLES = {
+    "w6_first_last_nth": W6_ORACLE,
+    "w7_range_frame": W7_ORACLE,
+}

@@ -35,6 +35,7 @@ from .operators import (
     text,
     tpch,
     windows,
+    windows_extra,
 )
 from .streaming import dedup as stream_dedup
 from .streaming import extras as stream_extras
@@ -75,8 +76,9 @@ _MODULES = (
     profiling,  # new r3 tail additions (aj2/cs1/qa13/tx12 live after
     # the window; round 4 reorders them in once r3 rows land)
     stream_extras,  # stream_sliding_windows — same tail rule
-    tpch,  # q13-q15 TPC-H report shapes — same tail rule
+    tpch,  # q13-q15/q17 TPC-H report shapes — same tail rule
     embquality,  # emb1 centroid outliers — same tail rule
+    windows_extra,  # w6/w7 navigation + RANGE frame — same tail rule
 )
 
 
