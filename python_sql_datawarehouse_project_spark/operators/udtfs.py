@@ -1,0 +1,83 @@
+"""User-defined table function surface (SURVEY.md §2.10 parity, the
+modern route): the reference's extension mechanism is plpgsql
+procedures; the Spark-native equivalent for set-returning user logic
+is the Python UDTF — arrow-batched, registered into the session
+catalog, invoked via LATERAL.
+
+  tx13_chunk_udtf   tx8's fixed-budget document chunking re-expressed
+                    as a LATERAL Python UDTF, hash-matched against
+                    tx8's own DuckDB oracle — proving the extension
+                    path produces byte-identical results to the
+                    built-in-expression path
+
+This gate EXISTS to verify the extension seam, not to replace tx8:
+the expression formulation is the production path (scan-speed,
+JVM-side); the UDTF is what a user writes when their logic has no
+expression equivalent (a real tokenizer, a model call).  The
+measured gap between the two gates IS the documented cost of
+dropping to Python — arrow batching keeps it a constant factor, not
+the 10-100x of row-pickling UDFs.
+
+Registered at the REGISTRY TAIL (operators/text.py holds first-50
+slots this round; see registry._MODULES).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from .text import CHUNK_STRIDE, CHUNK_TOKENS, TX8_ORACLE, _STRIP_RE, _WS_RE
+
+
+class ChunkDocument:
+    """Arrow-batched UDTF: one input document -> its chunk rows.
+
+    The normalization replicates text._norm exactly (ASCII-only
+    regexes, so Python/Java/RE2 semantics coincide); chunk starts are
+    range(0, n_tokens, CHUNK_STRIDE) — the same set sequence(0, n-1,
+    stride) produces — and the hash is md5 over the space-rejoined
+    chunk, matching F.md5/DuckDB md5 byte for byte."""
+
+    def eval(self, text: str):
+        if text is None:
+            return
+        s = re.sub(_WS_RE, " ", re.sub(_STRIP_RE, " ", text.lower())).strip()
+        tk = s.split(" ") if s else []
+        for start in range(0, len(tk), CHUNK_STRIDE):
+            c = tk[start : start + CHUNK_TOKENS]
+            yield (
+                start // CHUNK_STRIDE,
+                len(c),
+                hashlib.md5(" ".join(c).encode()).hexdigest(),
+            )
+
+
+def tx13_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx8 via the user-extension seam: LATERAL Python UDTF."""
+    from pyspark.sql.functions import udtf
+
+    chunk = udtf(
+        ChunkDocument,
+        returnType="chunk_id int, n_chunk_tokens int, chunk_hash string",
+        useArrow=True,
+    )
+    spark.udtf.register("spark_graft_chunk_udtf", chunk)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "spark_graft_docs_for_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.n_chunk_tokens, c.chunk_hash
+        FROM spark_graft_docs_for_udtf d,
+             LATERAL spark_graft_chunk_udtf(d.text) c
+        """
+    )
+
+
+QUERIES = {"tx13_chunk_udtf": tx13_chunk_udtf}
+# tx8's oracle is column-compatible by construction — the whole point.
+ORACLES = {"tx13_chunk_udtf": TX8_ORACLE}

@@ -34,6 +34,7 @@ from .operators import (
     skew,
     text,
     tpch,
+    udtfs,
     windows,
     windows_extra,
 )
@@ -79,6 +80,7 @@ _MODULES = (
     tpch,  # q13-q15/q17 TPC-H report shapes — same tail rule
     embquality,  # emb1 centroid outliers — same tail rule
     windows_extra,  # w6/w7 navigation + RANGE frame — same tail rule
+    udtfs,  # tx13 LATERAL Python UDTF — same tail rule
 )
 
 
