@@ -350,12 +350,99 @@ SELECT doc_id, lang, quality_score FROM r WHERE pr >= {DS5_QUANTILE}
 """
 
 
+
+
+# -- ds6: end-to-end clean-mix assembly -------------------------------
+def ds6_clean_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final corpus-assembly verdict as ONE plan: a document ships
+    to training iff it (a) survives its language's mix rate (ds1's
+    deterministic hash gate), (b) sits in the top half of its
+    language by quality (ds5's quantile, calibrated on the full
+    corpus BEFORE any gate — a threshold computed after filtering
+    would drift with the mix), (c) is not the benchmark split, and
+    (d) shares no 8-gram with it (tx6's decontamination).
+
+    Composition is exactly the production shape: the quantile rides a
+    lang-partitioned window, the mix gate is a scan-speed predicate,
+    and contamination is a left-anti join against the bounded
+    contaminated-doc set — one pipeline, no operator recomputed per
+    stage."""
+    from .text import BENCH_MOD, _doc_grams, quality_scored
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = _doc_grams(docs)
+    contaminated = (
+        g.where(F.col("doc_id") % BENCH_MOD != 0)
+        .join(
+            g.where(F.col("doc_id") % BENCH_MOD == 0).select("h").distinct(),
+            "h",
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.asc("quality_score"), F.asc("doc_id")
+    )
+    ranked = quality_scored(docs).select(
+        "doc_id",
+        "lang",
+        "quality_score",
+        F.percent_rank().over(w).alias("_pr"),
+    )
+    return (
+        ranked.where(F.col("_pr") >= F.lit(DS5_QUANTILE))
+        .where(_hash_gate(F.col("doc_id"), F.col("lang")))
+        .where(F.col("doc_id") % BENCH_MOD != 0)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang", "quality_score")
+    )
+
+
+def _ds6_oracle() -> str:
+    from .text import BENCH_MOD, DECON_NGRAM, SQL_QUALITY_SCORED, _sql_tokens
+    from ..functions import hashing as H
+
+    return f"""
+WITH scored AS (SELECT * FROM {SQL_QUALITY_SCORED} s),
+r AS (
+    SELECT doc_id, lang, quality_score,
+           PERCENT_RANK() OVER (
+               PARTITION BY lang
+               ORDER BY quality_score ASC, doc_id ASC) AS pr
+    FROM scored
+),
+toks AS (SELECT doc_id, {_sql_tokens('text')} AS tk FROM documents),
+grams AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, len(tk) - {DECON_NGRAM - 2}),
+        i -> {H.sql_md5_long(
+            f"array_to_string(list_slice(tk, i, i + {DECON_NGRAM - 1}), ' ')"
+        )}
+    ))) AS h
+    FROM toks WHERE len(tk) >= {DECON_NGRAM}
+),
+contam AS (
+    SELECT DISTINCT c.doc_id
+    FROM (SELECT * FROM grams WHERE doc_id % {BENCH_MOD} <> 0) c
+    JOIN (SELECT DISTINCT h FROM grams WHERE doc_id % {BENCH_MOD} = 0) b
+      USING (h)
+)
+SELECT doc_id, lang, quality_score FROM r
+WHERE pr >= {DS5_QUANTILE}
+  AND {_sql_hash_gate()}
+  AND doc_id % {BENCH_MOD} <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM contam)
+"""
+
+
 QUERIES = {
     "ds1_training_mix": ds1_training_mix,
     "ds2_token_budget": ds2_token_budget,
     "ds3_filter_pipeline": ds3_filter_pipeline,
     "ds4_stratified_sample": ds4_stratified_sample,
     "ds5_quality_quantile_filter": ds5_quality_quantile_filter,
+    "ds6_clean_mix": ds6_clean_mix,
 }
 ORACLES = {
     "ds1_training_mix": DS1_ORACLE,
@@ -363,4 +450,5 @@ ORACLES = {
     "ds3_filter_pipeline": _ds3_oracle(),
     "ds4_stratified_sample": DS4_ORACLE,
     "ds5_quality_quantile_filter": _ds5_oracle(),
+    "ds6_clean_mix": _ds6_oracle(),
 }
