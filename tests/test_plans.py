@@ -838,3 +838,45 @@ def test_q17_decorrelated_no_per_row_subquery(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_q16_grouping_sets_single_expand_single_shuffle(spark, sf_dir):
+    # Three grains must come from ONE scan: a single Expand node
+    # multiplies rows per grain before one grouped-agg exchange.
+    p = plan_of(analytics.q16_mixed_grain_report(spark, sf_dir), mode="simple")
+    assert p.count("Expand") == 1, p
+    assert p.count("Exchange") <= 1, p
+    assert "Join" not in p
+
+
+def test_ev13_variant_is_scan_speed_no_join(spark, sf_dir):
+    # VARIANT extraction is a per-row projection: no join, no window,
+    # one group-by exchange.
+    from python_sql_datawarehouse_project_spark.operators import events
+
+    p = plan_of(events.ev13_props_variant(spark, sf_dir), mode="simple")
+    assert "Join" not in p and "Window" not in p
+    assert p.count("Exchange") <= 1, p
+
+
+def test_ds6_contamination_probe_is_anti_join(spark, sf_dir):
+    # The composed verdict must apply contamination as a LeftAnti
+    # against the bounded contaminated-id set — never recompute tx6
+    # per row, never cartesian.
+    from python_sql_datawarehouse_project_spark.operators import mix
+
+    p = plan_of(mix.ds6_clean_mix(spark, sf_dir))
+    assert "LeftAnti" in p, p
+    assert "CartesianProduct" not in p
+
+
+def test_qa15_truth_side_is_sample_bounded(spark, sf_dir):
+    # The exact all-pairs stage must sit behind the doc_id < SAMPLE
+    # pushdown — the O(sample^2) work is constant at any corpus size.
+    from python_sql_datawarehouse_project_spark.operators import profiling
+
+    p = plan_of(profiling.qa15_lsh_recall(spark, sf_dir))
+    import re
+
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", p))
+    assert f"LessThan(doc_id,{profiling.QA15_SAMPLE}" in pushed, pushed
