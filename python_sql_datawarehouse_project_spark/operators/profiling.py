@@ -355,15 +355,106 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
 """
 
 
+# -- qa16: robust MAD outlier screen ----------------------------------
+QA16_K = 5.0
+
+
+def qa16_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier count on the money column: median absolute
+    deviation, the screen that (unlike mean/stddev z-scores) a few
+    extreme rows cannot drag toward themselves.  Flags rows with
+    |x - median| > K * MAD.
+
+    Both medians are exact nearest-rank via qa5's distinct-value
+    cumulative-count trick — the shuffle is bounded by distinct
+    VALUES, never rows — and each rides back onto the scan as a
+    broadcast 1-row aggregate.  |x - m| is one subtraction + abs:
+    bitwise cross-engine."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def nearest_rank_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        wc = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        wn = Window.partitionBy()
+        cum = counts.withColumn("cum", F.sum("cnt").over(wc)).withColumn(
+            "n", F.sum("cnt").over(wn)
+        )
+        target = F.ceil(F.lit(0.5) * F.col("n"))
+        return cum.agg(
+            F.min(F.when(F.col("cum") >= target, F.col(col))).alias(out)
+        )
+
+    med = nearest_rank_median(orders, "o_totalprice", "median")
+    devs = orders.crossJoin(F.broadcast(med)).select(
+        F.abs(F.col("o_totalprice") - F.col("median")).alias("d")
+    )
+    mad = nearest_rank_median(devs, "d", "mad")
+    flagged = F.when(
+        F.abs(F.col("o_totalprice") - F.col("median"))
+        > F.lit(QA16_K) * F.col("mad"),
+        1,
+    ).otherwise(0)
+    return (
+        orders.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("median").alias("median"),
+            F.max("mad").alias("mad"),
+            F.sum(flagged).cast("long").alias("n_outliers"),
+        )
+    )
+
+
+def _qa16_oracle() -> str:
+    med_cte = """
+counts AS (SELECT o_totalprice AS v, COUNT(*) AS cnt FROM orders GROUP BY 1),
+cum AS (
+    SELECT v, SUM(cnt) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        SUM(cnt) OVER () AS n
+    FROM counts
+),
+med AS (SELECT MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN v END) AS median
+        FROM cum),
+devs AS (SELECT ABS(o_totalprice - (SELECT median FROM med)) AS d
+         FROM orders),
+dcounts AS (SELECT d, COUNT(*) AS cnt FROM devs GROUP BY 1),
+dcum AS (
+    SELECT d, SUM(cnt) OVER (ORDER BY d
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        SUM(cnt) OVER () AS n
+    FROM dcounts
+),
+madt AS (SELECT MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN d END) AS mad
+         FROM dcum)"""
+    return f"""
+WITH {med_cte}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       (SELECT median FROM med) AS median,
+       (SELECT mad FROM madt) AS mad,
+       CAST(SUM(CASE WHEN ABS(o_totalprice - (SELECT median FROM med))
+                          > {QA16_K!r} * (SELECT mad FROM madt)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM orders
+"""
+
+
 QUERIES = {
     "qa13_benford_digits": qa13_benford_digits,
     "tx12_commonness": tx12_commonness,
     "qa14_kmv_set_ops": qa14_kmv_set_ops,
     "qa15_lsh_recall": qa15_lsh_recall,
+    "qa16_mad_outliers": qa16_mad_outliers,
 }
 ORACLES = {
     "qa13_benford_digits": _qa13_oracle(),
     "tx12_commonness": TX12_ORACLE,
     "qa14_kmv_set_ops": _qa14_oracle(),
     "qa15_lsh_recall": _qa15_oracle(),
+    "qa16_mad_outliers": _qa16_oracle(),
 }
