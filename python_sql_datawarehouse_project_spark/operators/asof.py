@@ -228,11 +228,61 @@ FROM events p LEFT JOIN LATERAL (
 WHERE p.event_type = 'purchase'
 """
 
+
+# -- gate: tolerance-bounded as-of lookup ----------------------------
+AJ3_TOL_DAYS = 2
+
+
+def aj3_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aj1 with a staleness bound: the latest click counts only if it
+    happened within AJ3_TOL_DAYS before the purchase — the "feature
+    freshness" cutoff every point-in-time feature store applies (a
+    week-old state row is not a valid feature for a realtime model).
+
+    Implemented as a POST-FILTER on the backward as-of result, which
+    is exactly equivalent to restricting the lateral window to
+    [t - tol, t]: the backward as-of returns the LATEST click <= t,
+    so if that one is older than the tolerance, no click exists
+    inside the window at all.  The equivalence keeps the
+    single-exchange merge plan untouched — no second join, no range
+    explosion."""
+    base = aj1_asof_last_event(spark, sf_dir)
+    within = F.col("last_click_ts") >= F.col("purchase_ts") - F.expr(
+        f"INTERVAL {AJ3_TOL_DAYS} DAYS"
+    )
+    return base.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        F.when(within, F.col("last_click_ts")).alias("last_click_ts"),
+        F.when(within, F.col("last_click_value")).alias("last_click_value"),
+    )
+
+
+AJ3_ORACLE = f"""
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       lc.ts AS last_click_ts, lc.value AS last_click_value
+FROM events p LEFT JOIN LATERAL (
+    SELECT c.ts, c.value
+    FROM events c
+    WHERE c.user_id = p.user_id
+      AND c.event_type = 'click'
+      AND c.ts <= p.ts
+      AND c.ts >= p.ts - INTERVAL {AJ3_TOL_DAYS} DAY
+    ORDER BY c.ts DESC, c.event_id DESC
+    LIMIT 1
+) lc ON TRUE
+WHERE p.event_type = 'purchase'
+"""
+
+
 QUERIES = {
     "aj1_asof_last_event": aj1_asof_last_event,
     "aj2_asof_next_event": aj2_asof_next_event,
+    "aj3_asof_tolerance": aj3_asof_tolerance,
 }
 ORACLES = {
     "aj1_asof_last_event": AJ1_ORACLE,
     "aj2_asof_next_event": AJ2_ORACLE,
+    "aj3_asof_tolerance": AJ3_ORACLE,
 }

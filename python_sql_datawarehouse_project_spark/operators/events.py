@@ -731,6 +731,52 @@ GROUP BY 1, 2
 """
 
 
+# -- ev14: per-user modal event type ---------------------------------
+def ev14_mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's most frequent event type (deterministic tie-break:
+    alphabetically first) — MODE as a two-level aggregate: per-
+    (user, type) counts, then argmax via MIN over (-count, type)
+    structs.  Same mergeable-aggregate trick as ev12's OHLC: no
+    window, no per-user sort, map-side partial combine end to end."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    best = counts.groupBy("user_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("cnt")).alias("nc"), F.col("event_type").alias("et")
+            )
+        ).alias("b"),
+        F.sum("cnt").cast("long").alias("n_events"),
+    )
+    return best.select(
+        "user_id",
+        F.col("b.et").alias("top_type"),
+        (-F.col("b.nc")).alias("n_top"),
+        "n_events",
+    )
+
+
+EV14_ORACLE = """
+WITH c AS (
+    SELECT user_id, event_type, COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2
+),
+r AS (
+    SELECT user_id, event_type, cnt,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY cnt DESC, event_type ASC) AS rn,
+           SUM(cnt) OVER (PARTITION BY user_id) AS n
+    FROM c
+)
+SELECT user_id, event_type AS top_type,
+       CAST(cnt AS BIGINT) AS n_top,
+       CAST(n AS BIGINT) AS n_events
+FROM r WHERE rn = 1
+"""
+
+
 QUERIES = {
     "ev8_rolling_7day": ev8_rolling_7day,
     "ev1_tumbling_hourly": ev1_tumbling_hourly,
@@ -745,6 +791,7 @@ QUERIES = {
     "ev11_gap_fill": ev11_gap_fill,
     "ev12_ohlc_hourly": ev12_ohlc_hourly,
     "ev13_props_variant": ev13_props_variant,
+    "ev14_mode_event_type": ev14_mode_event_type,
 }
 ORACLES = {
     "ev1_tumbling_hourly": EV1_ORACLE,
@@ -760,4 +807,5 @@ ORACLES = {
     "ev11_gap_fill": EV11_ORACLE,
     "ev12_ohlc_hourly": EV12_ORACLE,
     "ev13_props_variant": EV13_ORACLE,
+    "ev14_mode_event_type": EV14_ORACLE,
 }
