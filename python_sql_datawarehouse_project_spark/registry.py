@@ -52,6 +52,16 @@ from .streaming import windows as stream_windows
 # similarity, skew, text, streaming, quality.qa8-12) therefore come
 # first; the families that were driver-green in r2 and stay covered by
 # pytest oracle-parity fill the tail.
+#
+# ROUND-4 REORDER CHECKLIST: once CORRECTNESS_r03 lands, move every key
+# still lacking a driver-green row into the new first-50 window.  The
+# never-driver-checked set at end of round 3 (see COVERAGE.md's
+# provenance table, "local-parity only" rows 51+): the r3 tail
+# additions in profiling, stream_extras, tpch, embquality,
+# windows_extra, udtfs, plus the keys appended inside events (ev11-14),
+# analytics (q12/q16), mix (ds5/ds6), asof (aj3), and whatever r3's
+# window itself failed to green.  provenance.never_driver_green()
+# computes the exact list.
 _MODULES = (
     windows,
     recursive,
