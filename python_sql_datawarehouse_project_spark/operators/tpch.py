@@ -16,6 +16,14 @@ queries don't exercise:
                          materialized view (scripts/materialized_view.sql
                          builds report MVs; this is the query-side
                          analogue)
+  q17_small_quantity_revenue  Q17 shape: correlated per-part average,
+                         decorrelated into one aggregate-join
+  q18_large_volume_customers  Q18 shape: HAVING keep-list joined back
+                         + TakeOrdered top-N
+  q19_disjunctive_revenue     Q19 shape: OR-of-conjunctions residual
+                         over the partkey equi-join
+  q22_dormant_high_balance    Q22 shape: scalar-average subquery +
+                         anti join, per-segment rollup
 
 Cross-engine determinism: money expressions are written with
 IDENTICAL parse trees on both engines and routed through
@@ -295,11 +303,181 @@ WHERE p_brand = '{Q17_BRAND}'
 """
 
 
+Q18_MIN_QTY = 180
+Q18_TOP = 100
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a
+    threshold, with their customers, top-N by order value.
+
+    The HAVING subquery becomes a pre-aggregated keep-list joined
+    back to orders — at 100 TB the keep-list is tiny relative to
+    lineitem (the aggregate reduces before any join), and the top-N
+    is TakeOrdered again.  Quantities sum as BIGINT (exact)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .where(F.col("sum_qty") > Q18_MIN_QTY)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    top = (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("customer_name"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.col("o_totalprice").alias("total_price"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("total_price"), F.asc("orderkey"))
+        .limit(Q18_TOP)
+    )
+    w = Window.orderBy(F.desc("total_price"), F.asc("orderkey"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+Q18_ORACLE = f"""
+WITH big AS (
+    SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+               AS sum_qty
+    FROM lineitem GROUP BY 1
+    HAVING SUM(CAST(l_quantity AS BIGINT)) > {Q18_MIN_QTY}
+),
+top AS (
+    SELECT c_custkey AS custkey, c_name AS customer_name,
+           o_orderkey AS orderkey, CAST(o_orderdate AS DATE) AS order_date,
+           o_totalprice AS total_price, sum_qty
+    FROM orders JOIN big ON o_orderkey = l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY total_price DESC, orderkey ASC
+    LIMIT {Q18_TOP}
+)
+SELECT *, ROW_NUMBER() OVER (ORDER BY total_price DESC, orderkey ASC) AS rank
+FROM top
+"""
+
+
+Q19_CASES = (
+    ("Brand#1", 1, 15, 1.0, 20.0),
+    ("Brand#2", 10, 30, 10.0, 40.0),
+)
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of conjunctive
+    brand/size/quantity cases — the disjunctive-predicate join.
+    Catalyst keeps the equi-join on partkey and evaluates the OR as a
+    residual filter; the common l_quantity bounds are NOT hoisted by
+    hand — letting the optimizer fold what it can is the point of the
+    declarative form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cond = F.lit(False)
+    for brand, s_lo, s_hi, q_lo, q_hi in Q19_CASES:
+        cond = cond | (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(s_lo, s_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast(SALES_DECIMAL)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
+def _q19_oracle() -> str:
+    ors = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN {sl} AND {sh}"
+        f" AND l_quantity BETWEEN {ql!r} AND {qh!r})"
+        for b, sl, sh, ql, qh in Q19_CASES
+    )
+    return f"""
+SELECT COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                     AS {SALES_DECIMAL})) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {ors}
+"""
+
+
+Q22_CUTOFF = "1999-01-01"
+
+
+def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: high-balance customers with no recent orders
+    (the prospect/dormancy report) — a scalar-average subquery plus an
+    anti join, aggregated per market segment.
+
+    The average routes through DECIMAL (AVG of raw doubles is
+    summation-order-dependent and would diverge cross-engine) and
+    rides back as a broadcast 1-row aggregate; the recency probe is a
+    LeftAnti against date-filtered orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast(SALES_DECIMAL)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_avg_bal")
+    )
+    recent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate")
+        >= F.lit(f"{Q22_CUTOFF} 00:00:00").cast("timestamp")
+    ).select(F.col("o_custkey").alias("c_custkey")).distinct()
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(recent, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast(SALES_DECIMAL))
+            .cast("double")
+            .alias("total_balance"),
+        )
+    )
+
+
+Q22_ORACLE = f"""
+WITH avg_bal AS (
+    SELECT CAST(SUM(CAST(c_acctbal AS {SALES_DECIMAL})) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS a
+    FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS {SALES_DECIMAL})) AS DOUBLE)
+           AS total_balance
+FROM customer c
+WHERE c_acctbal > (SELECT a FROM avg_bal)
+  AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '{Q22_CUTOFF} 00:00:00'
+  )
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q13_pricing_summary": q13_pricing_summary,
     "q14_shipping_priority": q14_shipping_priority,
     "q15_top_supplier": q15_top_supplier,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q22_dormant_high_balance": q22_dormant_high_balance,
 }
 
 ORACLES = {
@@ -307,4 +485,7 @@ ORACLES = {
     "q14_shipping_priority": Q14_ORACLE,
     "q15_top_supplier": Q15_ORACLE,
     "q17_small_quantity_revenue": Q17_ORACLE,
+    "q18_large_volume_customers": Q18_ORACLE,
+    "q19_disjunctive_revenue": _q19_oracle(),
+    "q22_dormant_high_balance": Q22_ORACLE,
 }
