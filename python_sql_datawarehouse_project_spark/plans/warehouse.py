@@ -74,3 +74,87 @@ class Warehouse:
         if not self.exists(layer, name):
             return True
         return self.read_batch(layer, name, batch_id).isEmpty()
+
+    # -- storage maintenance (beyond-reference warehouse operations) --
+
+    def read_table_evolved(self, layer: str, name: str) -> DataFrame:
+        """Schema-evolution read: batches written before a column was
+        added still scan cleanly, with NULLs where the column did not
+        exist (parquet mergeSchema — the footer union, computed once
+        at planning time).  The per-batch write path needs no change:
+        schema evolution in a batch-partitioned layout is purely a
+        read-side union of footers, which is why the warehouse can add
+        columns without rewriting history."""
+        return (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(self.path(layer, name))
+        )
+
+    def compact_batch(
+        self, layer: str, name: str, batch_id: str, target_files: int
+    ) -> int:
+        """Small-files compaction for one batch partition: rewrite it
+        at a bounded file count and return the new count.
+
+        Streaming/micro-batch ingestion leaves many tiny files per
+        partition; at 100 TB the scan-planning and footer costs of
+        millions of small files dominate before a byte is read.
+        Compaction is the same idempotent dynamic-overwrite as
+        write_batch (a replay rewrites the same partition), restricted
+        to one partition so running it online races nothing outside
+        that batch.  The rewrite preserves rows exactly — asserted in
+        tests — because it is a coalesce of the pruned scan, not a
+        recompute."""
+        part = self.read_batch(layer, name, batch_id).drop(BATCH_COL)
+        self.write_batch(
+            part.coalesce(target_files), layer, name, batch_id
+        )
+        part_dir = os.path.join(
+            self.path(layer, name), f"{BATCH_COL}={batch_id}"
+        )
+        return len(
+            [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+        )
+
+    def delete_keys(
+        self, layer: str, name: str, key_col: str, keys: DataFrame
+    ) -> int:
+        """Hard-delete rows by key (right-to-be-forgotten): rewrite
+        ONLY the batch partitions that contain the keys, anti-joining
+        the keys out; untouched partitions keep their files byte-
+        identical.  Returns the number of rows deleted.
+
+        The affected-partition discovery is a pruned aggregate over
+        the key semi-join (at scale: a broadcast of the deletion list,
+        which GDPR-class requests keep tiny), so a 100 TB table
+        rewrites only the partitions a deleted key ever landed in —
+        with dd7-style id lists this is the deletion path a training
+        corpus needs when a takedown arrives."""
+        table = self.read_table(layer, name)
+        affected = [
+            r[0]
+            for r in table.join(F.broadcast(keys), key_col, "left_semi")
+            .select(BATCH_COL)
+            .distinct()
+            .collect()
+        ]
+        deleted = 0
+        for b in affected:
+            part = self.read_batch(layer, name, b).drop(BATCH_COL)
+            kept = part.join(F.broadcast(keys), key_col, "left_anti")
+            n_before = part.count()
+            n_after = self.write_batch(kept, layer, name, b)
+            if n_after == 0:
+                # dynamic overwrite writes NO files for an empty
+                # result, which would leave the old partition (and the
+                # supposedly-deleted rows) on disk — drop it explicitly
+                import shutil
+
+                shutil.rmtree(
+                    os.path.join(
+                        self.path(layer, name), f"{BATCH_COL}={b}"
+                    ),
+                    ignore_errors=True,
+                )
+            deleted += n_before - n_after
+        return deleted

@@ -1,0 +1,113 @@
+"""Warehouse storage-maintenance operations (plans/warehouse.py):
+schema-evolution reads, small-file compaction, and keyed hard delete
+— the layout-level lifecycle a batch-partitioned 100 TB table needs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_sql_datawarehouse_project_spark.plans.warehouse import (
+    BATCH_COL,
+    Warehouse,
+)
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "wh"))
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_schema_evolution_read_unions_footers(spark, wh):
+    old = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    new = spark.createDataFrame(
+        [(3, "c", 7.5)], "id int, v string, score double"
+    )
+    wh.write_batch(old, "bronze", "t", "B1")
+    wh.write_batch(new, "bronze", "t", "B2")
+    merged = wh.read_table_evolved("bronze", "t")
+    assert "score" in merged.columns
+    got = {
+        (r["id"], r["score"])
+        for r in merged.select("id", "score").collect()
+    }
+    assert got == {(1, None), (2, None), (3, 7.5)}
+
+
+def test_compaction_bounds_files_and_preserves_rows(spark, wh):
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("g")
+    )
+    wh.write_batch(df.repartition(16), "bronze", "t", "B1")
+    part_dir = os.path.join(wh.path("bronze", "t"), f"{BATCH_COL}=B1")
+    before_files = [
+        f for f in os.listdir(part_dir) if f.endswith(".parquet")
+    ]
+    assert len(before_files) > 2
+    rows_before = _rows(wh.read_batch("bronze", "t", "B1"))
+    n_files = wh.compact_batch("bronze", "t", "B1", target_files=2)
+    assert n_files <= 2
+    assert _rows(wh.read_batch("bronze", "t", "B1")) == rows_before
+
+
+def test_delete_keys_rewrites_only_affected_partitions(spark, wh):
+    b1 = spark.createDataFrame([(1, "x"), (2, "y")], "uid int, v string")
+    b2 = spark.createDataFrame([(3, "z"), (4, "w")], "uid int, v string")
+    wh.write_batch(b1, "bronze", "t", "B1")
+    wh.write_batch(b2, "bronze", "t", "B2")
+    b2_dir = os.path.join(wh.path("bronze", "t"), f"{BATCH_COL}=B2")
+    b2_mtimes = {
+        f: os.path.getmtime(os.path.join(b2_dir, f))
+        for f in os.listdir(b2_dir)
+        if f.endswith(".parquet")
+    }
+    keys = spark.createDataFrame([(1,)], "uid int")
+    deleted = wh.delete_keys("bronze", "t", "uid", keys)
+    assert deleted == 1
+    assert _rows(wh.read_table("bronze", "t").select("uid")) == [
+        (2,),
+        (3,),
+        (4,),
+    ]
+    # the untouched partition kept its files byte-identical (same
+    # names, same mtimes — never rewritten)
+    after = {
+        f: os.path.getmtime(os.path.join(b2_dir, f))
+        for f in os.listdir(b2_dir)
+        if f.endswith(".parquet")
+    }
+    assert after == b2_mtimes
+
+
+def test_delete_keys_drops_fully_deleted_partition(spark, wh):
+    b1 = spark.createDataFrame([(1, "x")], "uid int, v string")
+    b2 = spark.createDataFrame([(2, "y")], "uid int, v string")
+    wh.write_batch(b1, "bronze", "t", "B1")
+    wh.write_batch(b2, "bronze", "t", "B2")
+    keys = spark.createDataFrame([(1,)], "uid int")
+    deleted = wh.delete_keys("bronze", "t", "uid", keys)
+    assert deleted == 1
+    # the emptied partition directory is GONE, not a stale leftover
+    assert not os.path.exists(
+        os.path.join(wh.path("bronze", "t"), f"{BATCH_COL}=B1")
+    )
+    assert _rows(wh.read_table("bronze", "t").select("uid")) == [(2,)]
+
+
+def test_delete_keys_is_idempotent(spark, wh):
+    b1 = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "uid int, v string"
+    )
+    wh.write_batch(b1, "bronze", "t", "B1")
+    keys = spark.createDataFrame([(2,)], "uid int")
+    assert wh.delete_keys("bronze", "t", "uid", keys) == 1
+    assert wh.delete_keys("bronze", "t", "uid", keys) == 0
+    assert _rows(wh.read_table("bronze", "t").select("uid")) == [(1,), (3,)]
