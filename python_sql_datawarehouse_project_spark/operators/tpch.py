@@ -470,6 +470,74 @@ GROUP BY 1
 """
 
 
+Q21_LATE_DAYS = 60
+
+
+def q21_exclusive_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper on a
+    multi-supplier order — the EXISTS (another supplier) + NOT EXISTS
+    (another LATE supplier) double correlation, decorrelated into one
+    per-order aggregate: n_supp >= 2 encodes the EXISTS, n_late = 1
+    with this supplier late encodes the NOT EXISTS.  One pass computes
+    both, where the textbook formulation self-joins lineitem twice.
+
+    "Late" adapts Q21 to this schema (no commitdate column): shipped
+    more than Q21_LATE_DAYS after the order date.  The
+    lineitem |x| orders leg is the big-big join the bucketed layout
+    (plans/bucketing.py) removes the Exchange for."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    late = F.when(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS"),
+        1,
+    ).otherwise(0)
+    per = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
+    )
+    stats = per.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("late").cast("long").alias("n_late"),
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        per.where(F.col("late") == 1)
+        .join(stats, "l_orderkey")
+        .where((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supplier_name"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_waiting_orders"))
+    )
+
+
+Q21_ORACLE = f"""
+WITH per AS (
+    SELECT l_orderkey, l_suppkey,
+           MAX(CASE WHEN l_shipdate > o_orderdate
+                         + INTERVAL {Q21_LATE_DAYS} DAY
+                    THEN 1 ELSE 0 END) AS late
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+),
+stats AS (
+    SELECT l_orderkey, COUNT(*) AS n_supp,
+           CAST(SUM(late) AS BIGINT) AS n_late
+    FROM per GROUP BY 1
+)
+SELECT s_suppkey AS suppkey, s_name AS supplier_name,
+       COUNT(*) AS n_waiting_orders
+FROM per JOIN stats USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE late = 1 AND n_supp >= 2 AND n_late = 1
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q13_pricing_summary": q13_pricing_summary,
     "q14_shipping_priority": q14_shipping_priority,
@@ -477,6 +545,7 @@ QUERIES = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_volume_customers": q18_large_volume_customers,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q21_exclusive_late_supplier": q21_exclusive_late_supplier,
     "q22_dormant_high_balance": q22_dormant_high_balance,
 }
 
@@ -487,5 +556,6 @@ ORACLES = {
     "q17_small_quantity_revenue": Q17_ORACLE,
     "q18_large_volume_customers": Q18_ORACLE,
     "q19_disjunctive_revenue": _q19_oracle(),
+    "q21_exclusive_late_supplier": Q21_ORACLE,
     "q22_dormant_high_balance": Q22_ORACLE,
 }
