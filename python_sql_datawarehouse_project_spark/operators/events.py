@@ -777,6 +777,77 @@ FROM r WHERE rn = 1
 """
 
 
+# -- ev15: daily volume anomaly screen --------------------------------
+EV15_Z = 1.5  # flags the tail ~7% of days at test SF — a real result set
+
+
+def ev15_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose event volume is anomalous for their event type:
+    |count - mean| > Z * stddev over that type's daily history — the
+    pipeline-monitoring alarm (ingestion died / doubled).
+
+    Determinism without float accumulation: daily counts are integers,
+    so mean and variance come from EXACT integer sufficient statistics
+    (n, Σx, Σx²) via var = (n·Σx² − (Σx)²)/n² — one fixed-shape double
+    expression per type, identical on both engines, so the z-compare
+    is engine-stable (the same qa12 sufficient-statistic trick).
+
+    Scale: two hash aggregates (day-grain, then type-grain) + a
+    broadcast join of the per-type stats back onto day rows — the
+    day-grain table is bounded by days × types, not events."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_events").cast("long").alias("sx"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("long").alias("sxx"),
+    )
+    n = F.col("n_days").cast("double")
+    mean = F.col("sx").cast("double") / n
+    var = (
+        n * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) / (n * n)
+    stats = stats.select(
+        "event_type", mean.alias("mean_daily"), F.sqrt(var).alias("sd_daily")
+    )
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .where(
+            F.abs(F.col("n_events").cast("double") - F.col("mean_daily"))
+            > F.lit(EV15_Z) * F.col("sd_daily")
+        )
+        .select("event_type", "day", "n_events", "mean_daily", "sd_daily")
+    )
+
+
+EV15_ORACLE = f"""
+WITH daily AS (
+    SELECT event_type, date_trunc('day', ts) AS day,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+),
+stats AS (
+    SELECT event_type,
+           CAST(SUM(n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS mean_daily,
+           sqrt((CAST(COUNT(*) AS DOUBLE)
+                     * CAST(SUM(n_events * n_events) AS DOUBLE)
+                 - CAST(SUM(n_events) AS DOUBLE)
+                     * CAST(SUM(n_events) AS DOUBLE))
+                / (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)))
+               AS sd_daily
+    FROM daily GROUP BY 1
+)
+SELECT d.event_type, d.day, d.n_events, s.mean_daily, s.sd_daily
+FROM daily d JOIN stats s ON d.event_type = s.event_type
+WHERE ABS(CAST(d.n_events AS DOUBLE) - s.mean_daily)
+      > {EV15_Z!r} * s.sd_daily
+"""
+
+
 QUERIES = {
     "ev8_rolling_7day": ev8_rolling_7day,
     "ev1_tumbling_hourly": ev1_tumbling_hourly,
@@ -792,6 +863,7 @@ QUERIES = {
     "ev12_ohlc_hourly": ev12_ohlc_hourly,
     "ev13_props_variant": ev13_props_variant,
     "ev14_mode_event_type": ev14_mode_event_type,
+    "ev15_daily_anomaly": ev15_daily_anomaly,
 }
 ORACLES = {
     "ev1_tumbling_hourly": EV1_ORACLE,
@@ -808,4 +880,5 @@ ORACLES = {
     "ev12_ohlc_hourly": EV12_ORACLE,
     "ev13_props_variant": EV13_ORACLE,
     "ev14_mode_event_type": EV14_ORACLE,
+    "ev15_daily_anomaly": EV15_ORACLE,
 }

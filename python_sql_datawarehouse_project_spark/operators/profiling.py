@@ -444,12 +444,73 @@ FROM orders
 """
 
 
+# -- qa17: completeness drift over time -------------------------------
+def qa17_null_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily null/blank rate of the quality-relevant events columns
+    — completeness DRIFT, the signal qa1's one-shot profile cannot
+    see (a feed that silently stopped populating props three weeks
+    ago looks fine in a whole-table null rate).
+
+    One scan, month-grain aggregate: counts are exact integers, the
+    rates one double division each."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    n = F.count(F.lit(1))
+    null_props = F.sum(
+        F.when(
+            F.col("props").isNull() | (F.col("props") == ""), 1
+        ).otherwise(0)
+    )
+    null_value = F.sum(
+        F.when(F.col("value").isNull(), 1).otherwise(0)
+    )
+    return (
+        ev.groupBy(day)
+        .agg(
+            n.alias("n_events"),
+            null_props.cast("long").alias("n_null_props"),
+            null_value.cast("long").alias("n_null_value"),
+        )
+        .select(
+            "day",
+            "n_events",
+            "n_null_props",
+            "n_null_value",
+            (
+                F.col("n_null_props").cast("double")
+                / F.col("n_events").cast("double")
+            ).alias("props_null_rate"),
+            (
+                F.col("n_null_value").cast("double")
+                / F.col("n_events").cast("double")
+            ).alias("value_null_rate"),
+        )
+    )
+
+
+QA17_ORACLE = """
+SELECT date_trunc('day', ts) AS day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_null_props,
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_null_value,
+       CAST(SUM(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS props_null_rate,
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS value_null_rate
+FROM events
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "qa13_benford_digits": qa13_benford_digits,
     "tx12_commonness": tx12_commonness,
     "qa14_kmv_set_ops": qa14_kmv_set_ops,
     "qa15_lsh_recall": qa15_lsh_recall,
     "qa16_mad_outliers": qa16_mad_outliers,
+    "qa17_null_drift": qa17_null_drift,
 }
 ORACLES = {
     "qa13_benford_digits": _qa13_oracle(),
@@ -457,4 +518,5 @@ ORACLES = {
     "qa14_kmv_set_ops": _qa14_oracle(),
     "qa15_lsh_recall": _qa15_oracle(),
     "qa16_mad_outliers": _qa16_oracle(),
+    "qa17_null_drift": QA17_ORACLE,
 }

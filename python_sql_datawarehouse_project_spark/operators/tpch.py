@@ -2,7 +2,7 @@
 (lineitem/orders/customer/supplier) — the scan-heavy plans a
 reference user would run against the bronze layer directly, before
 the medallion star exists.  Complements analytics.py's star-schema
-gates (q1-q12) with the three canonical TPC-H plan shapes the star
+gates (q1-q12) with the canonical TPC-H plan shapes the star
 queries don't exercise:
 
   q13_pricing_summary    TPC-H Q1 shape: full-scan multi-aggregate
