@@ -538,6 +538,52 @@ GROUP BY 1, 2
 """
 
 
+def q23_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape: per-priority KPIs unpivoted to
+    (priority, metric, value) rows — the inverse of q10's PIVOT and
+    the missing half of the reshaping pair (BI tools and metric
+    stores consume the long form).
+
+    Spark's native unpivot (Expand under the hood — the same
+    row-multiplying node as grouping sets, no shuffle of its own);
+    all three measures are cast to DOUBLE first because unpivot
+    requires a common value type, with the sums exact-decimal before
+    that cast as usual."""
+    from ..catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(SALES_DECIMAL))
+        .cast("double")
+        .alias("total_revenue"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["n_orders", "total_revenue", "max_price"],
+        "metric",
+        "value",
+    )
+
+
+Q23_ORACLE = f"""
+WITH wide AS (
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS DOUBLE) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS {SALES_DECIMAL})) AS DOUBLE)
+               AS total_revenue,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY 1
+)
+SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM wide
+UNION ALL
+SELECT o_orderpriority, 'total_revenue', total_revenue FROM wide
+UNION ALL
+SELECT o_orderpriority, 'max_price', max_price FROM wide
+"""
+
+
 QUERIES = {
     "q13_pricing_summary": q13_pricing_summary,
     "q14_shipping_priority": q14_shipping_priority,
@@ -547,6 +593,7 @@ QUERIES = {
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q21_exclusive_late_supplier": q21_exclusive_late_supplier,
     "q22_dormant_high_balance": q22_dormant_high_balance,
+    "q23_unpivot_metrics": q23_unpivot_metrics,
 }
 
 ORACLES = {
@@ -558,4 +605,5 @@ ORACLES = {
     "q19_disjunctive_revenue": _q19_oracle(),
     "q21_exclusive_late_supplier": Q21_ORACLE,
     "q22_dormant_high_balance": Q22_ORACLE,
+    "q23_unpivot_metrics": Q23_ORACLE,
 }
