@@ -42,6 +42,7 @@ from .streaming import dedup as stream_dedup
 from .streaming import extras as stream_extras
 from .streaming import joins as stream_joins
 from .streaming import stateful as stream_stateful
+from .streaming import tws as stream_tws
 from .streaming import windows as stream_windows
 
 # Module order is load-bearing: the driver's correctness gate checks the
@@ -91,6 +92,7 @@ _MODULES = (
     embquality,  # emb1 centroid outliers — same tail rule
     windows_extra,  # w6/w7 navigation + RANGE frame — same tail rule
     udtfs,  # tx13 LATERAL Python UDTF — same tail rule
+    stream_tws,  # transformWithState twin — registers only where protobuf exists
 )
 
 

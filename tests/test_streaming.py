@@ -379,3 +379,31 @@ def test_streaming_mv_restart_processes_only_new_files(spark, tmp_path):
         (d(2024, 2, 1), "Brake", 70.0),
         (d(2024, 3, 1), "Gear", 80.0),
     }
+
+
+def test_tws_first_events_equals_batch(spark, sf_dir):
+    # Spark 4's transformWithState twin of stream_first_events: runs
+    # end-to-end and matches the batch GROUP BY oracle wherever the
+    # runtime ships protobuf (the state protocol's transport); skips
+    # in environments that don't — see streaming/tws.py's boundary
+    # note.
+    import pytest
+
+    from python_sql_datawarehouse_project_spark.streaming import tws
+
+    if not tws._protobuf_available():
+        pytest.skip("protobuf not available: transformWithState "
+                    "cannot execute in this environment")
+    got = tws.stream_first_events_tws(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    from python_sql_datawarehouse_project_spark.catalog import load_table
+
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.min("ts").alias("first_ts"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
