@@ -20,6 +20,7 @@ from .operators import (
     corpus,
     dedup,
     embquality,
+    evals,
     events,
     incremental,
     layout,
@@ -93,6 +94,7 @@ _MODULES = (
     windows_extra,  # w6/w7 navigation + RANGE frame — same tail rule
     udtfs,  # tx13 LATERAL Python UDTF — same tail rule
     stream_tws,  # transformWithState twin — registers only where protobuf exists
+    evals,  # tx14/sim6 component scoreboards — same tail rule
 )
 
 
