@@ -11,6 +11,10 @@ extension; no reference counterpart).
                           against the exact top-k (sim1) — the
                           standard ANN quality metric, computed from
                           two already-deterministic result sets
+  qa18_blocking_recall    recall of dd9's length-bucket blocking vs
+                          exact all-pairs prefix edit distance on a
+                          bounded sample (measures the trade dd9's
+                          docstring documents: 4/6 = 0.67 at test SF)
 
 Both are pure compositions of existing gates' outputs (every input
 double is bitwise cross-engine already), so the scoreboards
@@ -112,11 +116,105 @@ GROUP BY 1
 """
 
 
+# -- qa18: blocking recall audit for fuzzy ER -------------------------
+QA18_SAMPLE = 500  # covers the corpus' fuzzy-pair mass at test SFs; fixed at scale
+
+
+def qa18_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of dd9's (lang, length-bucket) blocking against
+    exact all-pairs prefix edit distance — on a bounded sample, the
+    qa15 pattern applied to entity resolution: dd9's docstring states
+    the straddle-a-bucket-boundary recall trade; this gate MEASURES
+    it, so a blocking-key change that silently tanks recall fails a
+    correctness gate.
+
+    Truth = all pairs in the sample with prefix distance <= the dd9
+    threshold (O(sample²), constant at any corpus size, behind the
+    doc_id pushdown); found = dd9's blocked pairs restricted to the
+    sample (block membership is per-doc, so the restriction is
+    exact)."""
+    from .dedup import DD9_MAX_DIST, DD9_PREFIX, dd9_fuzzy_pairs
+    from ..catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < QA18_SAMPLE
+    )
+    d = docs.select(
+        "doc_id", "lang", F.substring("text", 1, DD9_PREFIX).alias("pfx")
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("pfx").alias("pfx_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("pfx").alias("pfx_b"),
+    )
+    truth = (
+        a.crossJoin(F.broadcast(b))
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("lang_a") == F.col("lang_b"))
+            & (F.levenshtein("pfx_a", "pfx_b") <= DD9_MAX_DIST)
+        )
+        .agg(F.count(F.lit(1)).alias("n_truth"))
+    )
+    found = (
+        dd9_fuzzy_pairs(spark, sf_dir)
+        .where(
+            (F.col("doc_a") < QA18_SAMPLE) & (F.col("doc_b") < QA18_SAMPLE)
+        )
+        .agg(F.count(F.lit(1)).alias("n_found"))
+    )
+    return truth.crossJoin(F.broadcast(found)).select(
+        "n_truth",
+        "n_found",
+        (
+            F.col("n_found").cast("double")
+            / F.nullif(F.col("n_truth").cast("double"), F.lit(0.0))
+        ).alias("recall"),
+    )
+
+
+def _qa18_oracle() -> str:
+    from .dedup import DD9_MAX_DIST, DD9_PREFIX, DD9_BLOCK_CHARS
+
+    return f"""
+WITH s AS (
+    SELECT doc_id, lang, n_chars,
+           substr(text, 1, {DD9_PREFIX}) AS pfx
+    FROM documents WHERE doc_id < {QA18_SAMPLE}
+),
+truth AS (
+    SELECT COUNT(*) AS n_truth
+    FROM s a JOIN s b
+      ON a.doc_id < b.doc_id AND a.lang = b.lang
+    WHERE levenshtein(a.pfx, b.pfx) <= {DD9_MAX_DIST}
+),
+found AS (
+    SELECT COUNT(*) AS n_found
+    FROM s a JOIN s b
+      ON a.doc_id < b.doc_id AND a.lang = b.lang
+     AND a.n_chars // {DD9_BLOCK_CHARS} = b.n_chars // {DD9_BLOCK_CHARS}
+    WHERE levenshtein(a.pfx, b.pfx) <= {DD9_MAX_DIST}
+)
+SELECT CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_found AS BIGINT) AS n_found,
+       CAST(n_found AS DOUBLE) / NULLIF(CAST(n_truth AS DOUBLE), 0.0)
+           AS recall
+FROM truth, found
+"""
+
+
 QUERIES = {
     "tx14_langid_confusion": tx14_langid_confusion,
     "sim6_ivf_recall": sim6_ivf_recall,
+    "qa18_blocking_recall": qa18_blocking_recall,
 }
 ORACLES = {
     "tx14_langid_confusion": TX14_ORACLE,
     "sim6_ivf_recall": SIM6_ORACLE,
+    "qa18_blocking_recall": _qa18_oracle(),
 }
