@@ -880,3 +880,84 @@ def test_qa15_truth_side_is_sample_bounded(spark, sf_dir):
 
     pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", p))
     assert f"LessThan(doc_id,{profiling.QA15_SAMPLE}" in pushed, pushed
+
+
+def test_q24_exists_is_semi_join_no_nested_loop(spark, sf_dir):
+    # The EXISTS probe must plan as a LeftSemi with the equi key on
+    # orderkey (the +80-day comparison riding as a join residual) —
+    # never BroadcastNestedLoop/Cartesian, and the quarter predicate
+    # must reach the orders scan.
+    from python_sql_datawarehouse_project_spark.operators import tpch2
+
+    p = plan_of(tpch2.q24_order_priority_check(spark, sf_dir))
+    assert "LeftSemi" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    import re
+
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", p))
+    assert "o_orderdate" in pushed, pushed
+
+
+def test_q25_shipdate_range_pushed_nations_broadcast(spark, sf_dir):
+    # The two-year window must reach the lineitem scan as a range
+    # (year(l_shipdate) would not push); nation/supplier broadcast.
+    from python_sql_datawarehouse_project_spark.operators import tpch2
+
+    p = plan_of(tpch2.q25_volume_shipping(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    import re
+
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", p))
+    assert "l_shipdate" in pushed, pushed
+
+
+def test_q26_share_is_single_aggregate_pass(spark, sf_dir):
+    # Numerator and denominator come from ONE aggregate over the join
+    # — lineitem scanned once, no self-join of yearly rows.
+    from python_sql_datawarehouse_project_spark.operators import tpch2
+
+    p = plan_of(tpch2.q26_market_share(spark, sf_dir))
+    assert p.count("lineitem.parquet") == 1, p
+    assert "CartesianProduct" not in p
+
+
+def test_q27_top20_is_take_ordered_enrich_after(spark, sf_dir):
+    # Top-20 plans as TakeOrderedAndProject over the per-customer
+    # aggregate; the customer/nation attribute joins happen above it
+    # (20 rows), so the wide columns never enter the big shuffle.
+    from python_sql_datawarehouse_project_spark.operators import tpch2
+
+    p = plan_of(tpch2.q27_returned_items(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+    assert "CartesianProduct" not in p
+
+
+def test_q28_latency_classes_one_scan_pushed_range(spark, sf_dir):
+    from python_sql_datawarehouse_project_spark.operators import tpch2
+
+    p = plan_of(tpch2.q28_latency_priority(spark, sf_dir))
+    assert p.count("lineitem.parquet") == 1, p
+    import re
+
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", p))
+    assert "l_shipdate" in pushed, pushed
+
+
+def test_q29_promo_ratio_single_pass_broadcast_part(spark, sf_dir):
+    from python_sql_datawarehouse_project_spark.operators import tpch2
+
+    p = plan_of(tpch2.q29_promo_revenue(spark, sf_dir))
+    assert p.count("lineitem.parquet") == 1, p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q30_pivot_is_single_scan_no_discovery_job(spark, sf_dir):
+    # Explicit pivot values: the reshape must compile to ONE aggregate
+    # over one orders scan — no eager distinct job, no join, no expand.
+    from python_sql_datawarehouse_project_spark.operators import tpch2
+
+    p = plan_of(tpch2.q30_pivot_priority_revenue(spark, sf_dir))
+    assert p.count("orders.parquet") == 1, p
+    assert "Join" not in p and "Expand" not in p

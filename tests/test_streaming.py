@@ -407,3 +407,28 @@ def test_tws_first_events_equals_batch(spark, sf_dir):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_stream_enrich_segments_equals_batch_join(spark, sf_dir):
+    # Stream-static dimension enrichment must reproduce the batch
+    # join+aggregate exactly on bounded input, and the dim side must
+    # broadcast (the stream never shuffles for the join).
+    from python_sql_datawarehouse_project_spark.catalog import load_table
+    from python_sql_datawarehouse_project_spark.operators.events import VALUE_DEC
+    from python_sql_datawarehouse_project_spark.streaming import enrich
+    from pyspark.sql import functions as F
+
+    got = enrich.stream_enrich_segments(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    want = (
+        ev.join(F.broadcast(cust), ev["user_id"] == cust["c_custkey"], "left")
+        .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(VALUE_DEC)).cast("double").alias("total_value"),
+        )
+    )
+    assert _rows(got) == _rows(want)
