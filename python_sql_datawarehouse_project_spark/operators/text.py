@@ -829,6 +829,144 @@ GROUP BY 1
 """
 
 
+# -- tx15: PII redaction --------------------------------------------
+# Conservative patterns valid in BOTH regex dialects (Java on Spark,
+# RE2 on DuckDB): no backrefs, no lookaround, char classes only.
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RE = "\\+?[0-9][0-9 ()-]{6,}[0-9]"
+PII_EMAIL_TOKEN = "<EMAIL>"
+PII_PHONE_TOKEN = "<PHONE>"
+
+
+def redact_pii(col):
+    """Column expression: emails then phones replaced by typed tokens.
+
+    Order matters — the email pattern consumes its digits-bearing
+    local part first so the phone pattern cannot bite into an
+    address.  Generic operator: the synthetic corpus carries no PII
+    (the gate proves cross-engine parity of the plumbing at corpus
+    scale); behavior on real PII is pinned by
+    tests/test_corpus_properties.py with crafted rows."""
+    out = F.regexp_replace(col, PII_EMAIL_RE, PII_EMAIL_TOKEN)
+    return F.regexp_replace(out, PII_PHONE_RE, PII_PHONE_TOKEN)
+
+
+def tx15_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub-and-count over the corpus: per-doc e-mail/phone match
+    counts plus an md5 of the redacted text (the gate compares the
+    digest, not the full text — the driver hash stays small while
+    still certifying every redacted byte).
+
+    Scale: pure column expressions — scan-speed, no shuffle at all
+    beyond the sink; the regexes run codegen'd on the JVM."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(PII_PHONE_RE)).alias("n_phones"),
+        F.md5(redact_pii(F.col("text"))).alias("redacted_md5"),
+    )
+
+
+TX15_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS INT)
+           AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS INT)
+           AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '{PII_EMAIL_RE}',
+               '{PII_EMAIL_TOKEN}', 'g'), '{PII_PHONE_RE}',
+               '{PII_PHONE_TOKEN}', 'g')) AS redacted_md5
+FROM documents
+"""
+
+
+# -- tx16: bigram novelty (LM-free perplexity proxy) ------------------
+TX16_COMMON = BIGRAM_MIN_COUNT  # a bigram this frequent is "known"
+
+
+def tx16_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the share of a doc's adjacent word pairs
+    that are NOT common in the corpus (corpus count < TX16_COMMON) —
+    the classic perplexity-style quality signal, built from exact
+    integer counts so it needs no log() (not bitwise-portable
+    cross-engine) and no trained model.  High novelty = gibberish or
+    out-of-domain; low = boilerplate.
+
+    Scale: one explode for the corpus bigram census (map-side
+    combinable, vocabulary-bounded output), one explode for the
+    per-doc pairs, one hash join pairs->common set on (w1, w2), one
+    per-doc count aggregate.  The common-bigram table is
+    vocabulary^2-bounded — orders of magnitude smaller than the
+    corpus — but is NOT force-broadcast: at web scale it can exceed
+    driver memory, so the planner picks broadcast vs shuffle from
+    stats (AQE)."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("tk")
+    )
+    pairs = toks.where(F.size("tk") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 1),
+                lambda i: F.struct(
+                    F.element_at("tk", i).alias("w1"),
+                    F.element_at("tk", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    common = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .where(F.col("c_xy") >= TX16_COMMON)
+        .select("w1", "w2", F.lit(1).alias("_known"))
+    )
+    return (
+        pairs.join(common, ["w1", "w2"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.when(F.col("_known").isNull(), 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_pairs",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_pairs")).alias(
+                "novelty_rate"
+            ),
+        )
+    )
+
+
+TX16_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_sql_tokens('text')} AS tk FROM documents
+),
+pairs AS (
+    SELECT doc_id, tk[CAST(i AS INT)] AS w1, tk[CAST(i AS INT) + 1] AS w2
+    FROM toks, unnest(range(1, len(tk))) AS t(i)
+    WHERE len(tk) >= 2
+),
+common AS (
+    SELECT w1, w2 FROM pairs GROUP BY 1, 2
+    HAVING COUNT(*) >= {TX16_COMMON}
+)
+SELECT p.doc_id,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN c.w1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel,
+       CAST(SUM(CASE WHEN c.w1 IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS novelty_rate
+FROM pairs p
+LEFT JOIN common c ON p.w1 = c.w1 AND p.w2 = c.w2
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "tx1_token_count": tx1_token_count,
     "tx2_quality_score": tx2_quality_score,
@@ -841,6 +979,8 @@ QUERIES = {
     "tx9_bigram_lift": tx9_bigram_lift,
     "tx10_textrank": tx10_textrank,
     "tx11_vocab_stats": tx11_vocab_stats,
+    "tx15_pii_redaction": tx15_pii_redaction,
+    "tx16_bigram_novelty": tx16_bigram_novelty,
 }
 ORACLES = {
     "tx1_token_count": TX1_ORACLE,
@@ -854,4 +994,6 @@ ORACLES = {
     "tx9_bigram_lift": TX9_ORACLE,
     "tx10_textrank": TX10_ORACLE,
     "tx11_vocab_stats": TX11_ORACLE,
+    "tx15_pii_redaction": TX15_ORACLE,
+    "tx16_bigram_novelty": TX16_ORACLE,
 }

@@ -99,3 +99,42 @@ def test_pack_chunks_spans_partition_the_token_stream(token_counts):
         prev_last = last
         cum += n
     assert prev_last == (total - 1) // PACK_BUDGET
+
+
+def test_pii_redaction_fires_on_real_pii(spark):
+    # The corpus gate proves cross-engine parity but the synthetic
+    # docs carry no PII; this pins actual redaction behavior, and that
+    # both engines agree on crafted rows (same regexes, same result).
+    from python_sql_datawarehouse_project_spark.operators.text import (
+        PII_EMAIL_RE,
+        PII_PHONE_RE,
+        redact_pii,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("mail me at jane.doe+spam@example.co.uk today", 1, 0),
+        ("call +1 (555) 123-4567 or 555 987 6543 now", 0, 2),
+        ("two addrs: a@b.io and c.d@e-f.org, one line +44 20 7946 0958", 2, 1),
+        ("no pii here, just spark and sql", 0, 0),
+    ]
+    df = spark.createDataFrame([(t,) for t, _, _ in rows], ["text"])
+    got = df.select(
+        redact_pii(F.col("text")).alias("red"),
+        F.regexp_count("text", F.lit(PII_EMAIL_RE)).alias("ne"),
+        F.regexp_count("text", F.lit(PII_PHONE_RE)).alias("np"),
+    ).collect()
+    for (text, want_e, want_p), r in zip(rows, got):
+        assert r.ne == want_e, (text, r.ne)
+        assert r.np == want_p, (text, r.np)
+        if want_e:
+            assert "<EMAIL>" in r.red and "@" not in r.red
+        if want_p:
+            assert "<PHONE>" in r.red
+        # DuckDB twin of the full redaction agrees byte-for-byte
+        duck = duckdb.sql(
+            "SELECT regexp_replace(regexp_replace(?, ?, '<EMAIL>', 'g'),"
+            " ?, '<PHONE>', 'g')",
+            params=[text, PII_EMAIL_RE, PII_PHONE_RE],
+        ).fetchone()[0]
+        assert duck == r.red, (duck, r.red)
