@@ -18,6 +18,10 @@ lands snappy parquet anyway.
   read_parquet  S4: native [convert_to_parquet.py:193]
   read_schema   S5: metadata-only column listing
                 [validate_mapping.py:365-366]
+  read_orc      interchange format beyond the reference surface
+  read_text     raw line-corpus ingestion (one row per line)
+  read_binary   whole-file binary ingestion (the multimodal
+                payload path for operators/multimodal.py)
 
 Scale: csv/json/parquet readers are distributed scans with pushdown;
 Excel is driver-side by design — in the reference's contract xlsx
@@ -95,6 +99,31 @@ def read_excel(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(pdf)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — native columnar reader with the same pushdown/prune
+    behavior as parquet (vectorized, predicate pushdown, column
+    pruning).  The reference's single landing format is parquet; ORC
+    rounds out the warehouse-interchange formats Spark ships built-in."""
+    return spark.read.orc(path)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Line-oriented text scan: one `value` string column per line —
+    the raw-corpus ingestion path (a documents table before parsing).
+    Distributed: files split by line ranges like any other scan."""
+    return spark.read.text(path)
+
+
+def read_binary(spark: SparkSession, path: str) -> DataFrame:
+    """Whole-file binary scan (`binaryFile`): path, modificationTime,
+    length, content columns — the ingestion path for the multimodal
+    payloads of operators/multimodal.py (image/audio blobs land as
+    files; this turns a directory of them into the binary-column table
+    mm1-mm5 consume).  Each file is one row; parallelism comes from
+    many files, and `pathGlobFilter` scopes the listing."""
+    return spark.read.format("binaryFile").load(path)
+
+
 READERS = {
     "csv": read_csv,
     "json": read_json,
@@ -102,6 +131,11 @@ READERS = {
     "xlsx": read_excel,
     "xls": read_excel,
     "excel": read_excel,
+    "orc": read_orc,
+    "text": read_text,
+    "txt": read_text,
+    "binary": read_binary,
+    "bin": read_binary,
 }
 
 
@@ -117,9 +151,9 @@ def read_source(
             f"unsupported source format {fmt!r}; supported: {sorted(READERS)}"
         )
     reader = READERS[fmt]
-    if fmt == "parquet" or fmt in ("xlsx", "xls", "excel"):
-        return reader(spark, path)
-    return reader(spark, path, schema)
+    if fmt in ("csv", "json"):
+        return reader(spark, path, schema)
+    return reader(spark, path)
 
 
 def read_schema(spark: SparkSession, path: str, fmt: str = "parquet") -> list[str]:

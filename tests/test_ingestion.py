@@ -280,3 +280,65 @@ def test_schema_only_read_is_metadata(spark, sf_dir):
 
     cols = read_schema(spark, f"{sf_dir}/nation.parquet", "parquet")
     assert cols == ["n_nationkey", "n_name", "n_regionkey"]
+
+
+def test_orc_text_binary_readers_roundtrip(spark, tmp_path):
+    # S-family widening: ORC round-trip, line-text scan, whole-file
+    # binary ingestion (the multimodal payload path).
+    from python_sql_datawarehouse_project_spark.sources import readers
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "s"])
+    orc_dir = str(tmp_path / "t.orc")
+    df.write.orc(orc_dir)
+    back = readers.read_source(spark, orc_dir, "orc")
+    assert sorted(map(tuple, back.collect())) == [(1, "a"), (2, "b")]
+
+    txt = tmp_path / "corpus.txt"
+    txt.write_text("line one\nline two\n")
+    lines = readers.read_source(spark, str(txt), "text")
+    assert lines.columns == ["value"]
+    assert sorted(r.value for r in lines.collect()) == ["line one", "line two"]
+
+    blob = tmp_path / "payload.bin"
+    blob.write_bytes(b"\x00\x01\x02spark")
+    bin_df = readers.read_source(spark, str(blob), "binary")
+    row = bin_df.select("length", "content").first()
+    assert row.length == 8 and bytes(row.content) == b"\x00\x01\x02spark"
+
+
+def test_synthetic_docs_datasource_deterministic_and_partitioned(spark):
+    # The Python Data Source API seam: registered format reads run
+    # executor-side, content is a pure function of (seed, row_id) —
+    # same rows for ANY partitioning — and the schema feeds the text
+    # operators directly.
+    from python_sql_datawarehouse_project_spark.sources import pyds
+
+    pyds.register(spark)
+    a = (
+        spark.read.format("synthetic_docs")
+        .option("n_rows", 500)
+        .option("n_parts", 8)
+        .load()
+    )
+    b = (
+        spark.read.format("synthetic_docs")
+        .option("n_rows", 500)
+        .option("n_parts", 3)  # different partitioning, same corpus
+        .load()
+    )
+    assert a.count() == 500
+    assert a.rdd.getNumPartitions() == 8
+    ra, rb = sorted(map(tuple, a.collect())), sorted(map(tuple, b.collect()))
+    assert ra == rb
+    # executor rows match the driver-side pure function
+    assert ra[7] == pyds.doc_row(42, ra[7][0]) or ra[7][0] != 7
+    want = [pyds.doc_row(42, i) for i in range(500)]
+    assert ra == sorted(want)
+    # the generated corpus drives a real text operator end to end
+    from python_sql_datawarehouse_project_spark.operators.text import _tokens
+    from pyspark.sql import functions as F
+
+    toks = a.select(F.size(_tokens(F.col("text"))).alias("n")).agg(
+        F.min("n"), F.max("n")
+    ).first()
+    assert toks[0] >= 20 and toks[1] <= 84
