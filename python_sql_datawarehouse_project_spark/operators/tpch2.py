@@ -491,6 +491,64 @@ ORDER BY o_year
 """
 
 
+def q31_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated calendar dimension spanning the orders date range —
+    the date-spine every warehouse builds (the reference's gold layer
+    keys facts by raw dates; a date dimension is the standard star
+    completion).
+
+    Generation is `sequence(min, max, interval 1 day)` + explode off
+    a broadcast 1-row MIN/MAX aggregate: one scan of orders (two
+    pushed-down column stats, no shuffle of fact rows), then the
+    calendar itself is |days| rows — thousands, regardless of fact
+    scale.  Day-of-week is pinned to DuckDB's numbering
+    (0 = Sunday) via dayofweek(d) - 1."""
+    orders = load_table(spark, sf_dir, "orders")
+    span = orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d0"),
+        F.max(F.col("o_orderdate").cast("date")).alias("d1"),
+    )
+    days = span.select(
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("d")
+    )
+    return days.select(
+        "d",
+        F.year("d").alias("year"),
+        F.quarter("d").alias("quarter"),
+        F.month("d").alias("month"),
+        F.dayofmonth("d").alias("day"),
+        (F.dayofweek("d") - 1).alias("dow"),
+        (F.last_day("d") == F.col("d")).alias("is_month_end"),
+    )
+
+
+Q31_ORACLE = """
+WITH span AS (
+    SELECT CAST(MIN(o_orderdate) AS DATE) AS d0,
+           CAST(MAX(o_orderdate) AS DATE) AS d1
+    FROM orders
+),
+days AS (
+    -- scalar generate_series (list) + unnest: the table-function form
+    -- cannot take lateral column arguments in DuckDB
+    SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                       CAST(d1 AS TIMESTAMP),
+                                       INTERVAL 1 DAY)) AS DATE) AS d
+    FROM span
+)
+SELECT d,
+       CAST(EXTRACT(YEAR FROM d) AS INTEGER) AS year,
+       CAST(EXTRACT(QUARTER FROM d) AS INTEGER) AS quarter,
+       CAST(EXTRACT(MONTH FROM d) AS INTEGER) AS month,
+       CAST(EXTRACT(DAY FROM d) AS INTEGER) AS day,
+       CAST(EXTRACT(DOW FROM d) AS INTEGER) AS dow,
+       last_day(d) = d AS is_month_end
+FROM days
+"""
+
+
 QUERIES = {
     "q24_order_priority_check": q24_order_priority_check,
     "q25_volume_shipping": q25_volume_shipping,
@@ -499,6 +557,7 @@ QUERIES = {
     "q28_latency_priority": q28_latency_priority,
     "q29_promo_revenue": q29_promo_revenue,
     "q30_pivot_priority_revenue": q30_pivot_priority_revenue,
+    "q31_date_dim": q31_date_dim,
 }
 
 ORACLES = {
@@ -509,4 +568,5 @@ ORACLES = {
     "q28_latency_priority": Q28_ORACLE,
     "q29_promo_revenue": Q29_ORACLE,
     "q30_pivot_priority_revenue": Q30_ORACLE,
+    "q31_date_dim": Q31_ORACLE,
 }
