@@ -725,8 +725,10 @@ def dd7_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = max(4, min(int(prev_parts), n_labels // 2_000_000 + 1))
     spark.conf.set(shuffle_conf, str(parts))
     try:
+        from pyspark.sql import Observation
+
         prev_sum = None
-        for _ in range(DD7_MAX_ROUNDS):
+        for rnd in range(DD7_MAX_ROUNDS):
             nbr_min = (
                 edges.join(labels, edges["v"] == labels["doc_id"])
                 .groupBy("u")
@@ -742,15 +744,26 @@ def dd7_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("m"),
             )
             hop = m.select(F.col("doc_id").alias("h_id"), F.col("m").alias("h_m"))
+            # The convergence sum rides the checkpoint job as an
+            # observed metric (Observation fires on the eager
+            # localCheckpoint's materialization), so each round runs
+            # exactly ONE job: two joins + checkpoint + metric — no
+            # separate aggregate pass over the labels.  Locally the
+            # saving is in the noise (the agg read from in-memory
+            # checkpoint blocks); the point is one fewer
+            # driver-scheduled job per round, which is the term that
+            # dominates iterative latency on a real cluster.
+            obs = Observation(f"dd7_round_{rnd}")
             labels = (
                 m.join(hop, m["m"] == hop["h_id"], "left")
                 .select(
                     "doc_id",
                     F.coalesce(F.col("h_m"), F.col("m")).alias("cluster_id"),
                 )
+                .observe(obs, F.sum("cluster_id").alias("label_sum"))
                 .localCheckpoint(eager=True)
             )
-            total = labels.agg(F.sum("cluster_id")).first()[0] or 0
+            total = obs.get["label_sum"] or 0
             if total == prev_sum:
                 break
             prev_sum = total
