@@ -161,3 +161,28 @@ def test_registry_persists_across_instances(two_client_run):
     assert (
         reloaded.get("client1").last_batch_id == reg.get("client1").last_batch_id
     )
+
+
+def test_cli_dispatch_runs_single_client(spark, tmp_path, capsys):
+    # The reference CLI contract (batch_processing.py:1276-1296):
+    # `<client> <mode>` runs one client; main() reuses the active
+    # session and prints one status line per run.
+    from test_medallion import _seed_bronze
+
+    from python_sql_datawarehouse_project_spark.__main__ import main
+    from python_sql_datawarehouse_project_spark.plans.clients import ClientRegistry
+
+    root = str(tmp_path / "cli_root")
+    reg = ClientRegistry(root)
+    reg.register("cli_client", client_name="CLI Client")
+    _seed_bronze(spark, reg.warehouse(spark, "cli_client"))
+
+    rc = main(["cli_client", "start", "--root", root])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "cli_client BATCH000001" in out
+    assert "FAILED" not in out
+    # batch counter persisted: a second start allocates BATCH000002
+    rc = main(["cli_client", "start", "--root", root])
+    assert rc == 0
+    assert "cli_client BATCH000002" in capsys.readouterr().out
