@@ -140,5 +140,82 @@ SELECT label, vec_id, cosine, rank FROM ranked WHERE rank <= {EMB_OUTLIERS}
 """
 
 
-QUERIES = {"emb1_centroid_outliers": emb1_centroid_outliers}
-ORACLES = {"emb1_centroid_outliers": EMB1_ORACLE}
+def emb2_dimension_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION corpus profile: n, quantized mean, min/max and
+    exact-zero share for each of the 64 embedding components — the
+    drift screen for the embedding SERVICE rather than the corpus
+    (a dimension whose mean wanders or collapses to zero flags a
+    model/version change upstream; emb1 screens per-label coherence,
+    this screens the space itself).
+
+    Determinism: the mean is the int64 fixed-point component sum
+    (exact, order-free — the sim4/emb1 trick) divided by count and by
+    the scale in a fixed two-division order; min/max/zero-count are
+    order-free by definition.
+
+    Scale: one posexplode + a 64-group aggregate with map-side
+    partials — the shuffle carries (dim, partial) rows only."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    comp = emb.select(F.posexplode("v").alias("j", "x"))
+    q = F.floor(F.col("x") * F.lit(float(EMB_Q))).cast("long")
+    return (
+        comp.groupBy("j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(q).alias("_sq"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.sum(F.when(F.col("x") == 0.0, 1).otherwise(0)).alias("n_zero"),
+        )
+        .select(
+            "j",
+            "n",
+            (
+                F.col("_sq").cast("double")
+                / F.col("n").cast("double")
+                / F.lit(float(EMB_Q))
+            ).alias("mean_q"),
+            "min_x",
+            "max_x",
+            (F.col("n_zero").cast("double") / F.col("n").cast("double")).alias(
+                "frac_zero"
+            ),
+        )
+        .orderBy("j")
+    )
+
+
+EMB2_ORACLE = f"""
+WITH comp AS (
+    SELECT j, v[j + 1] AS x
+    FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         (SELECT unnest(range(0, {EMB_DIM})) AS j)
+),
+agg AS (
+    SELECT j, COUNT(*) AS n,
+           CAST(SUM(CAST(floor(x * {float(EMB_Q)!r}) AS BIGINT)) AS BIGINT)
+               AS sq,
+           MIN(x) AS min_x, MAX(x) AS max_x,
+           CAST(SUM(CASE WHEN x = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero
+    FROM comp GROUP BY j
+)
+SELECT CAST(j AS INTEGER) AS j, n,
+       CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / {float(EMB_Q)!r} AS mean_q,
+       min_x, max_x,
+       CAST(n_zero AS DOUBLE) / CAST(n AS DOUBLE) AS frac_zero
+FROM agg
+ORDER BY j
+"""
+
+
+QUERIES = {
+    "emb1_centroid_outliers": emb1_centroid_outliers,
+    "emb2_dimension_profile": emb2_dimension_profile,
+}
+ORACLES = {
+    "emb1_centroid_outliers": EMB1_ORACLE,
+    "emb2_dimension_profile": EMB2_ORACLE,
+}

@@ -61,3 +61,25 @@ def test_kmv_estimate_exact_below_k(a: set[int]):
     if len(a) < K:
         k_used = len(min_k(a))
         assert k_used == len(a)
+
+
+def test_hll_approx_distinct_partitioning_invariant_and_bounded(spark, sf_dir):
+    # approx_count_distinct is HLL++: register-max merge is commutative
+    # and associative, so the estimate must be IDENTICAL under any
+    # partitioning (the property that makes it safe to gate on at
+    # scale), and within a few relative standard deviations of exact.
+    from pyspark.sql import functions as F
+
+    from python_sql_datawarehouse_project_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rsd = 0.05
+    est1 = ev.repartition(4).agg(
+        F.approx_count_distinct("user_id", rsd).alias("e")
+    ).first().e
+    est2 = ev.repartition(17, "event_type").agg(
+        F.approx_count_distinct("user_id", rsd).alias("e")
+    ).first().e
+    assert est1 == est2, "HLL estimate changed under repartitioning"
+    exact = ev.select("user_id").distinct().count()
+    assert abs(est1 - exact) <= max(3, 4 * rsd * exact), (est1, exact)
