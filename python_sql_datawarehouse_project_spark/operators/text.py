@@ -182,20 +182,37 @@ def _hit_counter(ws: list[str]):
 
 def tx3_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    hits = {
-        lang: F.size(F.filter(toks, _hit_counter(ws)))
-        for lang, ws in STOPWORDS.items()
-    }
+    # Tokenize ONCE into real columns, then build the argmax CASE over
+    # the column references: inlining _tokens() into every hit
+    # expression copies the split+regex subtree ~20x into the CASE
+    # tree, and downstream plans that fuse this projection into an
+    # aggregate (tx14's confusion counts) lose common-subexpression
+    # elimination and re-run the regex per copy (measured: tx14
+    # 3.3 -> 1.0 s at sf0.1; tx3 itself is unchanged because its
+    # stand-alone Project was already CSE'd).
     langs = sorted(STOPWORDS)  # deterministic tie-break: alphabetical
+    with_hits = docs.select(
+        "doc_id",
+        "lang",
+        _tokens(F.col("text")).alias("_toks"),
+    ).select(
+        "doc_id",
+        "lang",
+        *[
+            F.size(F.filter(F.col("_toks"), _hit_counter(STOPWORDS[la])))
+            .alias(f"hits_{la}")
+            for la in langs
+        ],
+    )
+    hits = {la: F.col(f"hits_{la}") for la in langs}
     pred = F.lit("unknown")
     best = F.greatest(*[hits[la] for la in langs])
     for la in reversed(langs):
         pred = F.when(hits[la] == best, F.lit(la)).otherwise(pred)
     pred = F.when(best == 0, F.lit("unknown")).otherwise(pred)
-    return docs.select(
+    return with_hits.select(
         "doc_id",
-        *[hits[la].alias(f"hits_{la}") for la in langs],
+        *[f"hits_{la}" for la in langs],
         pred.alias("predicted_lang"),
         F.col("lang").alias("labeled_lang"),
     )
