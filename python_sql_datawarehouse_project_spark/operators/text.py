@@ -933,6 +933,13 @@ def tx16_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2")
+    # The pair stream feeds BOTH the census and the probe; Catalyst
+    # does not dedupe common subplans, so without materialization the
+    # tokenize+explode pipeline runs twice over the corpus.  Unlike
+    # tx9's raw token ARRAYS (whose materialized size outweighed the
+    # re-run — PERF.md §4), exploded (id, w1, w2) rows are compact:
+    # checkpointing them cuts tx16 ~2.0 -> ~1.5 s at sf0.1.
+    pairs = pairs.localCheckpoint(eager=True)
     common = (
         pairs.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_xy"))
