@@ -389,7 +389,16 @@ def tx6_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     grows with the table).  Corpus grams stream through exploded as
     hashes with map-side partial counts; two hash aggregations + one
     join, no O(n^2) anywhere."""
-    g = _doc_grams(load_table(spark, sf_dir, "documents"))
+    # Materialized once: the gram stream feeds the benchmark set, the
+    # per-doc totals AND the overlap probe — three references, and
+    # Catalyst does not dedupe common subplans, so without this the
+    # tokenize+8-gram+hash explode runs three times over the corpus.
+    # The rows are compact (doc_id, hash) longs, the cheap side of
+    # PERF.md §4's materialize-vs-recompute rule (~1.8 -> ~1.5 s at
+    # sf0.1 — the surviving cost is the join shuffle, not the scan).
+    g = _doc_grams(load_table(spark, sf_dir, "documents")).localCheckpoint(
+        eager=True
+    )
     corp = g.where(F.col("doc_id") % BENCH_MOD != 0)
     bench = (
         g.where(F.col("doc_id") % BENCH_MOD == 0).select("h").distinct()
