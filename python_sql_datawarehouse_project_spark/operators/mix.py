@@ -107,18 +107,14 @@ def ds2_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum is pure integer arithmetic over that order."""
     from pyspark.sql import Window
 
-    from .text import tx2_quality_score, _tokens
+    from .text import quality_scored
 
+    # Single scan: quality_scored carries n_tokens alongside the
+    # score, so the budget fill needs no self-join of two documents
+    # projections (the join cost a second scan + a doc_id shuffle).
     docs = load_table(spark, sf_dir, "documents")
-    scored = (
-        tx2_quality_score(spark, sf_dir)
-        .select("doc_id", "quality_score")
-        .join(
-            docs.select(
-                "doc_id", F.size(_tokens(F.col("text"))).alias("n_tokens")
-            ),
-            "doc_id",
-        )
+    scored = quality_scored(docs).select(
+        "doc_id", "quality_score", "n_tokens"
     )
     w = (
         Window.orderBy(F.desc("quality_score"), F.asc("doc_id"))

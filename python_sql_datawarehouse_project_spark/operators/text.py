@@ -112,6 +112,10 @@ def quality_scored(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
         "lang",
+        # whitespace token count rides along so consumers that need
+        # score AND size (mix.ds2's budget fill) stay single-scan
+        # instead of joining a second documents projection
+        F.size(toks).alias("n_tokens"),
         alpha_ratio.alias("alpha_ratio"),
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stopword_ratio"),
@@ -121,7 +125,7 @@ def quality_scored(docs: DataFrame) -> DataFrame:
 
 def tx2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return quality_scored(docs).drop("lang")
+    return quality_scored(docs).drop("lang", "n_tokens")
 
 
 TX2_ORACLE = f"""
