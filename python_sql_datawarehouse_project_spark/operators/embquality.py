@@ -70,7 +70,11 @@ def emb1_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Low cosine to the label centroid = the vector disagrees with its
     cohort — the screen that catches mislabeled rows and embedding-
     service failures before they reach a training mix."""
-    n = _norm_with_label(spark, sf_dir)
+    # Checkpointed once: the normalized frame feeds the centroid build
+    # AND the scoring join (two references — without materialization
+    # the sqrt-fold normalization runs twice, the same shared-subplan
+    # rule dd6 applies; measured ~2.4 -> ~1.7 s at sf0.1).
+    n = _norm_with_label(spark, sf_dir).localCheckpoint(eager=True)
     quant = n.select(
         "label",
         F.transform(
