@@ -54,7 +54,7 @@ from .streaming import windows as stream_windows
 # round 4 the keys with a *recorded* green driver row are exactly the
 # 59 from r1/r2; everything else rotates through the window by
 # priority, explicitly, via _WINDOW_PRIORITY below (key-level — module
-# order alone could not expres the r3/r4 tail additions that live
+# order alone could not express the r3/r4 tail additions that live
 # inside already-green modules, e.g. events.ev11-15, analytics
 # q12/q16/q23).
 #
@@ -69,7 +69,10 @@ from .streaming import windows as stream_windows
 #   C. keys that sat in r3's presumed window but have no recorded row
 #      (stream_*, sk*, rj1, w4/w5, sim5, tx5) to fill the 50.
 # provenance.never_driver_green() recomputes the exact rotation for
-# round 5 once CORRECTNESS_r04 lands.
+# round 5 once CORRECTNESS_r04 lands.  ROUND-5 NOTE: the round-4 tail
+# additions (q24-q31, tx15/tx16, emb2, stream_enrich_segments) have
+# no driver row yet — rotate them plus whatever r4's window failed to
+# green into the next _WINDOW_PRIORITY, oldest-never-checked first.
 _MODULES = (
     windows,
     recursive,
