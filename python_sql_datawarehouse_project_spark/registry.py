@@ -36,6 +36,7 @@ from .operators import (
     text,
     tpch,
     tpch2,
+    tpch3,
     udtfs,
     windows,
     windows_extra,
@@ -101,6 +102,8 @@ _MODULES = (
     stream_enrich,  # round-4 stream-static join gate — tail rule
     tpch,  # q13-q15/q17 TPC-H report shapes — same tail rule
     tpch2,  # q24-q29 round-4 additions: tail now, window next round
+    tpch3,  # q32-q39 round-4 additions (Q2/Q5/Q6/Q9/Q11/Q13/Q16/Q20
+    # shapes): tail now, window next round
     embquality,  # emb1 centroid outliers — same tail rule
     windows_extra,  # w6/w7 navigation + RANGE frame — same tail rule
     udtfs,  # tx13 LATERAL Python UDTF — same tail rule

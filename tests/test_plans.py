@@ -961,3 +961,118 @@ def test_q30_pivot_is_single_scan_no_discovery_job(spark, sf_dir):
     p = plan_of(tpch2.q30_pivot_priority_revenue(spark, sf_dir))
     assert p.count("orders.parquet") == 1, p
     assert "Join" not in p and "Expand" not in p
+
+
+# -- tpch3 (q32-q39): the four classic decorrelation shapes -----------
+
+
+def test_q32_pair_grain_before_window_type_pushed(spark, sf_dir):
+    # The argmin must aggregate lineitem to (part, supplier) grain
+    # BEFORE the per-part MIN window — the window's input is bounded
+    # by |pairs|, never raw lineitem — and the part-type filter must
+    # reach the part scan.  Dims broadcast; no nested loop.
+    import re
+
+    from python_sql_datawarehouse_project_spark.operators import tpch3
+
+    p = plan_of(tpch3.q32_min_cost_supplier(spark, sf_dir))
+    assert "Window" in p, p
+    # HashAggregate feeds the Window: formatted-mode node numbers grow
+    # upward from the leaf scan, so the pair aggregate's number must be
+    # SMALLER (deeper) than the window's.
+    win_ids = [int(m) for m in re.findall(r"Window \((\d+)\)", p)]
+    agg_ids = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", p)]
+    assert agg_ids and win_ids and min(agg_ids) < min(win_ids), p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", p))
+    assert f"EqualTo(p_type,{tpch3.Q32_PTYPE})" in pushed, pushed
+
+
+def test_q33_date_pushed_dims_broadcast(spark, sf_dir):
+    import re
+
+    from python_sql_datawarehouse_project_spark.operators import tpch3
+
+    p = plan_of(tpch3.q33_local_supplier_volume(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", p))
+    assert "o_orderdate" in pushed, pushed
+
+
+def test_q34_all_predicates_reach_scan_single_pass(spark, sf_dir):
+    # Q6 is THE predicate-pushdown gate: shipdate range, discount
+    # band and quantity cap must all appear in PushedFilters, one
+    # lineitem scan, no join anywhere.
+    import re
+
+    from python_sql_datawarehouse_project_spark.operators import tpch3
+
+    p = plan_of(tpch3.q34_forecast_revenue(spark, sf_dir))
+    assert p.count("lineitem.parquet") == 1, p
+    assert "Join" not in p, p
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", p))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
+
+
+def test_q35_name_pattern_pushed_dims_broadcast(spark, sf_dir):
+    import re
+
+    from python_sql_datawarehouse_project_spark.operators import tpch3
+
+    p = plan_of(tpch3.q35_product_profit(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", p))
+    assert f"StringContains(p_name,{tpch3.Q35_PATTERN})" in pushed, pushed
+
+
+def test_q36_single_lineitem_scan_scalar_broadcast(spark, sf_dir):
+    # The global-share HAVING must NOT rescan lineitem for the scalar:
+    # the per-part aggregate is checkpointed once and the 1-row totals
+    # side arrives by broadcast.
+    from python_sql_datawarehouse_project_spark.operators import tpch3
+
+    p = plan_of(tpch3.q36_important_parts(spark, sf_dir))
+    assert "lineitem.parquet" not in p, p  # checkpoint replaced the scan
+    assert "LocalTableScan" in p or "Scan ExistingRDD" in p, p
+    assert "BroadcastNestedLoopJoin" in p, p  # 1-row scalar cross join
+
+
+def test_q37_outer_join_survives_on_clause_filter(spark, sf_dir):
+    # The priority exclusion lives in the join's ON side: the plan
+    # must keep LeftOuter (zero-order customers survive) AND push the
+    # priority predicate into the orders scan.
+    import re
+
+    from python_sql_datawarehouse_project_spark.operators import tpch3
+
+    p = plan_of(tpch3.q37_order_count_distribution(spark, sf_dir))
+    assert "LeftOuter" in p, p
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", p))
+    assert "Not(EqualTo(o_orderpriority" in pushed, pushed
+
+
+def test_q38_blocklist_is_broadcast_anti_join(spark, sf_dir):
+    from python_sql_datawarehouse_project_spark.operators import tpch3
+
+    p = plan_of(tpch3.q38_supplier_part_variety(spark, sf_dir))
+    assert "LeftAnti" in p, p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_q39_nested_in_chain_is_two_semi_joins(spark, sf_dir):
+    # Both IN probes must plan as LeftSemi (bounded output, no
+    # duplicate blowup) and the ship-year range must reach the scan.
+    import re
+
+    from python_sql_datawarehouse_project_spark.operators import tpch3
+
+    p = plan_of(tpch3.q39_promotion_candidates(spark, sf_dir))
+    assert p.count("LeftSemi") >= 2, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", p))
+    assert "l_shipdate" in pushed, pushed
