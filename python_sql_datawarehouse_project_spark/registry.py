@@ -37,6 +37,7 @@ from .operators import (
     tpch,
     tpch2,
     tpch3,
+    embcompress,
     udtfs,
     windows,
     windows_extra,
@@ -105,6 +106,7 @@ _MODULES = (
     tpch3,  # q32-q39 round-4 additions (Q2/Q5/Q6/Q9/Q11/Q13/Q16/Q20
     # shapes): tail now, window next round
     embquality,  # emb1 centroid outliers — same tail rule
+    embcompress,  # emb3/emb4 round-4 compression audits — tail rule
     windows_extra,  # w6/w7 navigation + RANGE frame — same tail rule
     udtfs,  # tx13 LATERAL Python UDTF — same tail rule
     stream_tws,  # transformWithState twin — registers only where protobuf exists

@@ -1076,3 +1076,24 @@ def test_q39_nested_in_chain_is_two_semi_joins(spark, sf_dir):
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
     pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", p))
     assert "l_shipdate" in pushed, pushed
+
+
+def test_emb3_emb4_single_scan_no_python_no_vector_shuffle(spark, sf_dir):
+    # The compression audits must be one embeddings scan with ALL
+    # per-vector math inside a JVM projection (no Python eval node),
+    # and the only exchange carries per-label partial-aggregate rows
+    # — the vectors themselves never shuffle.
+    from python_sql_datawarehouse_project_spark.operators import embcompress
+
+    import re
+
+    for fn in (embcompress.emb3_int8_quant, embcompress.emb4_matryoshka):
+        p = plan_of(fn(spark, sf_dir))
+        assert p.count("embeddings.parquet") == 1, p
+        assert "EvalPython" not in p, p  # no Python UDF path
+        exchanges = re.findall(r"^\(\d+\) Exchange\n(?:.*\n)*?\n", p, re.M)
+        assert len(exchanges) == 1, p  # only the label aggregate
+        # the exchange moves aggregate partials, not the vector column
+        assert "embedding" not in exchanges[0] and " v#" not in exchanges[0], (
+            exchanges[0]
+        )
