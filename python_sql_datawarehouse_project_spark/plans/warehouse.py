@@ -116,6 +116,117 @@ class Warehouse:
             [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
         )
 
+    def merge_upsert(
+        self,
+        layer: str,
+        name: str,
+        source: DataFrame,
+        key_col: str,
+        batch_id: str,
+        delete_col: str | None = None,
+    ) -> dict:
+        """MERGE INTO semantics over the batch-partitioned layout:
+        matched keys are UPDATED in place (their original batch
+        partition is rewritten with the source row), unmatched source
+        rows are INSERTED into `batch_id`, and source rows flagged
+        true in `delete_col` DELETE their matched target rows.
+        Returns {"updated": n, "inserted": n, "deleted": n}.
+
+        Partition-pruned like delete_keys: only batches that contain
+        a source key are rewritten; untouched partitions keep their
+        files.  The source broadcasts (the CDC-delta / correction-feed
+        case MERGE exists for is small relative to the table); a
+        big-big merge should instead land the delta as its own batch
+        and reconcile through the silver dedup (w1 keep-latest).
+
+        Re-running the same merge converges: the second pass finds
+        every insert already present (they become no-op updates) and
+        every delete already gone.  Duplicate target rows under one
+        key are ALL replaced by the source row — MERGE's
+        one-row-per-key contract is the caller's to uphold, as in
+        SQL engines that raise on multi-match.
+
+        Ordering matters for correctness: the insert set is
+        materialized (localCheckpoint) BEFORE any partition rewrite,
+        because a DataFrame's file listing is pinned at read time and
+        rewritten partitions would otherwise feed the anti-join
+        deleted files."""
+        table = self.read_table(layer, name)
+        cols = [c for c in table.columns if c != BATCH_COL]
+        # Delete-flagged rows stay in src_keys (so their target rows
+        # are dropped from rewritten partitions) but leave `ups` (so
+        # nothing re-adds or inserts them).
+        if delete_col is not None:
+            ups = source.where(~F.col(delete_col)).select(*cols)
+        else:
+            ups = source.select(*cols)
+
+        # 1. Pin the insert set and affected partitions against the
+        #    PRE-merge table state.
+        inserts = ups.join(
+            table.select(key_col), key_col, "left_anti"
+        ).localCheckpoint(eager=True)
+        src_keys = source.select(key_col)
+        affected = [
+            r[0]
+            for r in table.join(F.broadcast(src_keys), key_col, "left_semi")
+            .select(BATCH_COL)
+            .distinct()
+            .collect()
+        ]
+
+        # 2. Rewrite each affected partition: drop every matched row,
+        #    re-add the source version for non-delete matches.  A
+        #    matched row that is NOT re-added was delete-flagged:
+        #    deleted = (rows removed) - (rows replaced).
+        updated = deleted = 0
+        for b in affected:
+            part = self.read_batch(layer, name, b).drop(BATCH_COL)
+            matched_ups = ups.join(
+                F.broadcast(part.select(key_col)), key_col, "left_semi"
+            )
+            kept = part.join(F.broadcast(src_keys), key_col, "left_anti")
+            n_before = part.count()
+            n_matched = matched_ups.count()
+            out = kept.select(*cols).unionByName(matched_ups)
+            n_after = self.write_batch(out, layer, name, b)
+            if n_after == 0:
+                import shutil
+
+                shutil.rmtree(
+                    os.path.join(self.path(layer, name), f"{BATCH_COL}={b}"),
+                    ignore_errors=True,
+                )
+            updated += n_matched
+            # n_after = kept + n_matched, so the matched rows that
+            # vanished (delete-flagged) are exactly n_before - n_after.
+            deleted += n_before - n_after
+
+        # 3. Land the inserts in their own batch (idempotent: a replay
+        #    finds an empty insert set and leaves the partition alone).
+        n_inserted = 0
+        if not inserts.isEmpty():
+            existing = (
+                self.read_batch(layer, name, batch_id).drop(BATCH_COL)
+                if self.exists(layer, name)
+                and os.path.isdir(
+                    os.path.join(
+                        self.path(layer, name), f"{BATCH_COL}={batch_id}"
+                    )
+                )
+                else None
+            )
+            landing = (
+                inserts
+                if existing is None
+                else existing.select(*cols).unionByName(inserts)
+            )
+            before = 0 if existing is None else existing.count()
+            n_inserted = (
+                self.write_batch(landing, layer, name, batch_id) - before
+            )
+        return {"updated": updated, "inserted": n_inserted, "deleted": deleted}
+
     def delete_keys(
         self, layer: str, name: str, key_col: str, keys: DataFrame
     ) -> int:

@@ -150,3 +150,94 @@ def test_cluster_takedown_deletes_near_dups(spark, wh, sf_dir):
         .count()
     )
     assert left == 0
+
+
+# -- MERGE INTO semantics (merge_upsert) ------------------------------
+
+
+def _merge_fixture(spark, wh):
+    b1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "uid int, v string, score double"
+    )
+    b2 = spark.createDataFrame(
+        [(3, "c", 30.0), (4, "d", 40.0)], "uid int, v string, score double"
+    )
+    wh.write_batch(b1, "silver", "t", "B1")
+    wh.write_batch(b2, "silver", "t", "B2")
+
+
+def test_merge_upsert_updates_inserts_deletes(spark, wh):
+    _merge_fixture(spark, wh)
+    src = spark.createDataFrame(
+        [
+            (2, "b2", 21.0, False),  # update (lives in B1)
+            (5, "e", 50.0, False),  # insert
+            (3, None, None, True),  # delete (lives in B2)
+        ],
+        "uid int, v string, score double, is_deleted boolean",
+    )
+    res = wh.merge_upsert(
+        "silver", "t", src, "uid", "B3", delete_col="is_deleted"
+    )
+    assert res == {"updated": 1, "inserted": 1, "deleted": 1}
+    got = _rows(wh.read_table("silver", "t").drop(BATCH_COL))
+    assert got == sorted(
+        [
+            (10.0, 1, "a"),
+            (21.0, 2, "b2"),
+            (40.0, 4, "d"),
+            (50.0, 5, "e"),
+        ]
+    )
+    # the update stayed in its ORIGINAL batch; the insert landed in B3
+    assert _rows(wh.read_batch("silver", "t", "B1").select("uid")) == [
+        (1,),
+        (2,),
+    ]
+    assert _rows(wh.read_batch("silver", "t", "B3").select("uid")) == [(5,)]
+
+
+def test_merge_upsert_untouched_partition_keeps_files(spark, wh):
+    _merge_fixture(spark, wh)
+    part_dir = os.path.join(wh.path("silver", "t"), f"{BATCH_COL}=B2")
+    before = sorted(os.listdir(part_dir))
+    src = spark.createDataFrame(
+        [(1, "a2", 11.0)], "uid int, v string, score double"
+    )
+    res = wh.merge_upsert("silver", "t", src, "uid", "B3")
+    assert res == {"updated": 1, "inserted": 0, "deleted": 0}
+    assert sorted(os.listdir(part_dir)) == before  # B2 never rewritten
+
+
+def test_merge_upsert_replay_converges(spark, wh):
+    _merge_fixture(spark, wh)
+    src = spark.createDataFrame(
+        [(2, "b2", 21.0, False), (5, "e", 50.0, False), (3, None, None, True)],
+        "uid int, v string, score double, is_deleted boolean",
+    )
+    wh.merge_upsert("silver", "t", src, "uid", "B3", delete_col="is_deleted")
+    state1 = _rows(wh.read_table("silver", "t"))
+    res2 = wh.merge_upsert(
+        "silver", "t", src, "uid", "B3", delete_col="is_deleted"
+    )
+    # replay: the former insert is now a (no-op) update, delete is gone
+    assert res2 == {"updated": 2, "inserted": 0, "deleted": 0}
+    assert _rows(wh.read_table("silver", "t")) == state1
+
+
+def test_merge_upsert_delete_empties_whole_partition(spark, wh):
+    _merge_fixture(spark, wh)
+    src = spark.createDataFrame(
+        [(3, True), (4, True)], "uid int, is_deleted boolean"
+    ).selectExpr(
+        "uid", "CAST(NULL AS STRING) v", "CAST(NULL AS DOUBLE) score",
+        "is_deleted",
+    )
+    res = wh.merge_upsert(
+        "silver", "t", src, "uid", "B9", delete_col="is_deleted"
+    )
+    assert res == {"updated": 0, "inserted": 0, "deleted": 2}
+    assert not os.path.isdir(
+        os.path.join(wh.path("silver", "t"), f"{BATCH_COL}=B2")
+    )
+    assert _rows(wh.read_table("silver", "t").select("uid")) == [(1,), (2,)]
