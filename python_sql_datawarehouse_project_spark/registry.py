@@ -30,6 +30,7 @@ from .operators import (
     profiling,
     quality,
     rangejoin,
+    reconcile,
     recursive,
     similarity,
     skew,
@@ -107,6 +108,7 @@ _MODULES = (
     # shapes): tail now, window next round
     embquality,  # emb1 centroid outliers — same tail rule
     embcompress,  # emb3/emb4 round-4 compression audits — tail rule
+    reconcile,  # q40/q41 full-outer diff + set ops — tail rule
     windows_extra,  # w6/w7 navigation + RANGE frame — same tail rule
     udtfs,  # tx13 LATERAL Python UDTF — same tail rule
     stream_tws,  # transformWithState twin — registers only where protobuf exists

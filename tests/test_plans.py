@@ -1100,3 +1100,31 @@ def test_emb3_emb4_single_scan_no_python_no_vector_shuffle(spark, sf_dir):
         assert "embedding" not in exchanges[0] and " v#" not in exchanges[0], (
             exchanges[0]
         )
+
+
+def test_q40_full_outer_rides_aggregate_partitioning(spark, sf_dir):
+    # Both snapshots aggregate to customer grain first; the FULL OUTER
+    # join must reuse that partitioning — exactly the two aggregate
+    # exchanges, none for the join itself.
+    import re
+
+    from python_sql_datawarehouse_project_spark.operators import reconcile
+
+    p = plan_of(reconcile.q40_snapshot_diff(spark, sf_dir))
+    assert "FullOuter" in p, p
+    assert len(re.findall(r"^\(\d+\) Exchange$", p, re.M)) == 2, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_q41_set_ops_shuffle_keys_only(spark, sf_dir):
+    # INTERSECT/EXCEPT compile to distinct + semi/anti joins over the
+    # bare key column — every exchange row is (o_custkey) only.
+    import re
+
+    from python_sql_datawarehouse_project_spark.operators import reconcile
+
+    p = plan_of(reconcile.q41_set_ops(spark, sf_dir))
+    assert "LeftSemi" in p and "LeftAnti" in p, p
+    for ex in re.findall(r"^\(\d+\) Exchange\n(?:.*\n)*?\n", p, re.M):
+        m = re.search(r"Input \[(\d+)\]", ex)
+        assert m and int(m.group(1)) == 1, ex
