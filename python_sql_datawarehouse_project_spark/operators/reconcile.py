@@ -14,6 +14,11 @@ scripts/load_to_bronze.py logs counts, never a diff).
   q41_set_ops         customer-key set algebra across the same two
                       years: INTERSECT (both) and EXCEPT (each side
                       only), tagged and unioned into one frame
+  q42_table_fingerprint  order-independent per-group content checksums
+                      (count, BIT_XOR, modular sum, key range) — the
+                      merkle-style anti-entropy primitive that scopes
+                      q40's full diff to groups whose fingerprints
+                      disagree
 
 Cross-engine determinism: revenue through DECIMAL(18,4) sums cast to
 DOUBLE at publish (identical operand trees), so the changed/unchanged
@@ -39,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions import hashing as H
 from ..star import SALES_DECIMAL
 
 SNAP_A = ("1996-01-01", "1997-01-01")
@@ -158,12 +164,79 @@ FROM ({_sql_keys(*SNAP_B)} EXCEPT {_sql_keys(*SNAP_A)})
 """
 
 
+# -- q42: order-independent table fingerprint -------------------------
+FP_MOD = 1 << 32
+
+
+def q42_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source content fingerprint of the documents table: row
+    count, BIT_XOR and mod-2^32 SUM of a canonical row hash, plus the
+    key range.  Two tables (a replica, a migrated copy, yesterday's
+    snapshot) compare by exchanging |groups| fingerprint rows instead
+    of data — the merkle-style anti-entropy check that makes q40's
+    full diff necessary only for groups whose fingerprints differ.
+
+    All three accumulators are commutative/associative (XOR, modular
+    sum, MIN/MAX), so the result is partitioning- and order-
+    independent and map-side combinable — one scan, one |groups|-row
+    exchange.  The row hash covers the full row (text via md5, not
+    carried).  XOR misses a row present TWICE on one side with another
+    row missing; the modular sum catches that, and vice versa.  The
+    mod-2^32 slice keeps the int64 sum exact to 2^31 rows per group;
+    beyond that (possible at 100 TB) add one intermediate mod level.
+
+    Oracle note: Spark's SUM(long) wraps silently where DuckDB
+    promotes to HUGEINT — the r1/r2 oracle-typing bug class — so the
+    hash is pre-sliced to 32 bits and the oracle casts its sum back
+    to BIGINT."""
+    docs = load_table(spark, sf_dir, "documents")
+    row_hash = H.md5_long(
+        F.concat_ws(
+            "|",
+            F.col("doc_id").cast("string"),
+            F.col("lang"),
+            F.col("n_chars").cast("string"),
+            F.md5(F.col("text")),
+        )
+    )
+    h32 = F.pmod(row_hash, F.lit(FP_MOD))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(h32).alias("xor_fp"),
+        F.pmod(F.sum(h32), F.lit(FP_MOD)).alias("sum_fp"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+_FP_HASH_SQL = "mod({h}, {m})".format(
+    h=H.sql_md5_long(
+        "concat_ws('|', CAST(doc_id AS VARCHAR), lang, "
+        "CAST(n_chars AS VARCHAR), md5(text))"
+    ),
+    m=FP_MOD,
+)
+
+Q42_ORACLE = f"""
+SELECT source,
+       COUNT(*) AS n_rows,
+       CAST(bit_xor({_FP_HASH_SQL}) AS BIGINT) AS xor_fp,
+       CAST(mod(SUM({_FP_HASH_SQL}), {FP_MOD}) AS BIGINT) AS sum_fp,
+       MIN(doc_id) AS min_id,
+       MAX(doc_id) AS max_id
+FROM documents
+GROUP BY source
+"""
+
+
 QUERIES = {
     "q40_snapshot_diff": q40_snapshot_diff,
     "q41_set_ops": q41_set_ops,
+    "q42_table_fingerprint": q42_table_fingerprint,
 }
 
 ORACLES = {
     "q40_snapshot_diff": Q40_ORACLE,
     "q41_set_ops": Q41_ORACLE,
+    "q42_table_fingerprint": Q42_ORACLE,
 }

@@ -1128,3 +1128,17 @@ def test_q41_set_ops_shuffle_keys_only(spark, sf_dir):
     for ex in re.findall(r"^\(\d+\) Exchange\n(?:.*\n)*?\n", p, re.M):
         m = re.search(r"Input \[(\d+)\]", ex)
         assert m and int(m.group(1)) == 1, ex
+
+
+def test_q42_fingerprint_one_scan_text_never_shuffles(spark, sf_dir):
+    # The fingerprint is one documents scan; the single exchange moves
+    # per-source aggregate partials — never the text payload.
+    import re
+
+    from python_sql_datawarehouse_project_spark.operators import reconcile
+
+    p = plan_of(reconcile.q42_table_fingerprint(spark, sf_dir))
+    assert p.count("documents.parquet") == 1, p
+    exchanges = re.findall(r"^\(\d+\) Exchange\n(?:.*\n)*?\n", p, re.M)
+    assert len(exchanges) == 1, p
+    assert "text" not in exchanges[0], exchanges[0]
