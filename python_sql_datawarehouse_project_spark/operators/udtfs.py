@@ -27,6 +27,7 @@ from __future__ import annotations
 import hashlib
 import re
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
@@ -78,6 +79,56 @@ def tx13_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"tx13_chunk_udtf": tx13_chunk_udtf}
+def ux1_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROUPED_AGG pandas UDF seam — the third and last Python
+    extension surface (§2.10) after mapInPandas (mm2), applyInPandas
+    (dd5) and the LATERAL UDTF (tx13): a user-defined AGGREGATE
+    invocable inside a normal groupBy, arrow-batched per group.
+
+    The UDAF computes the per-language character total over int64
+    (numpy integer sum — exact, order-free) and is hash-matched
+    against plain SUM: the gate proves a user's custom aggregate
+    slots into the JVM aggregation pipeline and reproduces the
+    built-in result bit for bit.  Scale: GROUPED_AGG ships each
+    group's column to ONE python worker — fine for bounded groups
+    (per-language stats); an unbounded-group custom aggregate
+    belongs in applyInPandas with pre-aggregation instead."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    # Spark refuses to mix GROUPED_AGG pandas UDFs with built-in
+    # aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the
+    # row count is a second pandas UDAF rather than F.count.
+    @pandas_udf("long")
+    def char_sum(chars: pd.Series) -> int:
+        return int(chars.sum())
+
+    @pandas_udf("long")
+    def row_count(chars: pd.Series) -> int:
+        return int(len(chars))
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        char_sum(F.col("n_chars")).alias("total_chars"),
+        row_count(F.col("n_chars")).alias("n_docs"),
+    )
+
+
+UX1_ORACLE = """
+SELECT lang,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY lang
+"""
+
+
+QUERIES = {
+    "tx13_chunk_udtf": tx13_chunk_udtf,
+    "ux1_pandas_udaf": ux1_pandas_udaf,
+}
 # tx8's oracle is column-compatible by construction — the whole point.
-ORACLES = {"tx13_chunk_udtf": TX8_ORACLE}
+ORACLES = {
+    "tx13_chunk_udtf": TX8_ORACLE,
+    "ux1_pandas_udaf": UX1_ORACLE,
+}
