@@ -75,6 +75,37 @@ class Warehouse:
             return True
         return self.read_batch(layer, name, batch_id).isEmpty()
 
+    def list_batches(self, layer: str, name: str) -> list[str]:
+        """Batch ids present on disk, sorted — the table's load
+        history, read from the partition directory names (no file
+        footers touched)."""
+        base = self.path(layer, name)
+        if not os.path.isdir(base):
+            return []
+        prefix = f"{BATCH_COL}="
+        return sorted(
+            d[len(prefix):]
+            for d in os.listdir(base)
+            if d.startswith(prefix)
+        )
+
+    def read_as_of(self, layer: str, name: str, batch_id: str) -> DataFrame:
+        """Time travel: the table as of load `batch_id` — every batch
+        partition with id <= batch_id (lexical order; the pipeline's
+        batch ids are zero-padded/date-stamped so lexical = load
+        order).  The filter is on the PARTITION column, so Spark
+        prunes the newer partitions at planning time and never lists
+        their files into the scan (pinned in test_storage_maintenance)
+        — as-of reads cost what they scan, not what the table holds.
+
+        Semantics note: write_batch's dynamic overwrite REPLACES a
+        re-run batch in place, so as-of sees each batch's latest
+        content — this is "state after loads <= B", the idempotent-
+        pipeline notion of time travel, not an MVCC snapshot log."""
+        return self.read_table(layer, name).filter(
+            F.col(BATCH_COL) <= batch_id
+        )
+
     # -- storage maintenance (beyond-reference warehouse operations) --
 
     def read_table_evolved(self, layer: str, name: str) -> DataFrame:

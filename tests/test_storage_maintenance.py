@@ -241,3 +241,59 @@ def test_merge_upsert_delete_empties_whole_partition(spark, wh):
         os.path.join(wh.path("silver", "t"), f"{BATCH_COL}=B2")
     )
     assert _rows(wh.read_table("silver", "t").select("uid")) == [(1,), (2,)]
+
+
+# -- time travel (read_as_of / list_batches) --------------------------
+
+
+def test_read_as_of_sees_only_loads_up_to_batch(spark, wh):
+    _merge_fixture(spark, wh)  # B1: uids 1,2  B2: uids 3,4
+    wh.write_batch(
+        spark.createDataFrame(
+            [(5, "e", 50.0)], "uid int, v string, score double"
+        ),
+        "silver",
+        "t",
+        "B3",
+    )
+    assert wh.list_batches("silver", "t") == ["B1", "B2", "B3"]
+    assert _rows(wh.read_as_of("silver", "t", "B2").select("uid")) == [
+        (1,),
+        (2,),
+        (3,),
+        (4,),
+    ]
+    assert _rows(wh.read_as_of("silver", "t", "B1").select("uid")) == [
+        (1,),
+        (2,),
+    ]
+
+
+def test_read_as_of_prunes_newer_partitions_at_plan_time(spark, wh):
+    _merge_fixture(spark, wh)
+    df = wh.read_as_of("silver", "t", "B1")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    # partition filter, not a data filter: B2's files never enter the scan
+    assert "B2" not in p
+    # inputFiles() reports the pre-pruning listing; the files ACTUALLY
+    # read come from input_file_name() at execution time.
+    read = {
+        r[0] for r in df.select(F.input_file_name()).distinct().collect()
+    }
+    assert read and all("B2" not in f for f in read), read
+
+
+def test_read_as_of_reflects_rerun_batch_content(spark, wh):
+    _merge_fixture(spark, wh)
+    # re-run B1 with corrected content: as-of B1 sees the REPLACEMENT
+    wh.write_batch(
+        spark.createDataFrame(
+            [(1, "a-fixed", 11.0)], "uid int, v string, score double"
+        ),
+        "silver",
+        "t",
+        "B1",
+    )
+    assert _rows(wh.read_as_of("silver", "t", "B1")) == [
+        ("B1", 11.0, 1, "a-fixed")
+    ]
