@@ -77,3 +77,137 @@ def test_xlsx_column_index_roundtrip():
 
     for i in [0, 1, 25, 26, 27, 51, 52, 701, 702, 703, 16383]:
         assert _col_index(f"{letters(i)}1") == i
+
+
+# -- emb3/emb4 (operators/embcompress.py) -----------------------------
+# The int8 quantization error bound and the prefix-energy range are
+# MATHEMATICAL invariants of the formulas, so hypothesis gets to try
+# arbitrary vectors, not just the embeddings table's.
+
+
+def _int8_sse(v: list[float]) -> float:
+    from python_sql_datawarehouse_project_spark.operators.embcompress import (
+        EMB3_LEVELS,
+    )
+
+    amax = max(abs(x) for x in v)
+    if amax == 0.0:
+        return 0.0
+    err = [
+        x - math.floor(x / amax * EMB3_LEVELS + 0.5) * amax / EMB3_LEVELS
+        for x in v
+    ]
+    s = 0.0
+    for e in err:
+        s += e * e
+    return s
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-10.0,
+            max_value=10.0,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=64,
+    )
+)
+def test_int8_quant_error_within_half_step_bound(v):
+    # Per-component reconstruction error is at most half a quantization
+    # step (amax/127/2 — floor(x+0.5) is round-to-nearest), so
+    # sse <= dim * (amax/254)^2.  This is the headroom claim the emb3
+    # docstring's fixed-point scaling relies on.
+    from python_sql_datawarehouse_project_spark.operators.embcompress import (
+        EMB3_LEVELS,
+    )
+
+    amax = max(abs(x) for x in v)
+    sse = _int8_sse(v)
+    bound = len(v) * (amax / (2 * EMB3_LEVELS)) ** 2
+    assert sse <= bound * (1 + 1e-12) + 1e-300
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-10.0,
+            max_value=10.0,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=64,
+    )
+)
+def test_int8_quant_sse_bitwise_matches_duckdb(v):
+    # The same single-argument transform evaluated by DuckDB must give
+    # the exact sequential-fold sse — the cross-engine identity emb3's
+    # oracle depends on, over arbitrary vectors.
+    from python_sql_datawarehouse_project_spark.operators.embcompress import (
+        EMB3_LEVELS,
+    )
+
+    if max(abs(x) for x in v) == 0.0:
+        return
+    # amax is computed IN-ENGINE from the same doubles, exactly like
+    # the emb3 oracle — injecting it as a repr'd literal would let
+    # DuckDB parse it as DECIMAL and re-round the arithmetic.
+    got = duckdb.connect().execute(
+        f"""
+        WITH s AS (
+            SELECT ?::DOUBLE[] AS v,
+                   list_max(list_transform(?::DOUBLE[], x -> abs(x))) AS amax
+        ),
+        e AS (
+            SELECT list_transform(
+                v,
+                x -> x - floor(x / amax * {EMB3_LEVELS!r} + 0.5)
+                         * amax / {EMB3_LEVELS!r}
+            ) AS err
+            FROM s
+        )
+        SELECT list_dot_product(err, err) FROM e
+        """,
+        [v, v],
+    ).fetchone()[0]
+    assert got == _int8_sse(v)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-10.0,
+            max_value=10.0,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=64,
+    ).filter(lambda v: any(x != 0.0 for x in v))
+)
+def test_matryoshka_retained_energy_in_unit_interval(v):
+    from python_sql_datawarehouse_project_spark.operators.embcompress import (
+        EMB4_PREFIX,
+    )
+
+    head = v[:EMB4_PREFIX]
+    full = 0.0
+    for x in v:
+        full += x * x
+    h = 0.0
+    for x in head:
+        h += x * x
+    if full == 0.0:
+        # subnormal components square to 0.0 — the gate's full > 0.0
+        # filter excludes exactly these rows
+        return
+    retained = h / full
+    assert 0.0 <= retained <= 1.0 + 1e-12
+    if len(v) <= EMB4_PREFIX:
+        assert retained == pytest.approx(1.0, abs=1e-9)
