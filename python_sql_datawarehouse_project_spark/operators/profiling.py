@@ -504,6 +504,56 @@ GROUP BY 1
 """
 
 
+# -- qa19: one-pass NDV / ANALYZE-style table stats -------------------
+QA19_NDV_COLS = (
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_returnflag",
+    "l_linestatus",
+)
+
+
+def qa19_ndv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style table statistics in ONE pass: exact distinct
+    cardinality for five lineitem columns plus row count and the
+    quantity range — the numbers a cost-based optimizer (and a human
+    sizing a join) needs per table.
+
+    Multiple COUNT(DISTINCT)s in one aggregate plan via Expand: Spark
+    replicates each input row once per distinct-column (x5 here) with
+    a grouping id, then ONE partial-aggregate pipeline computes every
+    cardinality — one scan, one shuffle of expanded partials, no
+    per-column job (plan-pinned: Expand present, lineitem scanned
+    once).  Exact NDV beats approx_count_distinct here because the
+    oracle must hash-match; the approx path's sketch is engine-
+    specific by construction.  At 100 TB the same shape holds —
+    Expand multiplies the MAP-side rows only; partial aggregation
+    collapses them before the exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [
+        F.countDistinct(c).alias(f"ndv_{c}") for c in QA19_NDV_COLS
+    ]
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *aggs,
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+_QA19_NDV_SQL = ",\n       ".join(
+    f"COUNT(DISTINCT {c}) AS ndv_{c}" for c in QA19_NDV_COLS
+)
+QA19_ORACLE = f"""
+SELECT COUNT(*) AS n_rows,
+       {_QA19_NDV_SQL},
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty
+FROM lineitem
+"""
+
+
 QUERIES = {
     "qa13_benford_digits": qa13_benford_digits,
     "tx12_commonness": tx12_commonness,
@@ -511,6 +561,7 @@ QUERIES = {
     "qa15_lsh_recall": qa15_lsh_recall,
     "qa16_mad_outliers": qa16_mad_outliers,
     "qa17_null_drift": qa17_null_drift,
+    "qa19_ndv_profile": qa19_ndv_profile,
 }
 ORACLES = {
     "qa13_benford_digits": _qa13_oracle(),
@@ -519,4 +570,5 @@ ORACLES = {
     "qa15_lsh_recall": _qa15_oracle(),
     "qa16_mad_outliers": _qa16_oracle(),
     "qa17_null_drift": QA17_ORACLE,
+    "qa19_ndv_profile": QA19_ORACLE,
 }

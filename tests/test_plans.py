@@ -1142,3 +1142,14 @@ def test_q42_fingerprint_one_scan_text_never_shuffles(spark, sf_dir):
     exchanges = re.findall(r"^\(\d+\) Exchange\n(?:.*\n)*?\n", p, re.M)
     assert len(exchanges) == 1, p
     assert "text" not in exchanges[0], exchanges[0]
+
+
+def test_qa19_multi_distinct_is_one_expand_scan(spark, sf_dir):
+    # Five COUNT(DISTINCT)s + COUNT + MIN/MAX must compile to ONE
+    # lineitem scan with an Expand — never a per-column job or join.
+    from python_sql_datawarehouse_project_spark.operators import profiling
+
+    p = plan_of(profiling.qa19_ndv_profile(spark, sf_dir))
+    assert p.count("lineitem.parquet") == 1, p
+    assert "Expand" in p, p
+    assert "Join" not in p, p
