@@ -432,6 +432,114 @@ WHERE pr >= {DS5_QUANTILE}
 """
 
 
+# -- ds8: sequence packing (concat-and-chunk manifest) ----------------
+DS8_BUDGET = 512  # tokens per training sequence
+DS8_BUCKET = 100  # doc_ids per prefix-sum bucket
+
+
+def ds8_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents concatenated in
+    doc_id order and sliced into DS8_BUDGET-token training sequences
+    — each doc is assigned to the sequence its FIRST token lands in,
+    and the output is the per-sequence packing manifest (doc count,
+    token sum, fill ratio, id range) a pretraining loader consumes.
+
+    The global running token sum does NOT use a single-partition
+    window (the w3 contract is dims only).  It is the distributed
+    two-phase prefix sum: (1) per-bucket cumulative sums, windowed by
+    a DETERMINISTIC contiguous bucket (floor(doc_id / DS8_BUCKET) —
+    range-partitioner sampling would not be reproducible), fully
+    parallel; (2) bucket totals prefix-summed in a window over
+    |buckets| rows — thousands at any corpus size — then broadcast
+    back.  Identical by construction to the oracle's
+    SUM() OVER (ORDER BY doc_id): integer token counts, integer
+    addition, DIV for the sequence id (no float division anywhere).
+
+    At 100 TB: phase 1 shuffles once on the bucket key; phase 2 moves
+    |buckets| longs; the manifest aggregate reuses the bucket
+    partitioning for its seq_id grouping only via one more compact
+    exchange.  Nothing exceeds int64: total corpus tokens < 2^63."""
+    from pyspark.sql import Window
+
+    from .text import _tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(_tokens(F.col("text"))).alias("nt")
+    )
+    docs = docs.withColumn(
+        "b", (F.col("doc_id") / DS8_BUCKET).cast("long")
+    )
+    w_in = (
+        Window.partitionBy("b")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = docs.withColumn("cum_in", F.sum("nt").over(w_in))
+    totals = docs.groupBy("b").agg(F.sum("nt").alias("btot"))
+    w_b = (
+        Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "b", F.coalesce(F.sum("btot").over(w_b), F.lit(0)).alias("off")
+    )
+    cum = local.join(F.broadcast(offsets), "b").select(
+        "doc_id",
+        "nt",
+        (F.col("cum_in") + F.col("off")).alias("cum"),
+    )
+    seq = cum.select(
+        "doc_id",
+        "nt",
+        F.expr(f"(cum - nt) DIV {DS8_BUDGET}").alias("seq_id"),
+    )
+    return (
+        seq.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .select(
+            "seq_id",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens").cast("double") / DS8_BUDGET).alias(
+                "fill_ratio"
+            ),
+            "first_doc",
+            "last_doc",
+        )
+    )
+
+
+def _ds8_oracle() -> str:
+    from .text import _sql_tokens
+
+    return f"""
+WITH t AS (
+    SELECT doc_id, len({_sql_tokens("text")}) AS nt FROM documents
+),
+c AS (
+    SELECT doc_id, nt,
+           SUM(nt) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum
+    FROM t
+)
+SELECT CAST((cum - nt) // {DS8_BUDGET} AS BIGINT) AS seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       CAST(CAST(SUM(nt) AS BIGINT) AS DOUBLE) / {DS8_BUDGET}
+           AS fill_ratio,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM c
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "ds1_training_mix": ds1_training_mix,
     "ds2_token_budget": ds2_token_budget,
@@ -439,6 +547,7 @@ QUERIES = {
     "ds4_stratified_sample": ds4_stratified_sample,
     "ds5_quality_quantile_filter": ds5_quality_quantile_filter,
     "ds6_clean_mix": ds6_clean_mix,
+    "ds8_sequence_packing": ds8_sequence_packing,
 }
 ORACLES = {
     "ds1_training_mix": DS1_ORACLE,
@@ -447,4 +556,5 @@ ORACLES = {
     "ds4_stratified_sample": DS4_ORACLE,
     "ds5_quality_quantile_filter": _ds5_oracle(),
     "ds6_clean_mix": _ds6_oracle(),
+    "ds8_sequence_packing": _ds8_oracle(),
 }

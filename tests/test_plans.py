@@ -1153,3 +1153,26 @@ def test_qa19_multi_distinct_is_one_expand_scan(spark, sf_dir):
     assert p.count("lineitem.parquet") == 1, p
     assert "Expand" in p, p
     assert "Join" not in p, p
+
+
+def test_ds8_prefix_sum_never_single_partitions_the_corpus(spark, sf_dir):
+    # The packing cumsum must be the two-phase form: per-bucket
+    # windows over a hash-partitioned exchange (parallel), with only
+    # the |buckets|-row offset table allowed through a SinglePartition
+    # exchange.  A global ORDER BY window over documents would show a
+    # rangepartitioning exchange on doc_id — the anti-pattern pinned
+    # away here.
+    import re
+
+    from python_sql_datawarehouse_project_spark.operators import mix
+
+    p = plan_of(mix.ds8_sequence_packing(spark, sf_dir))
+    assert "rangepartitioning(doc_id" not in p, p
+    singles = [
+        ex
+        for ex in re.findall(r"^\(\d+\) Exchange\n(?:.*\n)*?\n", p, re.M)
+        if "SinglePartition" in ex
+    ]
+    # only the bucket-totals offset frame may be single-partitioned
+    for ex in singles:
+        assert "btot" in ex or " b#" in ex, ex
