@@ -73,9 +73,13 @@ from .streaming import windows as stream_windows
 #      (stream_*, sk*, rj1, w4/w5, sim5, tx5) to fill the 50.
 # provenance.never_driver_green() recomputes the exact rotation for
 # round 5 once CORRECTNESS_r04 lands.  ROUND-5 NOTE: the round-4 tail
-# additions (q24-q31, tx15/tx16, emb2, stream_enrich_segments) have
-# no driver row yet — rotate them plus whatever r4's window failed to
-# green into the next _WINDOW_PRIORITY, oldest-never-checked first.
+# additions have no driver row yet — rotate them plus whatever r4's
+# window failed to green into the next _WINDOW_PRIORITY,
+# oldest-never-checked first.  The round-4 tail, in arrival order:
+# q24-q31, tx15/tx16, emb2, stream_enrich_segments (early round 4),
+# then the round-4 build's q32-q42, emb3/emb4,
+# stream_coldstart_purchases, ux1_pandas_udaf, qa19_ndv_profile,
+# ds8_sequence_packing (all 17 swept green at sf0.1 — COVERAGE.md).
 _MODULES = (
     windows,
     recursive,
