@@ -75,6 +75,58 @@ class Warehouse:
             return True
         return self.read_batch(layer, name, batch_id).isEmpty()
 
+    # -- multi-table atomic publish -----------------------------------
+
+    def _commits_dir(self) -> str:
+        return os.path.join(self.root, "_commits")
+
+    def commit_batch(self, batch_id: str, tables: list) -> None:
+        """Publish a batch across MANY tables atomically: after every
+        per-table write_batch succeeded, record one manifest file via
+        write-to-temp + os.replace (an atomic rename on POSIX).
+        Readers going through read_committed() see the batch in ALL
+        its tables or in NONE — the cross-table consistency the
+        medallion pipeline needs so a crash between the silver and
+        gold writes cannot expose a half-published load.
+
+        The manifest holds the (layer, name) list for auditability;
+        re-committing the same batch (a pipeline replay) just
+        replaces the manifest — idempotent like the writes."""
+        import json
+        import tempfile
+
+        os.makedirs(self._commits_dir(), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(
+            prefix=f".{batch_id}.", dir=self._commits_dir()
+        )
+        with os.fdopen(fd, "w") as f:
+            json.dump(
+                {"batch_id": batch_id, "tables": [list(t) for t in tables]},
+                f,
+            )
+        os.replace(tmp, os.path.join(self._commits_dir(), f"{batch_id}.json"))
+
+    def committed_batches(self) -> list[str]:
+        d = self._commits_dir()
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            f[: -len(".json")]
+            for f in os.listdir(d)
+            if f.endswith(".json") and not f.startswith(".")
+        )
+
+    def read_committed(self, layer: str, name: str) -> DataFrame:
+        """The table restricted to published batches.  The filter is
+        an IN on the PARTITION column, so unpublished batches prune at
+        plan time — their half-written files are never even listed
+        into the scan.  Commit manifests are per-warehouse (thousands
+        of ids, driver-side), not per-row state."""
+        committed = self.committed_batches()
+        return self.read_table(layer, name).filter(
+            F.col(BATCH_COL).isin(committed)
+        )
+
     def list_batches(self, layer: str, name: str) -> list[str]:
         """Batch ids present on disk, sorted — the table's load
         history, read from the partition directory names (no file

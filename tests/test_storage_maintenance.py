@@ -297,3 +297,50 @@ def test_read_as_of_reflects_rerun_batch_content(spark, wh):
     assert _rows(wh.read_as_of("silver", "t", "B1")) == [
         ("B1", 11.0, 1, "a-fixed")
     ]
+
+
+# -- atomic multi-table publish (commit_batch / read_committed) -------
+
+
+def test_uncommitted_batch_invisible_everywhere(spark, wh):
+    rows = spark.createDataFrame([(1, "a")], "uid int, v string")
+    wh.write_batch(rows, "silver", "t1", "B1")
+    wh.write_batch(rows, "gold", "t2", "B1")
+    wh.commit_batch("B1", [("silver", "t1"), ("gold", "t2")])
+    # B2: silver landed, "crash" before gold + commit
+    wh.write_batch(rows, "silver", "t1", "B2")
+    assert wh.committed_batches() == ["B1"]
+    assert _rows(
+        wh.read_committed("silver", "t1").select(BATCH_COL)
+    ) == [("B1",)]
+    # the raw read still sees the half-published load; committed
+    # reads are the consistency boundary
+    assert _rows(wh.read_table("silver", "t1").select(BATCH_COL)) == [
+        ("B1",),
+        ("B2",),
+    ]
+
+
+def test_commit_completes_publish_and_prunes_at_plan_time(spark, wh):
+    rows = spark.createDataFrame([(1, "a")], "uid int, v string")
+    wh.write_batch(rows, "silver", "t1", "B1")
+    wh.write_batch(rows, "silver", "t1", "B2")
+    wh.commit_batch("B1", [("silver", "t1")])
+    df = wh.read_committed("silver", "t1")
+    read = {
+        r[0] for r in df.select(F.input_file_name()).distinct().collect()
+    }
+    assert read and all("B2" not in f for f in read), read
+    wh.commit_batch("B2", [("silver", "t1")])
+    assert _rows(wh.read_committed("silver", "t1").select(BATCH_COL)) == [
+        ("B1",),
+        ("B2",),
+    ]
+
+
+def test_commit_replay_is_idempotent(spark, wh):
+    rows = spark.createDataFrame([(1, "a")], "uid int, v string")
+    wh.write_batch(rows, "silver", "t1", "B1")
+    wh.commit_batch("B1", [("silver", "t1")])
+    wh.commit_batch("B1", [("silver", "t1")])  # replay
+    assert wh.committed_batches() == ["B1"]
