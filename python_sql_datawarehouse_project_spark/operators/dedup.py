@@ -1001,6 +1001,88 @@ WHERE levenshtein(p.pfx_a, r.pfx) <= {DD9_MAX_DIST}
 """
 
 
+# -- dd12: triangle census of the near-dup graph ----------------------
+def dd12_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle/wedge census of the dd3 near-dup graph: edge
+    count, ordered-wedge count, triangle count and the transitivity
+    ratio (triangles per wedge) — the graph-quality dial that tells a
+    dedup pipeline whether its LSH bands are producing coherent
+    clusters (high transitivity: near-dup sets close into cliques) or
+    chains of accidental band collisions (low).
+
+    Ordered-edge formulation: with every edge stored once as
+    (a < b), each triangle a<b<c is counted exactly once as
+    e(a,b) ⋈ e(b,c) ⋈ e(a,c) and each wedge once as e(a,b) ⋈ e(b,c)
+    — no /3 or /2 corrections, so both engines count identically in
+    plain integers.  The pair frame is checkpointed once (it feeds
+    the edge count, the wedge join twice and the closing probe — the
+    _lsh_candidates shared-subplan rule again).
+
+    Scale: the wedge join shuffles (a, b) pairs on their shared
+    vertex; the closing probe is another id-only equi-join.  This is
+    the standard distributed triangle count; for skew (one hub vertex
+    fanning out) the production refinement is degree-ordering each
+    edge before the join — noted, not needed for near-dup graphs
+    whose components are bounded by dd7's cluster sizes."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        _lsh_candidates(_doc_sketches(docs))
+        .select("doc_a", "doc_b", _sig_agreement().alias("est"))
+        .filter(F.col("est") >= EST_T)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    wedges = e1.join(e2, F.col("b") == F.col("b2")).select("a", "b", "c")
+    closing = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("c")
+    )
+    triangles = wedges.join(closing, ["a", "c"], "left_semi")
+    n_edges = pairs.count()
+    n_wedges = wedges.count()
+    n_triangles = triangles.count()
+    row = spark.createDataFrame(
+        [(n_edges, n_wedges, n_triangles)],
+        "n_edges long, n_wedges long, n_triangles long",
+    )
+    return row.select(
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        (
+            F.col("n_triangles").cast("double")
+            / F.nullif(F.col("n_wedges").cast("double"), F.lit(0.0))
+        ).alias("transitivity"),
+    )
+
+
+DD12_ORACLE = f"""
+WITH {_sql_sketch_ctes()},
+pairs AS (
+    SELECT doc_a, doc_b FROM cand
+    WHERE CAST(len(list_filter(list_zip(sig_a, sig_b), p -> p[1] = p[2]))
+               AS DOUBLE) / {float(H.MINHASH_K)} >= {EST_T}
+),
+wedges AS (
+    SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+    FROM pairs e1 JOIN pairs e2 ON e1.doc_b = e2.doc_a
+),
+stats AS (
+    SELECT (SELECT COUNT(*) FROM pairs) AS n_edges,
+           (SELECT COUNT(*) FROM wedges) AS n_wedges,
+           (SELECT COUNT(*) FROM wedges w
+            WHERE EXISTS (SELECT 1 FROM pairs p
+                          WHERE p.doc_a = w.a AND p.doc_b = w.c))
+               AS n_triangles
+)
+SELECT n_edges, n_wedges, n_triangles,
+       CAST(n_triangles AS DOUBLE)
+           / NULLIF(CAST(n_wedges AS DOUBLE), 0.0) AS transitivity
+FROM stats
+"""
+
+
 # -- cs1: quality-ranked canonical selection over dd7 clusters --------
 def cs1_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup pipeline's FINAL verdict: within each near-dup
@@ -1076,6 +1158,7 @@ QUERIES = {
     "dd9_fuzzy_pairs": dd9_fuzzy_pairs,
     "dd10_sorted_neighborhood": dd10_sorted_neighborhood,
     "cs1_canonical_selection": cs1_canonical_selection,
+    "dd12_triangle_census": dd12_triangle_census,
 }
 ORACLES = {
     "dd1_exact_dedup": DD1_ORACLE,
@@ -1089,4 +1172,5 @@ ORACLES = {
     "dd9_fuzzy_pairs": DD9_ORACLE,
     "dd10_sorted_neighborhood": DD10_ORACLE,
     "cs1_canonical_selection": CS1_ORACLE,
+    "dd12_triangle_census": DD12_ORACLE,
 }
