@@ -311,15 +311,107 @@ WHERE e.vec_id <> q.query_id
 """
 
 
+# -- sim7: self-kNN graph over LSH candidates -------------------------
+SIM7_K = 3
+
+
+def sim7_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every vector's top-SIM7_K nearest CANDIDATE neighbors by exact
+    cosine — the kNN graph that seeds clustering, manifold layouts
+    and graph-based ANN serving.  Candidates come from dd6's banded
+    hyperplane LSH (sublinear; no O(n^2) stage), symmetrized so both
+    endpoints of a candidate pair get the neighbor; the exact
+    sequential-fold cosine then ranks within each source vector.
+
+    Approximation contract, stated not hidden: vectors whose true
+    neighbors share no LSH band are missing those edges (sim6's
+    recall scoreboard quantifies the same banding); vectors with
+    fewer than K candidates emit fewer than K rows.  Ranking ties
+    break by neighbor id — a total order on both engines since the
+    fold cosine is bitwise identical.
+
+    Scale: band-key equi-join for candidates (id-only exchange), one
+    hash join per side to re-attach vectors, rank window partitioned
+    by source — per-vector state is its candidate list, never the
+    corpus."""
+    from .dedup import _load_normalized, _lsh_band_candidates
+
+    n = _load_normalized(spark, sf_dir).localCheckpoint(eager=True)
+    cand = _lsh_band_candidates(n)
+    sym = cand.unionByName(
+        cand.select(
+            F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b")
+        )
+    ).select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+    a = n.select(F.col("vec_id").alias("src"), F.col("vn").alias("va"))
+    b = n.select(F.col("vec_id").alias("dst"), F.col("vn").alias("vb"))
+    scored = (
+        sym.join(a, "src")
+        .join(b, "dst")
+        .select("src", "dst", H.dot_fold(F.col("va"), F.col("vb")).alias("cosine"))
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.desc("cosine"), F.asc("dst")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SIM7_K)
+        .select("src", "dst", "cosine", "rank")
+    )
+
+
+def _sim7_oracle() -> str:
+    from .dedup import DD6_BAND_BITS, DD6_BANDS, _SQL_NORMALIZED
+
+    mask = (1 << DD6_BAND_BITS) - 1
+    return f"""
+WITH {_SQL_NORMALIZED},
+eb AS (
+    SELECT vec_id, vn, {H.sql_rp_bucket('vn')} AS bucket FROM normalized
+),
+bands AS (
+    SELECT vec_id,
+           unnest(list_transform(range(0, {DD6_BANDS}), i ->
+               ((bucket >> (CAST(i AS INT) * {DD6_BAND_BITS})) & {mask})
+               + (i << {DD6_BAND_BITS}))) AS band_key
+    FROM eb
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+    FROM bands a JOIN bands c
+      ON a.band_key = c.band_key AND a.vec_id < c.vec_id
+),
+sym AS (
+    SELECT vec_a AS src, vec_b AS dst FROM cand
+    UNION ALL
+    SELECT vec_b AS src, vec_a AS dst FROM cand
+),
+scored AS (
+    SELECT s.src, s.dst, {H.sql_dot('a.vn', 'b.vn')} AS cosine
+    FROM sym s
+    JOIN normalized a ON s.src = a.vec_id
+    JOIN normalized b ON s.dst = b.vec_id
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rank
+    FROM scored
+)
+SELECT src, dst, cosine, rank FROM ranked WHERE rank <= {SIM7_K}
+"""
+
+
 QUERIES = {
     "sim1_topk_bruteforce": sim1_topk_bruteforce,
     "sim5_radius_search": sim5_radius_search,
     "sim2_lsh_topk": sim2_lsh_topk,
     "sim3_ivf_topk": sim3_ivf_topk,
+    "sim7_knn_graph": sim7_knn_graph,
 }
 ORACLES = {
     "sim1_topk_bruteforce": SIM1_ORACLE,
     "sim5_radius_search": SIM5_ORACLE,
     "sim2_lsh_topk": SIM2_ORACLE,
     "sim3_ivf_topk": SIM3_ORACLE,
+    "sim7_knn_graph": _sim7_oracle(),
 }

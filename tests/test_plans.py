@@ -1176,3 +1176,17 @@ def test_ds8_prefix_sum_never_single_partitions_the_corpus(spark, sf_dir):
     # only the bucket-totals offset frame may be single-partitioned
     for ex in singles:
         assert "btot" in ex or " b#" in ex, ex
+
+
+def test_sim7_knn_candidates_bucketed_not_quadratic(spark, sf_dir):
+    # The kNN graph must inherit dd6's sublinear shape: band-key
+    # equi-join candidates, no cartesian/nested-loop, no blocked-BLAS
+    # stage, and the rank window partitioned by source vector.
+    from python_sql_datawarehouse_project_spark.operators import similarity
+
+    p = plan_of(similarity.sim7_knn_graph(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "FlatMapGroupsInPandas" not in p
+    assert "band_key" in p
+    assert "Window" in p
