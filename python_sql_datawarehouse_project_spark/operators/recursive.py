@@ -1,9 +1,12 @@
 """Recursive delayed-orders chain (reference materialized_view.sql:127-149,
 exploratory_data_analysis.sql:148-169 — the WITH RECURSIVE query).
 
-Spark SQL has no recursive CTE, so the fixpoint is a driver-side loop
-of join + filter + unionByName over a bounded number of levels
-(SURVEY.md §4.2).  Semantics mirror Postgres/DuckDB UNION ALL
+q9 computes the fixpoint as a driver-side loop of join + filter +
+unionByName over a bounded number of levels (SURVEY.md §4.2) — the
+formulation that controls per-level persistence, bucketed scans and
+checkpoint cadence explicitly.  Spark 4 ALSO executes WITH RECURSIVE
+natively; q43_recursive_sql below runs the same query as pasted SQL
+and is hash-matched against the same oracle.  Semantics mirror Postgres/DuckDB UNION ALL
 recursion exactly: each iteration joins the *previous level's* rows
 ("working table") against the full order set, so the same order can
 appear at several levels via different chains.
@@ -170,5 +173,68 @@ FROM delayed_orders
 """
 )
 
-QUERIES = {"q9_delayed_orders_chain": q9_delayed_orders_chain}
-ORACLES = {"q9_delayed_orders_chain": Q9_ORACLE}
+_RECURSIVE_SQL_BODY = f"""
+WITH RECURSIVE order_shipments AS (
+    SELECT
+        o_orderkey AS order_number,
+        o_custkey  AS customer_key,
+        CAST(o_orderdate AS DATE) AS order_date,
+        CAST(o_orderdate AS DATE) + 30 AS due_date,
+        MAX(CAST(l_shipdate AS DATE)) AS shipping_date
+    FROM sg_q43_orders
+    JOIN sg_q43_lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1, 2, 3, 4
+),
+delayed_orders AS (
+    SELECT order_number, customer_key, shipping_date, due_date, 1 AS level
+    FROM order_shipments
+    WHERE shipping_date > due_date
+    UNION ALL
+    SELECT os.order_number, os.customer_key, os.shipping_date, os.due_date,
+           d.level + 1 AS level
+    FROM order_shipments os
+    JOIN delayed_orders d
+      ON os.customer_key = d.customer_key
+     AND os.order_date > d.shipping_date
+    WHERE d.level < {MAX_LEVEL}
+)
+SELECT order_number, customer_key, shipping_date, due_date, level
+FROM delayed_orders
+"""
+
+
+def q43_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's WITH RECURSIVE query run NATIVELY: Spark 4
+    executes recursive CTEs (UNION ALL recursion, working table =
+    previous iteration — the same Postgres/DuckDB semantics the
+    reference's materialized_view.sql:127-149 assumes), so the
+    delayed-orders chain also runs as PASTED SQL, not only as q9's
+    driver-side loop.  Hash-matched against q9's own oracle — and
+    thereby against q9 itself — proving the two formulations are the
+    same query.
+
+    q9 remains the production path: the loop controls per-level
+    persistence, bucketed scans and checkpoint cadence explicitly,
+    where the native operator manages its own working-table state.
+    This gate pins the SQL SURFACE (an analyst can paste the
+    reference's query verbatim modulo table names) — the strongest
+    §2.10 parity statement available."""
+    from ..catalog import load_table
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "sg_q43_orders"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "sg_q43_lineitem"
+    )
+    return spark.sql(_RECURSIVE_SQL_BODY)
+
+
+QUERIES = {
+    "q9_delayed_orders_chain": q9_delayed_orders_chain,
+    "q43_recursive_sql": q43_recursive_sql,
+}
+ORACLES = {
+    "q9_delayed_orders_chain": Q9_ORACLE,
+    "q43_recursive_sql": Q9_ORACLE,
+}
