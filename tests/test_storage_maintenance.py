@@ -344,3 +344,79 @@ def test_commit_replay_is_idempotent(spark, wh):
     wh.commit_batch("B1", [("silver", "t1")])
     wh.commit_batch("B1", [("silver", "t1")])  # replay
     assert wh.committed_batches() == ["B1"]
+
+
+# -- streaming MERGE maintenance (CDC feed -> foreachBatch -> upsert) --
+
+
+def _cdc_schema():
+    return "uid int, v string, score double, is_deleted boolean"
+
+
+def test_streaming_merge_equals_sequential_batch_merges(spark, wh, tmp_path):
+    import os
+    import time
+
+    from python_sql_datawarehouse_project_spark.streaming.merge_maintenance import (
+        StreamingMergeMaintenance,
+    )
+
+    _merge_fixture(spark, wh)  # B1: 1,2  B2: 3,4
+    batches = [
+        [(2, "b2", 21.0, False), (5, "e", 50.0, False)],
+        [(3, None, None, True), (5, "e2", 51.0, False), (6, "f", 60.0, False)],
+    ]
+    stage = tmp_path / "cdc"
+    stage.mkdir()
+    for i, rows in enumerate(batches):
+        d = tmp_path / f"b{i}"
+        spark.createDataFrame(rows, _cdc_schema()).coalesce(1).write.parquet(
+            str(d)
+        )
+        [f] = [x for x in os.listdir(d) if x.endswith(".parquet")]
+        dst = stage / f"batch{i}.parquet"
+        os.rename(d / f, dst)
+        t = time.time() - 300 + i * 10
+        os.utime(dst, (t, t))
+
+    handler = StreamingMergeMaintenance(
+        wh, "silver", "t", "uid", delete_col="is_deleted"
+    )
+    got = handler.run_available_now(spark, str(stage), _cdc_schema())
+
+    # parallel warehouse taken through the same merges via the batch API
+    wh2 = Warehouse(spark, str(tmp_path / "wh2"))
+    _merge_fixture(spark, wh2)
+    for i, rows in enumerate(batches):
+        wh2.merge_upsert(
+            "silver",
+            "t",
+            spark.createDataFrame(rows, _cdc_schema()),
+            "uid",
+            f"M{i:06d}",
+            delete_col="is_deleted",
+        )
+    assert _rows(got.drop(BATCH_COL)) == _rows(
+        wh2.read_table("silver", "t").drop(BATCH_COL)
+    )
+    # the drained state: 1,2(updated),4,5(updated twice),6; 3 deleted
+    assert _rows(got.select("uid")) == [(1,), (2,), (4,), (5,), (6,)]
+
+
+def test_streaming_merge_last_epoch_replay_converges(spark, wh):
+    from python_sql_datawarehouse_project_spark.streaming.merge_maintenance import (
+        StreamingMergeMaintenance,
+    )
+
+    _merge_fixture(spark, wh)
+    handler = StreamingMergeMaintenance(
+        wh, "silver", "t", "uid", delete_col="is_deleted"
+    )
+    b0 = spark.createDataFrame(
+        [(2, "b2", 21.0, False), (5, "e", 50.0, False), (3, None, None, True)],
+        _cdc_schema(),
+    )
+    handler.process_batch(b0, 0)
+    once = _rows(wh.read_table("silver", "t"))
+    handler.process_batch(b0, 0)  # foreachBatch at-least-once replay
+    assert _rows(wh.read_table("silver", "t")) == once
