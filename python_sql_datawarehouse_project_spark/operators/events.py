@@ -848,6 +848,122 @@ WHERE ABS(CAST(d.n_events AS DOUBLE) - s.mean_daily)
 """
 
 
+# -- ev16: cumulative distinct users to date --------------------------
+def ev16_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users seen up to and including each day — the
+    "registered/active-to-date" growth curve.
+
+    The naive formulation (COUNT(DISTINCT user) OVER (ORDER BY day))
+    holds per-day distinct state O(days x users); the decorrelated
+    form is exact and scan-shaped: each user's FIRST-SEEN day (one
+    hash aggregate), daily first-seen counts (a second, tiny
+    aggregate), then a running sum over |days| rows — the only window
+    runs over days, never events or users.  This is the standard
+    distinct-to-date decorrelation every event warehouse needs.
+
+    The day spine comes from the EVENT days present (days with no
+    events carry the prior cumulative value only in the gap-filled
+    ev11 variant; here absent days are absent on both engines)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("first_day")
+    )
+    new_per_day = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    days = (
+        ev.select(F.date_trunc("day", F.col("ts")).alias("day"))
+        .distinct()
+    )
+    per_day = days.join(new_per_day, "day", "left").select(
+        "day", F.coalesce(F.col("new_users"), F.lit(0)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "day",
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(w).cast("long").alias("users_to_date"),
+    )
+
+
+EV16_ORACLE = """
+WITH first_seen AS (
+    SELECT user_id, DATE_TRUNC('day', MIN(ts)) AS first_day
+    FROM events GROUP BY user_id
+),
+new_per_day AS (
+    SELECT first_day AS day, COUNT(*) AS new_users
+    FROM first_seen GROUP BY 1
+),
+days AS (SELECT DISTINCT DATE_TRUNC('day', ts) AS day FROM events)
+SELECT d.day,
+       CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users,
+       CAST(SUM(COALESCE(n.new_users, 0)) OVER (
+           ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING
+           AND CURRENT ROW) AS BIGINT) AS users_to_date
+FROM days d LEFT JOIN new_per_day n ON d.day = n.day
+"""
+
+
+# -- ev17: equi-width value histogram ---------------------------------
+EV17_BINS = 20
+
+
+def ev17_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of events.value against DATA-DERIVED
+    bounds: one pass computes min/max (two pushed-down column stats,
+    broadcast as a 1-row frame), a second bins every event —
+    bin = floor((v - min) / width), max clamped into the last bin.
+
+    Exactness: width is one double division of two exact doubles, the
+    bin expression is the identical parse tree on both engines, and
+    the clamp (LEAST with bins-1) pins the v = max edge.  The
+    histogram aggregate is map-side combinable: the exchange carries
+    at most EV17_BINS partial rows per task."""
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("vmin"))
+                / ((F.col("vmax") - F.col("vmin")) / F.lit(float(EV17_BINS)))
+            ),
+            F.lit(EV17_BINS - 1),
+        ).alias("bin"),
+        "value",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").alias("bin_min"),
+            F.max("value").alias("bin_max"),
+        )
+        .orderBy("bin")
+    )
+
+
+EV17_ORACLE = f"""
+WITH bounds AS (
+    SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM events
+)
+SELECT LEAST(CAST(floor((value - vmin)
+                        / ((vmax - vmin) / {float(EV17_BINS)!r}))
+                  AS BIGINT),
+             {EV17_BINS - 1}) AS bin,
+       COUNT(*) AS n_events,
+       MIN(value) AS bin_min,
+       MAX(value) AS bin_max
+FROM events, bounds
+GROUP BY 1
+ORDER BY bin
+"""
+
+
 QUERIES = {
     "ev8_rolling_7day": ev8_rolling_7day,
     "ev1_tumbling_hourly": ev1_tumbling_hourly,
@@ -864,6 +980,8 @@ QUERIES = {
     "ev13_props_variant": ev13_props_variant,
     "ev14_mode_event_type": ev14_mode_event_type,
     "ev15_daily_anomaly": ev15_daily_anomaly,
+    "ev16_cumulative_users": ev16_cumulative_users,
+    "ev17_value_histogram": ev17_value_histogram,
 }
 ORACLES = {
     "ev1_tumbling_hourly": EV1_ORACLE,
@@ -881,4 +999,6 @@ ORACLES = {
     "ev13_props_variant": EV13_ORACLE,
     "ev14_mode_event_type": EV14_ORACLE,
     "ev15_daily_anomaly": EV15_ORACLE,
+    "ev16_cumulative_users": EV16_ORACLE,
+    "ev17_value_histogram": EV17_ORACLE,
 }

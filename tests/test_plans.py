@@ -1190,3 +1190,18 @@ def test_sim7_knn_candidates_bucketed_not_quadratic(spark, sf_dir):
     assert "FlatMapGroupsInPandas" not in p
     assert "band_key" in p
     assert "Window" in p
+
+
+def test_ev16_window_runs_over_days_not_events(spark, sf_dir):
+    # The distinct-to-date decorrelation: the only window is the
+    # running sum over the DAY-grain frame — no per-event or per-user
+    # window state, and no COUNT(DISTINCT) over a window.
+    import re
+
+    from python_sql_datawarehouse_project_spark.operators import events
+
+    p = plan_of(events.ev16_cumulative_users(spark, sf_dir))
+    win = re.search(r"^\(\d+\) Window\n(?:.*\n)*?\n", p, re.M)
+    assert win, p
+    assert "user_id" not in win.group(0), win.group(0)
+    assert "distinct" not in win.group(0).lower(), win.group(0)
