@@ -490,6 +490,103 @@ ORDER BY s_name
 """
 
 
+# -- q44: market-basket part co-occurrence ----------------------------
+Q44_MIN_SUPPORT = 2
+
+
+def q44_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part pairs co-ordered in the same order, with support and
+    LIFT against independence — the association-rule primer every
+    retail warehouse runs (and the basket twin of tx9's bigram lift).
+
+    Shape discipline: the basket self-join is an equi-join on the
+    ORDER key, so pair explosion is bounded by basket size squared
+    (~6 pairs for a 4-line order), never |parts|^2; baskets first
+    dedupe to (order, part) grain so a part twice in one order counts
+    once.  Part frequencies and the 1-row order count attach by join
+    AFTER the pair aggregate — the heavy stream is always
+    (order, part) ids.  Lift's four inputs are exact integers; the
+    single double expression has identical parse trees on both
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # The (order, part) frame feeds four consumers (pair join twice,
+    # part counts, order count) — checkpoint once, shared-subplan rule.
+    op = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = op.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    part_cnt = op.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    a = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= Q44_MIN_SUPPORT)
+    )
+    ca = part_cnt.select(
+        F.col("l_partkey").alias("pa"), F.col("cnt").alias("cnt_a")
+    )
+    cb = part_cnt.select(
+        F.col("l_partkey").alias("pb"), F.col("cnt").alias("cnt_b")
+    )
+    return (
+        pairs.join(ca, "pa")
+        .join(cb, "pb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pa",
+            "pb",
+            "support",
+            "cnt_a",
+            "cnt_b",
+            (
+                F.col("support").cast("double")
+                * F.col("n_orders").cast("double")
+                / (F.col("cnt_a").cast("double") * F.col("cnt_b").cast("double"))
+            ).alias("lift"),
+        )
+    )
+
+
+def _q44_oracle() -> str:
+    return f"""
+WITH op AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op),
+part_cnt AS (
+    SELECT l_partkey, COUNT(*) AS cnt FROM op GROUP BY 1
+),
+pairs AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS support
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {Q44_MIN_SUPPORT}
+)
+SELECT p.pa, p.pb, p.support,
+       ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+       CAST(p.support AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+           / (CAST(ca.cnt AS DOUBLE) * CAST(cb.cnt AS DOUBLE)) AS lift
+FROM pairs p
+JOIN part_cnt ca ON p.pa = ca.l_partkey
+JOIN part_cnt cb ON p.pb = cb.l_partkey
+CROSS JOIN n
+"""
+
+
 QUERIES = {
     "q32_min_cost_supplier": q32_min_cost_supplier,
     "q33_local_supplier_volume": q33_local_supplier_volume,
@@ -499,6 +596,7 @@ QUERIES = {
     "q37_order_count_distribution": q37_order_count_distribution,
     "q38_supplier_part_variety": q38_supplier_part_variety,
     "q39_promotion_candidates": q39_promotion_candidates,
+    "q44_market_basket": q44_market_basket,
 }
 
 ORACLES = {
@@ -510,4 +608,5 @@ ORACLES = {
     "q37_order_count_distribution": Q37_ORACLE,
     "q38_supplier_part_variety": Q38_ORACLE,
     "q39_promotion_candidates": Q39_ORACLE,
+    "q44_market_basket": _q44_oracle(),
 }
