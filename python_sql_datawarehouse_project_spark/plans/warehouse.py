@@ -75,6 +75,39 @@ class Warehouse:
             return True
         return self.read_batch(layer, name, batch_id).isEmpty()
 
+    def fingerprint_batches(self, layer: str, name: str) -> DataFrame:
+        """Per-batch content fingerprint (row count, BIT_XOR and
+        mod-2^32 SUM of a canonical row hash) — the warehouse-API
+        generalization of the q42 gate: two warehouses (a replica, a
+        migrated copy, a rebuilt pipeline) compare per-batch rows
+        instead of data, and only disagreeing batches need a q40-style
+        full diff.
+
+        All accumulators are commutative and map-side combinable, so
+        the fingerprint is independent of file layout, partitioning
+        and row order — compaction and repartitioning do not change
+        it (pytest-pinned); any single-row change does.  Columns hash
+        in sorted-name order with a NUL sentinel for NULLs (concat_ws
+        would otherwise collide NULL column positions).  Same-engine
+        comparisons only: the string rendering of doubles is
+        Spark-internal, which is exactly the replica-vs-replica use
+        case (the cross-ENGINE variant is the oracled q42 gate)."""
+        df = self.read_table(layer, name)
+        cols = sorted(c for c in df.columns if c != BATCH_COL)
+        rendered = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in cols
+        ]
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws("\x1f", *rendered)), 1, 15), 16, 10
+        ).cast("long")
+        h32 = F.pmod(h, F.lit(1 << 32))
+        return df.groupBy(BATCH_COL).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor(h32).alias("xor_fp"),
+            F.pmod(F.sum(h32), F.lit(1 << 32)).alias("sum_fp"),
+        )
+
     # -- multi-table atomic publish -----------------------------------
 
     def _commits_dir(self) -> str:

@@ -420,3 +420,44 @@ def test_streaming_merge_last_epoch_replay_converges(spark, wh):
     once = _rows(wh.read_table("silver", "t"))
     handler.process_batch(b0, 0)  # foreachBatch at-least-once replay
     assert _rows(wh.read_table("silver", "t")) == once
+
+
+# -- per-batch fingerprints (fingerprint_batches) ----------------------
+
+
+def test_fingerprint_invariant_to_layout_sensitive_to_content(
+    spark, wh, tmp_path
+):
+    df = spark.range(0, 500).select(
+        F.col("id").cast("int").alias("uid"),
+        (F.col("id") % 7).cast("double").alias("score"),
+    )
+    wh.write_batch(df.repartition(16), "silver", "t", "B1")
+    fp1 = _rows(wh.fingerprint_batches("silver", "t"))
+    # same content, different file layout: compaction must not move it
+    wh.compact_batch("silver", "t", "B1", target_files=2)
+    assert _rows(wh.fingerprint_batches("silver", "t")) == fp1
+    # a replica warehouse with identical content fingerprints equal
+    wh2 = Warehouse(spark, str(tmp_path / "wh2"))
+    wh2.write_batch(df.repartition(3), "silver", "t", "B1")
+    assert _rows(wh2.fingerprint_batches("silver", "t")) == fp1
+    # one changed row flips the fingerprint
+    changed = df.withColumn(
+        "score",
+        F.when(F.col("uid") == 250, 99.0).otherwise(F.col("score")),
+    )
+    wh2.write_batch(changed, "silver", "t", "B1")
+    assert _rows(wh2.fingerprint_batches("silver", "t")) != fp1
+
+
+def test_fingerprint_distinguishes_null_positions(spark, wh, tmp_path):
+    # (NULL, "a") vs ("a", NULL) must hash differently — the concat_ws
+    # null-skip collision the NUL sentinel exists to prevent.
+    a = spark.createDataFrame([(1, None, "a")], "uid int, x string, y string")
+    b = spark.createDataFrame([(1, "a", None)], "uid int, x string, y string")
+    wh.write_batch(a, "silver", "t", "B1")
+    wh2 = Warehouse(spark, str(tmp_path / "wh2"))
+    wh2.write_batch(b, "silver", "t", "B1")
+    assert _rows(wh.fingerprint_batches("silver", "t")) != _rows(
+        wh2.fingerprint_batches("silver", "t")
+    )
