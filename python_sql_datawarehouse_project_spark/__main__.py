@@ -36,12 +36,44 @@ def main(argv: list[str] | None = None) -> int:
         choices=("start", "restart", "reprocessing"),
     )
     ap.add_argument("--root", default="warehouse_data")
+    ap.add_argument(
+        "--gate",
+        help="run ONE registry gate (analytics/dedup/text/... query) "
+        "against --sf-dir instead of the client pipeline",
+    )
+    ap.add_argument(
+        "--sf-dir",
+        help="parquet table directory for --gate (required with it)",
+    )
+    ap.add_argument(
+        "--list-gates",
+        action="store_true",
+        help="print every registry gate key and exit (no Spark session)",
+    )
+    ap.add_argument("--show", type=int, default=20, help="rows to print")
     args = ap.parse_args(argv)
+
+    if args.list_gates:
+        from . import registry
+
+        for k in registry.queries():
+            print(k)
+        return 0
 
     from .plans.clients import ClientRegistry, process_client, run_all_clients
     from .session import build_session
 
     spark = build_session(app_name="python_sql_datawarehouse_project_spark-cli")
+    if args.gate:
+        if not args.sf_dir:
+            ap.error("--gate requires --sf-dir")
+        from . import registry
+
+        gates = registry.queries()
+        if args.gate not in gates:
+            ap.error(f"unknown gate {args.gate!r} (see --list-gates)")
+        gates[args.gate](spark, args.sf_dir).show(args.show, truncate=False)
+        return 0
     registry = ClientRegistry(args.root)
     if args.client is None:
         results = run_all_clients(spark, registry)

@@ -186,3 +186,16 @@ def test_cli_dispatch_runs_single_client(spark, tmp_path, capsys):
     rc = main(["cli_client", "start", "--root", root])
     assert rc == 0
     assert "cli_client BATCH000002" in capsys.readouterr().out
+
+
+def test_cli_gate_and_list(spark, sf_dir, capsys):
+    # --list-gates needs no Spark session; --gate runs one registry
+    # query against --sf-dir and prints rows.
+    from python_sql_datawarehouse_project_spark.__main__ import main
+
+    assert main(["--list-gates"]) == 0
+    out = capsys.readouterr().out
+    assert "q34_forecast_revenue" in out and "dd7_dup_clusters" in out
+    assert main(["--gate", "q34_forecast_revenue", "--sf-dir", sf_dir]) == 0
+    out = capsys.readouterr().out
+    assert "forecast_revenue" in out
