@@ -670,6 +670,195 @@ FROM stats
 """
 
 
+def qa20_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS — slope / intercept / R² of extended price vs
+    quantity for every return flag.  Generalizes qa12's single global
+    fit to the grouped form a profiling pass actually runs (one
+    regression per segment, all in one aggregate).
+
+    Determinism is qa12's contract tightened one notch: every
+    sufficient statistic (n, Σx, Σy, Σx², Σy², Σxy) is exact INT64
+    arithmetic (order-independent sums; x and y floored to whole
+    units so even Σy² stays int64), cast to DOUBLE once — a single
+    correctly-rounded conversion on both engines — and the closed
+    forms are fixed expression trees, bit-identical cross-engine.
+
+    Scale: ONE map-side-combinable hash aggregate over lineitem; the
+    sufficient statistics are the mergeable sketch, so this is the
+    textbook distributed regression (no iterative solver, no second
+    pass)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor("l_quantity").cast("long").alias("x"),
+        # y floored to whole units: every sufficient statistic stays
+        # exact int64, whose ->double cast is a SINGLE correctly
+        # rounded conversion on both engines.  A DECIMAL(38,4) syy
+        # exceeds 2^53 unscaled and the two engines round the
+        # decimal->double conversion differently in the last ulp
+        # (measured at sf0.001 before this landed).
+        F.floor("l_extendedprice").cast("long").alias("y"),
+    )
+    stats = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = [
+        F.col(c).cast("double") for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
+    ]
+    num = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return stats.select(
+        "l_returnflag",
+        F.col("n").alias("n_lines"),
+        (num / vx).alias("slope"),
+        ((sy - (num / vx) * sx) / n).alias("intercept"),
+        (num * num / (vx * vy)).alias("r2"),
+    )
+
+
+QA20_ORACLE = """
+WITH pts AS (
+    SELECT l_returnflag,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS x,
+           CAST(FLOOR(l_extendedprice) AS BIGINT) AS y
+    FROM lineitem
+),
+stats AS (
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(y * y) AS BIGINT) AS syy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy
+    FROM pts GROUP BY 1
+),
+d AS (
+    SELECT l_returnflag, n,
+           CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+           CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+           CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+    FROM stats
+)
+SELECT l_returnflag,
+       n AS n_lines,
+       (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS slope,
+       (syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * sxd)
+           / nd AS intercept,
+       (nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
+           / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)) AS r2
+FROM d
+"""
+
+
+KS_YEAR_A, KS_YEAR_B = 1995, 1996
+KS_BUCKET = 10_000.0  # value-axis bucket width for the two-phase cumsum
+
+
+def qa21_ks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance between the 1995
+    and 1996 order-value distributions — the year-over-year drift
+    test qa8's chi-square (categorical) can't do on a continuous
+    column.  D = max |ecdf_A(x) - ecdf_B(x)| over all observed x.
+
+    Determinism: cumulative counts are exact integers; each ecdf is
+    ONE IEEE division and D is a max over exact-diff doubles — no
+    accumulation order anywhere (the qa12 sufficient-statistic rule).
+
+    Scale: the naive formulation windows over ALL distinct values in
+    one partition (a global sort into a single task).  This is ds8's
+    two-phase prefix sum instead: per-value counts bucket by value
+    range, each bucket cumsums in parallel, and only the ~60
+    bucket-level subtotals cross a SinglePartition exchange for the
+    offset pass."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    counts = (
+        orders.where(yr.isin(KS_YEAR_A, KS_YEAR_B))
+        .groupBy(F.col("o_totalprice").alias("v"))
+        .agg(
+            F.sum(F.when(yr == KS_YEAR_A, 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(yr == KS_YEAR_B, 1).otherwise(0)).alias("c2"),
+        )
+        .withColumn("bkt", F.floor(F.col("v") / F.lit(KS_BUCKET)))
+    )
+    b_sums = counts.groupBy("bkt").agg(
+        F.sum("c1").alias("b1"), F.sum("c2").alias("b2")
+    )
+    w_off = (
+        Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = b_sums.select(
+        "bkt",
+        F.coalesce(F.sum("b1").over(w_off), F.lit(0)).alias("off1"),
+        F.coalesce(F.sum("b2").over(w_off), F.lit(0)).alias("off2"),
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        counts.withColumn("i1", F.sum("c1").over(w_in))
+        .withColumn("i2", F.sum("c2").over(w_in))
+        .join(F.broadcast(offsets), "bkt")
+        .select(
+            (F.col("off1") + F.col("i1")).alias("cum1"),
+            (F.col("off2") + F.col("i2")).alias("cum2"),
+        )
+    )
+    totals = b_sums.agg(
+        F.sum("b1").alias("n_a"), F.sum("b2").alias("n_b")
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.max(
+                F.abs(
+                    F.col("cum1").cast("double") / F.col("n_a").cast("double")
+                    - F.col("cum2").cast("double") / F.col("n_b").cast("double")
+                )
+            ).alias("ks_d"),
+        )
+    )
+
+
+QA21_ORACLE = f"""
+WITH counts AS (
+    SELECT o_totalprice AS v,
+           SUM(CASE WHEN EXTRACT(YEAR FROM CAST(o_orderdate AS DATE))
+                    = {KS_YEAR_A} THEN 1 ELSE 0 END) AS c1,
+           SUM(CASE WHEN EXTRACT(YEAR FROM CAST(o_orderdate AS DATE))
+                    = {KS_YEAR_B} THEN 1 ELSE 0 END) AS c2
+    FROM orders
+    WHERE EXTRACT(YEAR FROM CAST(o_orderdate AS DATE))
+          IN ({KS_YEAR_A}, {KS_YEAR_B})
+    GROUP BY 1
+),
+cum AS (
+    SELECT SUM(c1) OVER (ORDER BY v) AS cum1,
+           SUM(c2) OVER (ORDER BY v) AS cum2
+    FROM counts
+),
+t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n_a,
+             CAST(SUM(c2) AS BIGINT) AS n_b FROM counts)
+SELECT n_a, n_b,
+       MAX(ABS(CAST(cum1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+               - CAST(cum2 AS DOUBLE) / CAST(n_b AS DOUBLE))) AS ks_d
+FROM cum, t
+GROUP BY n_a, n_b
+"""
+
+
 QUERIES = {
     "qa1_null_profile": qa1_null_profile,
     "qa2_dup_keys": qa2_dup_keys,
@@ -683,6 +872,8 @@ QUERIES = {
     "qa10_join_explosion": qa10_join_explosion,
     "qa11_fd_profile": qa11_fd_profile,
     "qa12_corr_profile": qa12_corr_profile,
+    "qa20_grouped_regression": qa20_grouped_regression,
+    "qa21_ks_distance": qa21_ks_distance,
 }
 ORACLES = {
     "qa1_null_profile": QA1_ORACLE,
@@ -697,4 +888,6 @@ ORACLES = {
     "qa10_join_explosion": QA10_ORACLE,
     "qa11_fd_profile": QA11_ORACLE,
     "qa12_corr_profile": QA12_ORACLE,
+    "qa20_grouped_regression": QA20_ORACLE,
+    "qa21_ks_distance": QA21_ORACLE,
 }

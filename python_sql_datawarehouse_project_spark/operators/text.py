@@ -1004,6 +1004,87 @@ GROUP BY 1
 """
 
 
+# -- tx17: character-class diversity (Gini impurity) ------------------
+#
+# Alphabet the diversity is measured over; shared constant so the
+# Spark expression and the DuckDB oracle are generated from the SAME
+# list in the SAME canonical order (functions/hashing.py contract).
+TX17_CLASSES = tuple("abcdefghijklmnopqrstuvwxyz") + (" ",)
+
+
+def tx17_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-class diversity: Gini impurity
+    1 - Σ(c_i/n)² over the 27-class distribution (a-z + space) of the
+    lowercased text, plus the distinct-class count — the cheap
+    gibberish/boilerplate detector next to tx16's bigram novelty
+    (aaaaaa... scores ~0, natural prose ~0.93+).
+
+    Gini (Simpson index) is chosen over Shannon entropy DELIBERATELY:
+    entropy needs log(), which JVM libm and C libm round differently
+    at the last ulp, so it can never hash-match cross-engine; Gini is
+    exact integer sufficient statistics (Σc², n²) with ONE IEEE
+    division — bitwise portable (the tx16 no-log rule).
+
+    Per-class counts come from length(t) - length(replace(t, ch, ''))
+    — 27 fixed string scans, no explode, no shuffle, pure codegen'd
+    row expressions running at parquet-scan speed."""
+    docs = load_table(spark, sf_dir, "documents")
+    lt = docs.select("doc_id", F.lower("text").alias("lt"))
+    counts = [
+        (F.length("lt") - F.length(F.expr(f"replace(lt, '{ch}', '')"))).alias(
+            f"c{i}"
+        )
+        for i, ch in enumerate(TX17_CLASSES)
+    ]
+    stage = lt.select("doc_id", *counts)
+    cols = [F.col(f"c{i}") for i in range(len(TX17_CLASSES))]
+    n = cols[0]
+    for c in cols[1:]:
+        n = n + c
+    sc2 = cols[0] * cols[0]
+    for c in cols[1:]:
+        sc2 = sc2 + c * c
+    ncls = F.when(cols[0] > 0, 1).otherwise(0)
+    for c in cols[1:]:
+        ncls = ncls + F.when(c > 0, 1).otherwise(0)
+    return stage.select(
+        "doc_id",
+        n.cast("long").alias("n_classified"),
+        ncls.cast("long").alias("n_classes"),
+        F.when(
+            n > 0,
+            F.lit(1.0)
+            - sc2.cast("double") / (n.cast("double") * n.cast("double")),
+        ).alias("char_gini"),
+    )
+
+
+def _tx17_sql() -> str:
+    cnt = [
+        f"(length(lt) - length(replace(lt, '{ch}', ''))) " f"AS c{i}"
+        for i, ch in enumerate(TX17_CLASSES)
+    ]
+    ids = [f"c{i}" for i in range(len(TX17_CLASSES))]
+    n = " + ".join(ids)
+    sc2 = " + ".join(f"{c} * {c}" for c in ids)
+    ncls = " + ".join(f"(CASE WHEN {c} > 0 THEN 1 ELSE 0 END)" for c in ids)
+    return f"""
+WITH lt AS (SELECT doc_id, lower(text) AS lt FROM documents),
+cnt AS (SELECT doc_id, {", ".join(cnt)} FROM lt)
+SELECT doc_id,
+       CAST({n} AS BIGINT) AS n_classified,
+       CAST({ncls} AS BIGINT) AS n_classes,
+       CASE WHEN ({n}) > 0 THEN
+           1.0 - CAST({sc2} AS DOUBLE)
+               / (CAST({n} AS DOUBLE) * CAST({n} AS DOUBLE))
+       END AS char_gini
+FROM cnt
+"""
+
+
+TX17_ORACLE = _tx17_sql()
+
+
 QUERIES = {
     "tx1_token_count": tx1_token_count,
     "tx2_quality_score": tx2_quality_score,
@@ -1018,6 +1099,7 @@ QUERIES = {
     "tx11_vocab_stats": tx11_vocab_stats,
     "tx15_pii_redaction": tx15_pii_redaction,
     "tx16_bigram_novelty": tx16_bigram_novelty,
+    "tx17_char_diversity": tx17_char_diversity,
 }
 ORACLES = {
     "tx1_token_count": TX1_ORACLE,
@@ -1033,4 +1115,5 @@ ORACLES = {
     "tx11_vocab_stats": TX11_ORACLE,
     "tx15_pii_redaction": TX15_ORACLE,
     "tx16_bigram_novelty": TX16_ORACLE,
+    "tx17_char_diversity": TX17_ORACLE,
 }

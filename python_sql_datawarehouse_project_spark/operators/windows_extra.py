@@ -113,11 +113,61 @@ FROM orders
 """
 
 
+W8_FRAME_ROWS = 5  # rolling frame: current row + 4 preceding
+
+
+def w8_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: EXACT rolling median of the event value over the
+    last W8_FRAME_ROWS events — the robust de-noised signal a
+    mean-based rolling stat (ev8's shape) can't give on heavy-tailed
+    values.  The reference has no ordered-set aggregates at all
+    (SURVEY.md §2.5 lists its full window surface); this extends the
+    family with a holistic (non-mergeable) window aggregate, the one
+    class w1-w7 don't touch.
+
+    Determinism: Spark's `percentile(value, 0.5)` and DuckDB's
+    `quantile_cont(value, 0.5)` both linear-interpolate between the
+    two middle order statistics — verified bitwise-identical on the
+    sf0.001 events table before this gate landed.  The ORDER BY is
+    made total with the event_id tiebreak so both engines see the
+    same frame contents.
+
+    Scale: one shuffle on user_id; the holistic aggregate sorts only
+    inside each frame (bounded at W8_FRAME_ROWS rows), so cost is
+    O(rows * frame log frame) with no extra exchange.  A mergeable
+    approximation (approx_percentile sketch) is the fallback if the
+    frame ever becomes unbounded."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(W8_FRAME_ROWS - 1), 0)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.expr("percentile(value, 0.5)").over(w).alias("rolling_median"),
+    )
+
+
+W8_ORACLE = f"""
+SELECT user_id,
+       event_id,
+       quantile_cont(value, 0.5) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN {W8_FRAME_ROWS - 1} PRECEDING AND CURRENT ROW
+       ) AS rolling_median
+FROM events
+"""
+
+
 QUERIES = {
     "w6_first_last_nth": w6_first_last_nth,
     "w7_range_frame": w7_range_frame,
+    "w8_rolling_median": w8_rolling_median,
 }
 ORACLES = {
     "w6_first_last_nth": W6_ORACLE,
     "w7_range_frame": W7_ORACLE,
+    "w8_rolling_median": W8_ORACLE,
 }

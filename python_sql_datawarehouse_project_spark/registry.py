@@ -71,15 +71,21 @@ from .streaming import windows as stream_windows
 #      item #2;
 #   C. keys that sat in r3's presumed window but have no recorded row
 #      (stream_*, sk*, rj1, w4/w5, sim5, tx5) to fill the 50.
-# provenance.never_driver_green() recomputes the exact rotation for
-# round 5 once CORRECTNESS_r04 lands.  ROUND-5 NOTE: the round-4 tail
-# additions have no driver row yet — rotate them plus whatever r4's
-# window failed to green into the next _WINDOW_PRIORITY,
-# oldest-never-checked first.  The round-4 tail, in arrival order:
-# q24-q31, tx15/tx16, emb2, stream_enrich_segments (early round 4),
-# then the round-4 build's q32-q42, emb3/emb4,
-# stream_coldstart_purchases, ux1_pandas_udaf, qa19_ndv_profile,
-# ds8_sequence_packing (all 17 swept green at sf0.1 — COVERAGE.md).
+# ROUND-5 STATUS: CORRECTNESS_r04 (like r03) never landed on disk, so
+# the recorded-green set is STILL only the 59 rows from r1+r2 and the
+# 50 keys below remain the oldest unrecorded — the window therefore
+# does NOT rotate this round; it stays exactly as round 4 left it so
+# those 50 finally get a recorded row.  ROUND-6 NOTE: once a
+# CORRECTNESS_r05 lands, rotate its green keys out and fill the window
+# oldest-never-checked first from: the round-4 tail in arrival order
+# (q24-q31, tx15/tx16, emb2, stream_enrich_segments, then q32-q44,
+# emb3/emb4, stream_coldstart_purchases, ux1_pandas_udaf,
+# qa19_ndv_profile, ds8_sequence_packing, dd12/sim7/q43/ev16/ev17 —
+# all swept green at sf0.1, COVERAGE.md), then the round-5 tail
+# (w8_rolling_median, rj2_interval_overlap, qa20_grouped_regression,
+# qa21_ks_distance, tx17_char_diversity).
+# provenance.never_driver_green() recomputes the exact set from
+# whatever CORRECTNESS_r* files exist.
 _MODULES = (
     windows,
     recursive,
