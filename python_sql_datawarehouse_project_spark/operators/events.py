@@ -964,6 +964,159 @@ ORDER BY bin
 """
 
 
+# -- ev18: OHLC rollup cascade (day merged FROM hour) -----------------
+def ev18_ohlc_daily_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC built by MERGING the hourly OHLC rollup — the
+    hypertable continuous-aggregate cascade (raw -> hour -> day),
+    proven against an oracle that computes the daily resample
+    directly from raw events.
+
+    The merge works because ev12's state is algebraic: open/close
+    ride in MIN/MAX structs keyed by (ts, event_id), and min-of-mins
+    = min, max-of-maxes = max, sum-of-counts = count — so the day
+    grain re-aggregates 24 hour rows per (type, day) without touching
+    raw points.  At 100 TB this is the load-bearing property: daily,
+    weekly, monthly serve from the hour rollup (~|types| * 24 rows a
+    day), never from the event store, and a late event folds into its
+    hour partition and re-merges upward incrementally.
+
+    Scale: two map-side-combinable aggregates back to back; Catalyst
+    runs partial+final on each, and the second input is already
+    rollup-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.min(F.struct("ts", "event_id", "value")).alias("_f"),
+        F.max(F.struct("ts", "event_id", "value")).alias("_l"),
+        F.max("value").alias("high_value"),
+        F.min("value").alias("low_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("w.start")).alias("day_start"),
+            "event_type",
+        )
+        .agg(
+            F.min("_f").alias("_f"),
+            F.max("_l").alias("_l"),
+            F.max("high_value").alias("high_value"),
+            F.min("low_value").alias("low_value"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .select(
+            "day_start",
+            "event_type",
+            F.col("_f.value").alias("open_value"),
+            "high_value",
+            "low_value",
+            F.col("_l.value").alias("close_value"),
+            "n_events",
+        )
+    )
+
+
+EV18_ORACLE = """
+WITH b AS (
+    SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS d,
+           ts, event_id, value
+    FROM events
+), r AS (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY event_type, d
+                              ORDER BY ts ASC, event_id ASC) AS rn_a,
+           ROW_NUMBER() OVER (PARTITION BY event_type, d
+                              ORDER BY ts DESC, event_id DESC) AS rn_d
+    FROM b
+)
+SELECT d AS day_start, event_type,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open_value,
+       MAX(value) AS high_value,
+       MIN(value) AS low_value,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close_value,
+       COUNT(*) AS n_events
+FROM r GROUP BY 1, 2
+"""
+
+
+# -- ev19: exponentially decayed engagement score ---------------------
+EV19_HORIZON_DAYS = 30  # weights below 2^-30 (~1e-9) are exactly zero
+
+
+def ev19_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user recency-weighted activity: each event contributes
+    2^(-age_days) with a 1-day half-life relative to the newest event
+    in the table (data-derived NOW, broadcast as a 1-row frame);
+    events older than EV19_HORIZON_DAYS contribute exactly 0 — the
+    engagement feature a ranking pipeline recomputes daily.
+
+    Determinism: a naive SUM(pow(0.5, age)) accumulates doubles in
+    partition order and can never hash-match across engines, and the
+    first cut of this gate (integer-scaled weights 2^(H - age) summed
+    in int64) overflowed at 16 same-day events under ANSI mode — the
+    weights span the whole int64 range, so the headroom is tiny.  The
+    overflow-proof form: ONE aggregate of H+1 conditional COUNTS (one
+    per age bucket — exact int64, order-free, each bounded by the
+    user's event count), then the score is a FIXED 31-term expression
+    tree sum(c_k * 2^-k) in canonical k order: counts convert to
+    double exactly, each product scales by a power of two (exact),
+    and both engines evaluate the identical tree.
+
+    Scale: one broadcast of the 1-row max-ts frame; one map-side
+    combinable per-user aggregate whose state is 31 longs (a fixed-
+    width decay sketch — mergeable across partitions and days)."""
+    ev = load_table(spark, sf_dir, "events")
+    now = ev.agg(F.max(F.to_date("ts")).alias("now_day"))
+    age = F.datediff(F.col("now_day"), F.to_date("ts"))
+    counts = [
+        F.sum(F.when(age == k, 1).otherwise(0)).alias(f"c{k}")
+        for k in range(EV19_HORIZON_DAYS + 1)
+    ]
+    grouped = (
+        ev.crossJoin(F.broadcast(now)).groupBy("user_id").agg(*counts)
+    )
+    score = F.col("c0").cast("double") * F.lit(1.0)
+    n_recent = F.col("c0")
+    for k in range(1, EV19_HORIZON_DAYS + 1):
+        score = score + F.col(f"c{k}").cast("double") * F.lit(0.5**k)
+        n_recent = n_recent + F.col(f"c{k}")
+    return grouped.select(
+        "user_id",
+        score.alias("decayed_score"),
+        n_recent.cast("long").alias("n_recent_events"),
+    )
+
+
+def _ev19_sql() -> str:
+    ks = range(EV19_HORIZON_DAYS + 1)
+    cnt = ", ".join(
+        f"CAST(SUM(CASE WHEN age = {k} THEN 1 ELSE 0 END) AS BIGINT) AS c{k}"
+        for k in ks
+    )
+    score = " + ".join(f"CAST(c{k} AS DOUBLE) * {0.5**k!r}" for k in ks)
+    n = " + ".join(f"c{k}" for k in ks)
+    return f"""
+WITH now_t AS (SELECT MAX(CAST(ts AS DATE)) AS now_day FROM events),
+aged AS (
+    SELECT user_id,
+           datediff('day', CAST(ts AS DATE), now_day) AS age
+    FROM events, now_t
+),
+bucketed AS (
+    SELECT user_id, {cnt}
+    FROM aged GROUP BY 1
+)
+SELECT user_id,
+       {score} AS decayed_score,
+       CAST({n} AS BIGINT) AS n_recent_events
+FROM bucketed
+"""
+
+
+EV19_ORACLE = _ev19_sql()
+
+
 QUERIES = {
     "ev8_rolling_7day": ev8_rolling_7day,
     "ev1_tumbling_hourly": ev1_tumbling_hourly,
@@ -982,6 +1135,8 @@ QUERIES = {
     "ev15_daily_anomaly": ev15_daily_anomaly,
     "ev16_cumulative_users": ev16_cumulative_users,
     "ev17_value_histogram": ev17_value_histogram,
+    "ev18_ohlc_daily_cascade": ev18_ohlc_daily_cascade,
+    "ev19_decayed_engagement": ev19_decayed_engagement,
 }
 ORACLES = {
     "ev1_tumbling_hourly": EV1_ORACLE,
@@ -1001,4 +1156,6 @@ ORACLES = {
     "ev15_daily_anomaly": EV15_ORACLE,
     "ev16_cumulative_users": EV16_ORACLE,
     "ev17_value_histogram": EV17_ORACLE,
+    "ev18_ohlc_daily_cascade": EV18_ORACLE,
+    "ev19_decayed_engagement": EV19_ORACLE,
 }

@@ -123,12 +123,84 @@ GROUP BY lang
 """
 
 
+def ux2_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declarative extension seam: a SQL UDF (Spark 4 CREATE
+    FUNCTION ... RETURN <expr>) carrying the reference's R2/R3
+    sales-consistency repair (tools.load_crm_sales_details_v1.sql:
+    96-109 — if sales is null/<=0/inconsistent, recompute as
+    qty * abs(price)).  Unlike every Python seam (mm2/dd5/tx13/ux1),
+    a SQL UDF inlines into the plan as a plain expression tree:
+    whole-stage codegen, predicate pushdown and CSE all still apply —
+    it is the zero-overhead way to package a business rule, and the
+    gate pins that the declared function reproduces the inline CASE
+    bit-for-bit (the oracle writes the rule inline).
+
+    The repair targets a deterministically corrupted sales column
+    (every 7th order's sales nulled, every 11th negated) so the rule
+    genuinely fires at any SF.  Scale: pure per-row expressions at
+    parquet-scan speed; no shuffle."""
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION spark_graft_fix_sales(
+            q DOUBLE, p DOUBLE, s DOUBLE)
+        RETURNS DOUBLE
+        RETURN CASE WHEN s IS NULL OR s <= 0 OR s <> q * abs(p)
+                    THEN q * abs(p) ELSE s END
+        """
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "spark_graft_li_for_sqludf"
+    )
+    return spark.sql(
+        """
+        WITH corrupted AS (
+            SELECT l_orderkey, l_linenumber, l_quantity,
+                   l_extendedprice / l_quantity AS unit_price,
+                   CASE WHEN l_orderkey % 7 = 0 THEN CAST(NULL AS DOUBLE)
+                        WHEN l_orderkey % 11 = 0 THEN -l_extendedprice
+                        ELSE l_extendedprice END AS sales_raw
+            FROM spark_graft_li_for_sqludf
+        )
+        SELECT l_orderkey, l_linenumber,
+               spark_graft_fix_sales(l_quantity, unit_price, sales_raw)
+                   AS sales_fixed,
+               CAST(sales_raw IS NULL OR sales_raw <= 0
+                    OR sales_raw <> l_quantity * abs(unit_price)
+                    AS INT) AS was_repaired
+        FROM corrupted
+        """
+    )
+
+
+UX2_ORACLE = """
+WITH corrupted AS (
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           l_extendedprice / l_quantity AS unit_price,
+           CASE WHEN l_orderkey % 7 = 0 THEN CAST(NULL AS DOUBLE)
+                WHEN l_orderkey % 11 = 0 THEN -l_extendedprice
+                ELSE l_extendedprice END AS sales_raw
+    FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN sales_raw IS NULL OR sales_raw <= 0
+                 OR sales_raw <> l_quantity * abs(unit_price)
+            THEN l_quantity * abs(unit_price) ELSE sales_raw END
+           AS sales_fixed,
+       CAST(sales_raw IS NULL OR sales_raw <= 0
+            OR sales_raw <> l_quantity * abs(unit_price)
+            AS INT) AS was_repaired
+FROM corrupted
+"""
+
+
 QUERIES = {
     "tx13_chunk_udtf": tx13_chunk_udtf,
     "ux1_pandas_udaf": ux1_pandas_udaf,
+    "ux2_sql_udf": ux2_sql_udf,
 }
 # tx8's oracle is column-compatible by construction — the whole point.
 ORACLES = {
     "tx13_chunk_udtf": TX8_ORACLE,
     "ux1_pandas_udaf": UX1_ORACLE,
+    "ux2_sql_udf": UX2_ORACLE,
 }

@@ -83,7 +83,8 @@ from .streaming import windows as stream_windows
 # qa19_ndv_profile, ds8_sequence_packing, dd12/sim7/q43/ev16/ev17 —
 # all swept green at sf0.1, COVERAGE.md), then the round-5 tail
 # (w8_rolling_median, rj2_interval_overlap, qa20_grouped_regression,
-# qa21_ks_distance, tx17_char_diversity).
+# qa21_ks_distance, tx17_char_diversity, ux2_sql_udf,
+# ev18_ohlc_daily_cascade, ev19_decayed_engagement).
 # provenance.never_driver_green() recomputes the exact set from
 # whatever CORRECTNESS_r* files exist.
 _MODULES = (

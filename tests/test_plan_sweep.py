@@ -51,7 +51,7 @@ _QUERIES = {
 #       a handful of) rows, so the last merge step is single-partition
 #       by definition (qa1, qa4, qa8, qa11-qa16, qa18, qa19, qa21
 #       totals, q15/q17/q19/q22/q29/q31/q34/q36/q44 scalar probes,
-#       ev17's data-derived bin bounds, tx5/tx9 corpus totals,
+#       ev17/ev19 data-derived bounds/NOW frames, tx5/tx9 corpus totals,
 #       ds2/ds7/pk1 budget cutoffs, zo1's min/max normalization frame);
 #   (b) a two-phase prefix sum's OFFSET pass over |buckets| rows —
 #       bounded by bucket count, never by data (ds8, ev16, qa21);
@@ -67,6 +67,7 @@ _SINGLE_PARTITION_OK = {
     "ds8_sequence_packing",
     "ev16_cumulative_users",
     "ev17_value_histogram",
+    "ev19_decayed_engagement",  # 1-row data-derived NOW frame
     "pk1_pack_chunks",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
