@@ -125,39 +125,62 @@ def w8_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     family with a holistic (non-mergeable) window aggregate, the one
     class w1-w7 don't touch.
 
-    Determinism: Spark's `percentile(value, 0.5)` and DuckDB's
-    `quantile_cont(value, 0.5)` both linear-interpolate between the
-    two middle order statistics — verified bitwise-identical on the
-    sf0.001 events table before this gate landed.  The ORDER BY is
-    made total with the event_id tiebreak so both engines see the
-    same frame contents.
+    Determinism — why NOT percentile()/quantile_cont(): the first cut
+    compared Spark `percentile(value, 0.5)` to DuckDB `quantile_cont`
+    and matched on the test data, but a hypothesis sweep
+    (tests/test_r5_properties.py) falsified the law in general —
+    DuckDB interpolates lo*(1-f)+hi*f while Spark uses lo+(hi-lo)*f,
+    and the two round differently for adversarial doubles.  So the
+    gate computes the median EXPLICITLY: sort the bounded frame into
+    an array and average the two middle order statistics with ONE add
+    and ONE divide-by-two — the identical IEEE expression on both
+    engines, immune to either engine's quantile internals.  The
+    ORDER BY is made total with the event_id tiebreak so both engines
+    see the same frame contents.
 
-    Scale: one shuffle on user_id; the holistic aggregate sorts only
-    inside each frame (bounded at W8_FRAME_ROWS rows), so cost is
-    O(rows * frame log frame) with no extra exchange.  A mergeable
-    approximation (approx_percentile sketch) is the fallback if the
-    frame ever becomes unbounded."""
+    Scale: one shuffle on user_id; the frame array is bounded at
+    W8_FRAME_ROWS elements, so cost is O(rows * frame log frame) with
+    no extra exchange.  A mergeable approximation (approx_percentile
+    sketch) is the fallback if the frame ever becomes unbounded."""
     events = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(-(W8_FRAME_ROWS - 1), 0)
     )
+    arr = F.sort_array(F.collect_list("value").over(w))
     return events.select(
         "user_id",
         "event_id",
-        F.expr("percentile(value, 0.5)").over(w).alias("rolling_median"),
+        arr.alias("_arr"),
+    ).select(
+        "user_id",
+        "event_id",
+        (
+            (
+                F.element_at("_arr", ((F.size("_arr") + 1) / 2).cast("int"))
+                + F.element_at(
+                    "_arr", (F.size("_arr") / 2).cast("int") + 1
+                )
+            )
+            / F.lit(2.0)
+        ).alias("rolling_median"),
     )
 
 
 W8_ORACLE = f"""
-SELECT user_id,
-       event_id,
-       quantile_cont(value, 0.5) OVER (
-           PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN {W8_FRAME_ROWS - 1} PRECEDING AND CURRENT ROW
-       ) AS rolling_median
-FROM events
+WITH framed AS (
+    SELECT user_id, event_id,
+           list_sort(list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {W8_FRAME_ROWS - 1} PRECEDING AND CURRENT ROW
+           )) AS arr
+    FROM events
+)
+SELECT user_id, event_id,
+       (arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1])
+           / CAST(2 AS DOUBLE) AS rolling_median
+FROM framed
 """
 
 
