@@ -18,6 +18,19 @@ contract was verified empirically:
     bitwise identical — verified on all sf0.01 embeddings (500 dots,
     190 cosines, max abs diff 0.0).
 
+Known NON-portable corners (found round 5, tests/test_r5_properties):
+  * engine quantile built-ins: DuckDB quantile_cont interpolates
+    lo*(1-f)+hi*f, Spark percentile lo+(hi-lo)*f — different rounding
+    on adversarial doubles.  Compute order statistics explicitly
+    (w8's sorted-frame two-middle average) instead.
+  * DECIMAL->DOUBLE conversion: DuckDB converts via
+    (double)unscaled_int / 10^scale — TWO roundings — while Spark's
+    BigDecimal.doubleValue rounds once.  Exact below 2^53 unscaled
+    (every gate's tested range; a global DECIMAL(.,4) money sum
+    crosses it around sf10), 1-ulp drift possible above: keep money
+    totals' unscaled magnitude under 2^53 or route the final compare
+    through integers.
+
 Scale notes: all of these are pure JVM-side column expressions in
 Spark (whole-stage codegen, no Python row traffic); cost is linear in
 input characters and embedding width, shuffle-free until the operator
