@@ -23,7 +23,7 @@ x4 BEFORE the partial agg (Spark's expand), still one exchange.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -1117,6 +1117,105 @@ FROM bucketed
 EV19_ORACLE = _ev19_sql()
 
 
+# -- ev20: daily growth accounting -----------------------------------
+def ev20_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily user lifecycle (growth accounting): per day, how many
+    active users are NEW (first day ever), RETAINED (also active the
+    previous day), RESURRECTED (returning after a gap), and how many
+    of a day's actives CHURN (skip the next day) — the standard
+    DAU decomposition every growth team runs.  Day grain because the
+    test events table spans one month; the classification is
+    grain-generic (swap the date_trunc).
+
+    Mechanics: activity collapses to distinct (user, day) rows;
+    LAG/LEAD over each user's day sequence classify every active day
+    and emit a churn marker at day+1 when the next activity skips it
+    (bounded by the global max day so the open present is not counted
+    as churn).  All arithmetic is integer day differences — exact.
+
+    Scale: the dedup and the window both shuffle on user_id (one
+    exchange, reused); the final aggregate is day-grain (bounded by
+    the calendar, not the data); the global max day is a 1-row
+    broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    am = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    mx = am.agg(F.max("d").alias("max_d"))
+    w = Window.partitionBy("user_id").orderBy("d")
+    flagged = (
+        am.withColumn("prev_d", F.lag("d").over(w))
+        .withColumn("next_d", F.lead("d").over(w))
+        .crossJoin(F.broadcast(mx))
+    )
+    status = F.when(F.col("prev_d").isNull(), F.lit("new")).when(
+        F.datediff("d", "prev_d") == 1, F.lit("retained")
+    ).otherwise(F.lit("resurrected"))
+    active = flagged.select(F.col("d").alias("day"), status.alias("s"))
+    churn = (
+        flagged.where(
+            (F.col("d") < F.col("max_d"))
+            & (
+                F.col("next_d").isNull()
+                | (F.datediff("next_d", "d") > 1)
+            )
+        )
+        .select(F.date_add("d", 1).alias("day"), F.lit("churned").alias("s"))
+    )
+    return (
+        active.unionByName(churn)
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("s") == "new", 1).otherwise(0)).alias("n_new"),
+            F.sum(F.when(F.col("s") == "retained", 1).otherwise(0)).alias(
+                "n_retained"
+            ),
+            F.sum(F.when(F.col("s") == "resurrected", 1).otherwise(0)).alias(
+                "n_resurrected"
+            ),
+            F.sum(F.when(F.col("s") == "churned", 1).otherwise(0)).alias(
+                "n_churned"
+            ),
+        )
+    )
+
+
+EV20_ORACLE = """
+WITH am AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+    FROM events
+),
+mx AS (SELECT MAX(d) AS max_d FROM am),
+flagged AS (
+    SELECT user_id, d,
+           LAG(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d,
+           LEAD(d) OVER (PARTITION BY user_id ORDER BY d) AS next_d,
+           max_d
+    FROM am, mx
+),
+labeled AS (
+    SELECT d AS day,
+           CASE WHEN prev_d IS NULL THEN 'new'
+                WHEN datediff('day', prev_d, d) = 1 THEN 'retained'
+                ELSE 'resurrected' END AS s
+    FROM flagged
+    UNION ALL
+    SELECT d + INTERVAL 1 DAY AS day, 'churned' AS s
+    FROM flagged
+    WHERE d < max_d AND (next_d IS NULL OR datediff('day', d, next_d) > 1)
+)
+SELECT CAST(day AS DATE) AS day,
+       CAST(SUM(CASE WHEN s = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+       CAST(SUM(CASE WHEN s = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_retained,
+       CAST(SUM(CASE WHEN s = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_resurrected,
+       CAST(SUM(CASE WHEN s = 'churned' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_churned
+FROM labeled
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "ev8_rolling_7day": ev8_rolling_7day,
     "ev1_tumbling_hourly": ev1_tumbling_hourly,
@@ -1137,6 +1236,7 @@ QUERIES = {
     "ev17_value_histogram": ev17_value_histogram,
     "ev18_ohlc_daily_cascade": ev18_ohlc_daily_cascade,
     "ev19_decayed_engagement": ev19_decayed_engagement,
+    "ev20_growth_accounting": ev20_growth_accounting,
 }
 ORACLES = {
     "ev1_tumbling_hourly": EV1_ORACLE,
@@ -1158,4 +1258,5 @@ ORACLES = {
     "ev17_value_histogram": EV17_ORACLE,
     "ev18_ohlc_daily_cascade": EV18_ORACLE,
     "ev19_decayed_engagement": EV19_ORACLE,
+    "ev20_growth_accounting": EV20_ORACLE,
 }

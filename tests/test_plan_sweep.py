@@ -68,6 +68,7 @@ _SINGLE_PARTITION_OK = {
     "ev16_cumulative_users",
     "ev17_value_histogram",
     "ev19_decayed_engagement",  # 1-row data-derived NOW frame
+    "ev20_growth_accounting",  # 1-row global max-day frame
     "pk1_pack_chunks",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
