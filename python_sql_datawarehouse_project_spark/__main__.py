@@ -50,6 +50,13 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="print every registry gate key and exit (no Spark session)",
     )
+    ap.add_argument(
+        "--oracle-check",
+        action="store_true",
+        help="replay EVERY registry gate (or just --gate) against its "
+        "DuckDB oracle at --sf-dir and print one OK/FAIL line each — "
+        "the driver's correctness gate, runnable at any scale factor",
+    )
     ap.add_argument("--show", type=int, default=20, help="rows to print")
     args = ap.parse_args(argv)
 
@@ -64,6 +71,28 @@ def main(argv: list[str] | None = None) -> int:
     from .session import build_session
 
     spark = build_session(app_name="python_sql_datawarehouse_project_spark-cli")
+    if args.oracle_check:
+        if not args.sf_dir:
+            ap.error("--oracle-check requires --sf-dir")
+        from . import registry
+        from .testing import compare
+
+        gates, oracles = registry.queries(), registry.oracles()
+        names = [args.gate] if args.gate else sorted(gates)
+        if args.gate and args.gate not in gates:
+            ap.error(f"unknown gate {args.gate!r} (see --list-gates)")
+        n_fail = 0
+        for name in names:
+            try:
+                r = compare(name, gates[name], oracles[name], spark, args.sf_dir)
+                ok = r.ok
+                detail = "" if ok else " " + "; ".join(r.mismatches[:3])
+            except Exception as ex:  # noqa: BLE001 — report and continue
+                ok, detail = False, f" {type(ex).__name__}: {ex}"[:200]
+            n_fail += 0 if ok else 1
+            print(("OK  " if ok else "FAIL") + f" {name}{detail}", flush=True)
+        print(f"oracle-check: {len(names) - n_fail}/{len(names)} OK")
+        return 1 if n_fail else 0
     if args.gate:
         if not args.sf_dir:
             ap.error("--gate requires --sf-dir")

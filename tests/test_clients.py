@@ -199,3 +199,26 @@ def test_cli_gate_and_list(spark, sf_dir, capsys):
     assert main(["--gate", "q34_forecast_revenue", "--sf-dir", sf_dir]) == 0
     out = capsys.readouterr().out
     assert "forecast_revenue" in out
+
+
+def test_cli_oracle_check_single_gate(spark, sf_dir, capsys):
+    # --oracle-check --gate replays one gate against its DuckDB oracle
+    # (exit 0 on hash match, 1 on any FAIL) — the driver's gate as a
+    # CLI, runnable at any SF dir.
+    from python_sql_datawarehouse_project_spark.__main__ import main
+
+    assert (
+        main(
+            [
+                "--oracle-check",
+                "--gate",
+                "qa20_grouped_regression",
+                "--sf-dir",
+                sf_dir,
+            ]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "OK   qa20_grouped_regression" in out
+    assert "oracle-check: 1/1 OK" in out
