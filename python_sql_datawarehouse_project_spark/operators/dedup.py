@@ -1146,6 +1146,88 @@ FROM labeled l JOIN scored s ON l.doc_id = s.doc_id
 CS1_ORACLE = _cs1_oracle()
 
 
+# -- dd13: multi-signal near-dup agreement ----------------------------
+def dd13_ensemble_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement between the two independent near-dup signals — text
+    MinHash-LSH pairs (dd3) vs embedding hyperplane-LSH pairs (dd6,
+    vec_id == doc_id in the corpus) — the calibration readout an
+    ensemble dedup policy is built on: pairs BOTH signals flag are
+    near-certain dups; single-signal pairs show where each modality
+    sees what the other misses (paraphrase: embedding-only; verbatim
+    overlap of short docs: text-only).
+
+    Output: one row of exact counts (text-only / embedding-only /
+    both) plus the Jaccard agreement of the two pair sets (one IEEE
+    division).
+
+    Scale: composes the two gate pipelines unchanged — both are
+    banded-LSH sublinear candidate generators; the FULL OUTER join
+    runs on pair keys (|pairs|, not |docs|^2) and the final aggregate
+    is a 1-row scalar (audited SinglePartition)."""
+    tp = dd3_minhash_lsh_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b"),
+        F.lit(1).alias("_t"),
+    )
+    ep = dd6_embedding_neardup_lsh(spark, sf_dir).select(
+        F.col("vec_a").alias("a"), F.col("vec_b").alias("b"),
+        F.lit(1).alias("_e"),
+    )
+    j = tp.join(ep, ["a", "b"], "full_outer")
+    both = F.sum(
+        F.when(F.col("_t").isNotNull() & F.col("_e").isNotNull(), 1).otherwise(0)
+    )
+    t_only = F.sum(
+        F.when(F.col("_t").isNotNull() & F.col("_e").isNull(), 1).otherwise(0)
+    )
+    e_only = F.sum(
+        F.when(F.col("_e").isNotNull() & F.col("_t").isNull(), 1).otherwise(0)
+    )
+    return j.agg(
+        t_only.alias("n_text_only"),
+        e_only.alias("n_emb_only"),
+        both.alias("n_both"),
+    ).select(
+        "n_text_only",
+        "n_emb_only",
+        "n_both",
+        (
+            F.col("n_both").cast("double")
+            / (
+                F.col("n_text_only") + F.col("n_emb_only") + F.col("n_both")
+            ).cast("double")
+        ).alias("pair_agreement"),
+    )
+
+
+DD13_ORACLE = f"""
+WITH tp AS (
+    SELECT doc_a AS a, doc_b AS b FROM ({DD3_ORACLE})
+),
+ep AS (
+    SELECT vec_a AS a, vec_b AS b FROM ({DD6_ORACLE})
+),
+j AS (
+    SELECT tp.a AS ta, ep.a AS ea
+    FROM tp FULL OUTER JOIN ep ON tp.a = ep.a AND tp.b = ep.b
+),
+c AS (
+    SELECT
+        CAST(SUM(CASE WHEN ta IS NOT NULL AND ea IS NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_text_only,
+        CAST(SUM(CASE WHEN ea IS NOT NULL AND ta IS NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_emb_only,
+        CAST(SUM(CASE WHEN ta IS NOT NULL AND ea IS NOT NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+    FROM j
+)
+SELECT n_text_only, n_emb_only, n_both,
+       CAST(n_both AS DOUBLE)
+           / CAST(n_text_only + n_emb_only + n_both AS DOUBLE)
+           AS pair_agreement
+FROM c
+"""
+
+
 QUERIES = {
     "dd1_exact_dedup": dd1_exact_dedup,
     "dd2_ngram_jaccard_pairs": dd2_ngram_jaccard_pairs,
@@ -1159,6 +1241,7 @@ QUERIES = {
     "dd10_sorted_neighborhood": dd10_sorted_neighborhood,
     "cs1_canonical_selection": cs1_canonical_selection,
     "dd12_triangle_census": dd12_triangle_census,
+    "dd13_ensemble_agreement": dd13_ensemble_agreement,
 }
 ORACLES = {
     "dd1_exact_dedup": DD1_ORACLE,
@@ -1173,4 +1256,5 @@ ORACLES = {
     "dd10_sorted_neighborhood": DD10_ORACLE,
     "cs1_canonical_selection": CS1_ORACLE,
     "dd12_triangle_census": DD12_ORACLE,
+    "dd13_ensemble_agreement": DD13_ORACLE,
 }
