@@ -1216,6 +1216,93 @@ GROUP BY 1
 """
 
 
+# -- ev21: rolling cross-metric correlation --------------------------
+EV21_WIN_DAYS = 7
+
+
+def ev21_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per day: the Pearson correlation between daily view volume and
+    daily purchase volume over the trailing EV21_WIN_DAYS days — the
+    rolling form of qa12's sufficient-statistic correlation, the
+    metric-coupling monitor (views driving purchases decoupling is an
+    incident signal).
+
+    Determinism: the day grain collapses events to exact integer
+    (x, y) counts; every windowed statistic (n, Σx, Σy, Σx², Σy²,
+    Σxy) is an integer window SUM and the closed form is one fixed
+    double tree per row (qa12's rule, windowed).  Degenerate windows
+    (zero variance) yield NULL via an explicit guard on both engines.
+
+    Scale: the rolling window runs over DAY rows — bounded by the
+    calendar, not the data; the heavy lifting is the one
+    map-side-combinable day aggregate before it.  The day window is a
+    deliberate single partition of |days| rows (audited)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+    )
+    w = Window.orderBy("d").rowsBetween(-(EV21_WIN_DAYS - 1), 0)
+    st = daily.select(
+        "d",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = [
+        F.col(c).cast("double") for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
+    ]
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    corr = F.when(
+        (vx > 0) & (vy > 0),
+        (n * sxy - sx * sy) / F.sqrt(vx * vy),
+    )
+    return st.select(
+        "d", F.col("n").alias("n_days"), corr.alias("corr_view_purchase")
+    )
+
+
+EV21_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+    FROM events GROUP BY 1
+),
+st AS (
+    SELECT d,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n,
+           CAST(SUM(x) OVER w AS BIGINT) AS sx,
+           CAST(SUM(y) OVER w AS BIGINT) AS sy,
+           CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+           CAST(SUM(y * y) OVER w AS BIGINT) AS syy,
+           CAST(SUM(x * y) OVER w AS BIGINT) AS sxy
+    FROM daily
+    WINDOW w AS (ORDER BY d
+                 ROWS BETWEEN {EV21_WIN_DAYS - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT d, n AS n_days,
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+             AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+            THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       END AS corr_view_purchase
+FROM st
+"""
+
+
 QUERIES = {
     "ev8_rolling_7day": ev8_rolling_7day,
     "ev1_tumbling_hourly": ev1_tumbling_hourly,
@@ -1237,6 +1324,7 @@ QUERIES = {
     "ev18_ohlc_daily_cascade": ev18_ohlc_daily_cascade,
     "ev19_decayed_engagement": ev19_decayed_engagement,
     "ev20_growth_accounting": ev20_growth_accounting,
+    "ev21_rolling_correlation": ev21_rolling_correlation,
 }
 ORACLES = {
     "ev1_tumbling_hourly": EV1_ORACLE,
@@ -1259,4 +1347,5 @@ ORACLES = {
     "ev18_ohlc_daily_cascade": EV18_ORACLE,
     "ev19_decayed_engagement": EV19_ORACLE,
     "ev20_growth_accounting": EV20_ORACLE,
+    "ev21_rolling_correlation": EV21_ORACLE,
 }

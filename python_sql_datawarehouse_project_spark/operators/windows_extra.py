@@ -184,13 +184,58 @@ FROM framed
 """
 
 
+def w9_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order: how many DISTINCT order priorities the customer has
+    used up to and including this order — the running distinct-count
+    window, a shape Spark's window functions do NOT support natively
+    (COUNT(DISTINCT x) OVER raises); the idiomatic workaround is
+    size(collect_set() OVER), pinned here against DuckDB's native
+    COUNT(DISTINCT) OVER.
+
+    The collect_set state is bounded by the DISTINCT value domain
+    (five priorities), NOT the frame length — that boundedness is the
+    contract that makes this formulation scale; for high-cardinality
+    columns use the sort-free two-pass (first-occurrence flag via
+    ROW_NUMBER = 1, then a running SUM of flags), which the docstring
+    records as the unbounded-domain alternative.
+
+    Scale: one shuffle on o_custkey; the running frame streams in
+    sort order with O(|domain|) state per row."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderkey").alias("order_number"),
+        F.size(F.collect_set("o_orderpriority").over(w))
+        .cast("long")
+        .alias("n_distinct_priorities"),
+    )
+
+
+W9_ORACLE = """
+SELECT o_custkey AS customer_id,
+       o_orderkey AS order_number,
+       CAST(COUNT(DISTINCT o_orderpriority) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_distinct_priorities
+FROM orders
+"""
+
+
 QUERIES = {
     "w6_first_last_nth": w6_first_last_nth,
     "w7_range_frame": w7_range_frame,
     "w8_rolling_median": w8_rolling_median,
+    "w9_running_distinct": w9_running_distinct,
 }
 ORACLES = {
     "w6_first_last_nth": W6_ORACLE,
     "w7_range_frame": W7_ORACLE,
     "w8_rolling_median": W8_ORACLE,
+    "w9_running_distinct": W9_ORACLE,
 }

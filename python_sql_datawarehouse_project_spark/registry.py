@@ -85,7 +85,8 @@ from .streaming import windows as stream_windows
 # (w8_rolling_median, rj2_interval_overlap, qa20_grouped_regression,
 # qa21_ks_distance, tx17_char_diversity, ux2_sql_udf,
 # ev18_ohlc_daily_cascade, ev19_decayed_engagement,
-# ev20_growth_accounting, dd13_ensemble_agreement).
+# ev20_growth_accounting, dd13_ensemble_agreement,
+# w9_running_distinct, ev21_rolling_correlation).
 # provenance.never_driver_green() recomputes the exact set from
 # whatever CORRECTNESS_r* files exist.
 _MODULES = (

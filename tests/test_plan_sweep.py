@@ -70,6 +70,7 @@ _SINGLE_PARTITION_OK = {
     "ev19_decayed_engagement",  # 1-row data-derived NOW frame
     "ev20_growth_accounting",  # 1-row global max-day frame
     "dd13_ensemble_agreement",  # 1-row agreement scalar
+    "ev21_rolling_correlation",  # |days| rolling window, calendar-bounded
     "pk1_pack_chunks",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
