@@ -60,6 +60,81 @@ class Warehouse:
         )
         return int(obs.get["rows"])
 
+    def write_batch_with_expectations(
+        self,
+        df: DataFrame,
+        layer: str,
+        name: str,
+        batch_id: str,
+        expectations: dict[str, str],
+        runlog=None,
+    ) -> dict:
+        """Expectation-gated idempotent write: rows satisfying EVERY
+        predicate land in the table's batch partition; failing rows
+        land in the same batch partition of ``<name>__quarantine``
+        with a ``_failed_expectations`` array naming the violated
+        rules.  Returns ``{"passed", "quarantined", "by_rule"}``
+        (exact counts; by_rule counts rows per violated rule —
+        a row can appear under several).
+
+        Semantics: a predicate evaluating NULL counts as FAILED (the
+        strict CHECK policy modern expectation frameworks apply —
+        unlike SQL CHECK's null-passes rule — so a null in a guarded
+        column cannot slip through as "unknown").  The reference's row
+        validation (SURVEY.md §2.11 V3, validate_row.py:398-481)
+        counts violations and loads everything anyway; this is the
+        quarantine upgrade of that contract: the batch stays loadable
+        AND auditable, and a re-run replaces both partitions
+        (idempotency extends to the quarantine table).
+
+        Scale: ONE pass computes the flag array (pure row
+        expressions); the flagged frame is materialized once
+        (localCheckpoint — the shared-subplan rule, it feeds the good
+        write, the quarantine write and the stats aggregate), and both
+        writes are partition-pruned dynamic overwrites.  If ``runlog``
+        is given, a ``row_validation_log`` row records the counts."""
+        flags = F.array(
+            *[
+                F.struct(
+                    F.lit(rule).alias("r"),
+                    F.coalesce(F.expr(pred), F.lit(False)).alias("ok"),
+                )
+                for rule, pred in expectations.items()
+            ]
+        )
+        failed = F.transform(
+            F.filter(flags, lambda s: ~s["ok"]), lambda s: s["r"]
+        )
+        flagged = df.withColumn(
+            "_failed_expectations", failed
+        ).localCheckpoint(eager=True)
+        good = flagged.where(F.size("_failed_expectations") == 0).drop(
+            "_failed_expectations"
+        )
+        bad = flagged.where(F.size("_failed_expectations") > 0)
+        n_good = self.write_batch(good, layer, name, batch_id)
+        n_bad = self.write_batch(bad, layer, f"{name}__quarantine", batch_id)
+        per_rule = (
+            flagged.select(
+                F.explode("_failed_expectations").alias("rule")
+            )
+            .groupBy("rule")
+            .count()
+            .collect()
+        )
+        by_rule = {r["rule"]: r["count"] for r in per_rule}
+        if runlog is not None:
+            runlog.append(
+                "row_validation_log",
+                batch_id=batch_id,
+                table=f"{layer}.{name}",
+                status="SUCCESS" if n_bad == 0 else "QUARANTINED",
+                passed=n_good,
+                quarantined=n_bad,
+                by_rule=by_rule,
+            )
+        return {"passed": n_good, "quarantined": n_bad, "by_rule": by_rule}
+
     def read_table(self, layer: str, name: str) -> DataFrame:
         return self.spark.read.parquet(self.path(layer, name))
 

@@ -461,3 +461,66 @@ def test_fingerprint_distinguishes_null_positions(spark, wh, tmp_path):
     assert _rows(wh.fingerprint_batches("silver", "t")) != _rows(
         wh2.fingerprint_batches("silver", "t")
     )
+
+
+# -- expectation-gated writes (quarantine) ----------------------------
+def _exp_frame(spark):
+    return spark.createDataFrame(
+        [
+            (1, 10.0, "x"),
+            (2, -5.0, "y"),   # fails positive_amount
+            (3, None, "z"),   # NULL fails positive_amount (strict CHECK)
+            (4, 7.0, None),   # fails tag_present
+            (5, -1.0, None),  # fails both
+        ],
+        "id int, amount double, tag string",
+    )
+
+
+_EXPECTATIONS = {
+    "positive_amount": "amount > 0",
+    "tag_present": "tag IS NOT NULL",
+}
+
+
+def test_expectations_exact_membership_and_flags(spark, wh):
+    wh.write_batch_with_expectations(
+        _exp_frame(spark), "bronze", "t", "B1", _EXPECTATIONS
+    )
+    good = wh.read_batch("bronze", "t", "B1")
+    quar = wh.read_batch("bronze", "t__quarantine", "B1")
+    assert {r["id"] for r in good.collect()} == {1}
+    assert "_failed_expectations" not in good.columns
+    flags = {
+        r["id"]: sorted(r["_failed_expectations"]) for r in quar.collect()
+    }
+    assert flags == {
+        2: ["positive_amount"],
+        3: ["positive_amount"],
+        4: ["tag_present"],
+        5: ["positive_amount", "tag_present"],
+    }
+
+
+def test_expectations_replay_is_idempotent(spark, wh):
+    for _ in range(2):
+        stats = wh.write_batch_with_expectations(
+            _exp_frame(spark), "bronze", "t", "B1", _EXPECTATIONS
+        )
+    assert stats == {
+        "passed": 1,
+        "quarantined": 4,
+        "by_rule": {"positive_amount": 3, "tag_present": 2},
+    }
+    assert wh.read_batch("bronze", "t", "B1").count() == 1
+    assert wh.read_batch("bronze", "t__quarantine", "B1").count() == 4
+
+
+def test_expectations_all_pass_writes_no_quarantine_rows(spark, wh):
+    clean = spark.createDataFrame(
+        [(1, 1.0, "a")], "id int, amount double, tag string"
+    )
+    stats = wh.write_batch_with_expectations(
+        clean, "bronze", "t", "B1", _EXPECTATIONS
+    )
+    assert stats == {"passed": 1, "quarantined": 0, "by_rule": {}}
