@@ -61,3 +61,36 @@ def test_result_invariant_under_partition_count(name, spark, sf_dir):
         f"{name}: result depends on shuffle partition count — a float "
         "accumulates in partition order somewhere"
     )
+
+
+def test_every_float_gate_is_partition_invariant(spark, sf_dir):
+    """The systematic form of the suite above: EVERY non-streaming
+    gate whose result schema carries a float/double column re-runs at
+    shuffle.partitions=3 and must match the default-partition result
+    bitwise.  (The named subset documents WHY each design is
+    invariant; this loop guarantees no gate ships without being
+    checked at all.)  Streaming gates are excluded — calling them
+    drains a real stream and their determinism is pinned against
+    batch oracles in test_streaming.py."""
+    names = [
+        n
+        for n in _QUERIES
+        if not n.startswith("stream_") and n not in _FLOAT_GATES
+    ]
+    failures = []
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    for name in names:
+        df = _QUERIES[name](spark, sf_dir)
+        if not any(t in ("double", "float") for _, t in df.dtypes):
+            continue
+        base = _canon_rows(list(df.columns), [tuple(r) for r in df.collect()])
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        try:
+            alt = _run(spark, name, sf_dir)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        if base != alt:
+            failures.append(name)
+    assert not failures, (
+        f"partition-count-dependent float results in: {failures}"
+    )
