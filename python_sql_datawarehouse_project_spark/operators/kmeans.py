@@ -124,6 +124,8 @@ def lloyd_update(n: DataFrame, centroids: list[list[float]]) -> list[list[float]
 
 def train_centroids(n: DataFrame, iters: int = KM_ITERS) -> list[list[float]]:
     cents = initial_centroids(n)
+    if not cents:  # empty corpus: nothing to train (see sim4's guard)
+        return cents
     for _ in range(iters):
         cents = lloyd_update(n, cents)
     return cents
@@ -144,6 +146,16 @@ def sim4_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = _emb_normalized(spark, sf_dir).persist()
     cents = train_centroids(n)
+    if not cents:
+        # Empty corpus: no seed vectors -> no centroids; the literal
+        # centroid array would be empty and array_max(array()) fails
+        # to type.  Return the result shape with zero rows (matches
+        # the oracle, which yields no rows from the empty CTEs) —
+        # found by the round-5 empty-input sweep.
+        n.unpersist()
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
     lists = n.select(
         "vec_id", "vn", _best_centroid(F.col("vn"), cents).alias("cid")
     )

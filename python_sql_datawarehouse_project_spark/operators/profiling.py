@@ -204,7 +204,12 @@ def qa14_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.lit(_POW60)
         / F.col("kth_hash").cast("double")
     )
-    jac = F.col("n_both").cast("double") / F.col("k_used").cast("double")
+    # nullif guards the empty-input sketch (k_used = 0): Spark ANSI
+    # raises DIVIDE_BY_ZERO where DuckDB yields inf/nan — NULL on both
+    # engines instead (found by the round-5 empty-input sweep).
+    jac = F.col("n_both").cast("double") / F.nullif(
+        F.col("k_used").cast("double"), F.lit(0.0)
+    )
     return (
         msk.crossJoin(F.broadcast(both))
         .crossJoin(F.broadcast(truth_u))
@@ -255,8 +260,8 @@ ti AS (SELECT CAST(COUNT(*) AS BIGINT) AS true_intersection
        FROM (SELECT h FROM a INTERSECT SELECT h FROM b))
 SELECT k_used, kth_hash, n_both,
        {est} AS est_union,
-       (CAST(n_both AS DOUBLE) / CAST(k_used AS DOUBLE)) * ({est})
-           AS est_intersection,
+       (CAST(n_both AS DOUBLE) / nullif(CAST(k_used AS DOUBLE), 0.0))
+           * ({est}) AS est_intersection,
        true_union, true_intersection
 FROM msk, bo, tu, ti
 """

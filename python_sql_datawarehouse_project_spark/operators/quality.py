@@ -817,11 +817,13 @@ def qa21_ks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = b_sums.agg(
         F.sum("b1").alias("n_a"), F.sum("b2").alias("n_b")
     )
+    # groupBy (not a global agg): mirrors the oracle's GROUP BY so an
+    # EMPTY input yields zero rows on both engines instead of Spark's
+    # one all-NULL global-aggregate row (round-5 empty-input sweep).
     return (
         cum.crossJoin(F.broadcast(totals))
+        .groupBy("n_a", "n_b")
         .agg(
-            F.max("n_a").alias("n_a"),
-            F.max("n_b").alias("n_b"),
             F.max(
                 F.abs(
                     F.col("cum1").cast("double") / F.col("n_a").cast("double")
