@@ -926,13 +926,20 @@ def ev17_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = ev.agg(
         F.min("value").alias("vmin"), F.max("value").alias("vmax")
     )
+    # nullif guards the degenerate vmax == vmin table (all values
+    # equal / single row): Spark ANSI raises DIVIDE_BY_ZERO where
+    # DuckDB yields nan — coalesce(bin, 0) puts everything in bin 0 on
+    # both engines instead (round-5 one-row-input sweep).
+    width = F.nullif(
+        (F.col("vmax") - F.col("vmin")) / F.lit(float(EV17_BINS)), F.lit(0.0)
+    )
     binned = ev.crossJoin(F.broadcast(bounds)).select(
-        F.least(
-            F.floor(
-                (F.col("value") - F.col("vmin"))
-                / ((F.col("vmax") - F.col("vmin")) / F.lit(float(EV17_BINS)))
+        F.coalesce(
+            F.least(
+                F.floor((F.col("value") - F.col("vmin")) / width),
+                F.lit(EV17_BINS - 1),
             ),
-            F.lit(EV17_BINS - 1),
+            F.lit(0),
         ).alias("bin"),
         "value",
     )
@@ -951,10 +958,13 @@ EV17_ORACLE = f"""
 WITH bounds AS (
     SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM events
 )
-SELECT LEAST(CAST(floor((value - vmin)
-                        / ((vmax - vmin) / {float(EV17_BINS)!r}))
-                  AS BIGINT),
-             {EV17_BINS - 1}) AS bin,
+SELECT COALESCE(
+           LEAST(CAST(floor((value - vmin)
+                            / nullif((vmax - vmin) / {float(EV17_BINS)!r},
+                                     0.0))
+                      AS BIGINT),
+                 {EV17_BINS - 1}),
+           0) AS bin,
        COUNT(*) AS n_events,
        MIN(value) AS bin_min,
        MAX(value) AS bin_max

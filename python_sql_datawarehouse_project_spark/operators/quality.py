@@ -632,10 +632,13 @@ def qa12_corr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = n * sxy - sx * sy
     vx = n * sxx - sx * sx
     vy = n * syy - sy * sy
+    # nullif guards zero variance (single-row / constant input):
+    # Spark ANSI raises DIVIDE_BY_ZERO where DuckDB yields nan/inf —
+    # NULL on both engines instead (round-5 one-row-input sweep).
     return stats.select(
         F.col("n").alias("n_orders"),
-        (num / F.sqrt(vx * vy)).alias("corr_r"),
-        (num / vx).alias("slope"),
+        (num / F.nullif(F.sqrt(vx * vy), F.lit(0.0))).alias("corr_r"),
+        (num / F.nullif(vx, F.lit(0.0))).alias("slope"),
     )
 
 
@@ -657,15 +660,15 @@ stats AS (
 SELECT n AS n_orders,
        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-       / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       / nullif(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0.0)
            AS corr_r,
        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+       / nullif((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 0.0) AS slope
 FROM stats
 """
 
@@ -712,12 +715,16 @@ def qa20_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = n * sxy - sx * sy
     vx = n * sxx - sx * sx
     vy = n * syy - sy * sy
+    # nullif guards zero per-group variance (constant x or y within a
+    # group — e.g. a one-row table): NULL on both engines instead of a
+    # Spark ANSI DIVIDE_BY_ZERO vs DuckDB nan/inf split.
+    slope = num / F.nullif(vx, F.lit(0.0))
     return stats.select(
         "l_returnflag",
         F.col("n").alias("n_lines"),
-        (num / vx).alias("slope"),
-        ((sy - (num / vx) * sx) / n).alias("intercept"),
-        (num * num / (vx * vy)).alias("r2"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        (num * num / F.nullif(vx * vy, F.lit(0.0))).alias("r2"),
     )
 
 
@@ -746,11 +753,13 @@ d AS (
 )
 SELECT l_returnflag,
        n AS n_lines,
-       (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS slope,
-       (syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * sxd)
+       (nd * sxyd - sxd * syd) / nullif(nd * sxxd - sxd * sxd, 0.0) AS slope,
+       (syd - ((nd * sxyd - sxd * syd)
+               / nullif(nd * sxxd - sxd * sxd, 0.0)) * sxd)
            / nd AS intercept,
        (nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
-           / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)) AS r2
+           / nullif((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd), 0.0)
+           AS r2
 FROM d
 """
 
@@ -826,8 +835,10 @@ def qa21_ks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max(
                 F.abs(
-                    F.col("cum1").cast("double") / F.col("n_a").cast("double")
-                    - F.col("cum2").cast("double") / F.col("n_b").cast("double")
+                    F.col("cum1").cast("double")
+                    / F.nullif(F.col("n_a").cast("double"), F.lit(0.0))
+                    - F.col("cum2").cast("double")
+                    / F.nullif(F.col("n_b").cast("double"), F.lit(0.0))
                 )
             ).alias("ks_d"),
         )
@@ -854,8 +865,9 @@ cum AS (
 t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n_a,
              CAST(SUM(c2) AS BIGINT) AS n_b FROM counts)
 SELECT n_a, n_b,
-       MAX(ABS(CAST(cum1 AS DOUBLE) / CAST(n_a AS DOUBLE)
-               - CAST(cum2 AS DOUBLE) / CAST(n_b AS DOUBLE))) AS ks_d
+       MAX(ABS(CAST(cum1 AS DOUBLE) / nullif(CAST(n_a AS DOUBLE), 0.0)
+               - CAST(cum2 AS DOUBLE)
+                 / nullif(CAST(n_b AS DOUBLE), 0.0))) AS ks_d
 FROM cum, t
 GROUP BY n_a, n_b
 """

@@ -66,16 +66,44 @@ def empty_sf_dir(sf_dir, tmp_path_factory):
     return out
 
 
-def test_every_gate_matches_oracle_on_empty_input(spark, empty_sf_dir):
+@pytest.fixture(scope="module")
+def one_row_sf_dir(sf_dir, tmp_path_factory):
+    """One row per table — the degenerate-variance boundary (zero
+    variance, zero histogram width, single-element windows, and a
+    star join that comes up empty because the surviving keys don't
+    match).  Found ev17/qa12/qa20's unguarded divisions."""
+    out = str(tmp_path_factory.mktemp("sf1row"))
+    con = duckdb.connect()
+    for t in _TABLES:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}') ORDER BY 1 LIMIT 1) "
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    return out
+
+
+def _sweep(spark, data_dir):
     qs, oracles = registry.queries(), registry.oracles()
     failures = []
     for name in sorted(qs):
         if name.startswith("stream_") or name in _EMPTY_INPUT_DIVERGENT:
             continue
         try:
-            r = compare(name, qs[name], oracles[name], spark, empty_sf_dir)
+            r = compare(name, qs[name], oracles[name], spark, data_dir)
             if not r.ok:
                 failures.append((name, r.mismatches[:2]))
         except Exception as ex:  # noqa: BLE001 — collect, report all
             failures.append((name, [f"{type(ex).__name__}: {ex}"[:120]]))
+    return failures
+
+
+def test_every_gate_matches_oracle_on_empty_input(spark, empty_sf_dir):
+    failures = _sweep(spark, empty_sf_dir)
     assert not failures, f"empty-input divergences: {failures}"
+
+
+def test_every_gate_matches_oracle_on_one_row_input(spark, one_row_sf_dir):
+    failures = _sweep(spark, one_row_sf_dir)
+    assert not failures, f"one-row-input divergences: {failures}"
