@@ -57,6 +57,13 @@ def main(argv: list[str] | None = None) -> int:
         "DuckDB oracle at --sf-dir and print one OK/FAIL line each — "
         "the driver's correctness gate, runnable at any scale factor",
     )
+    ap.add_argument(
+        "--json-out",
+        help="with --oracle-check: also write the per-gate results as "
+        "JSON (CORRECTNESS_r*.json shape: rows/schema/hash booleans "
+        "per key) so the sweep leaves a verifiable artifact, e.g. "
+        "ORACLECHECK_r06.json",
+    )
     ap.add_argument("--show", type=int, default=20, help="rows to print")
     args = ap.parse_args(argv)
 
@@ -82,16 +89,43 @@ def main(argv: list[str] | None = None) -> int:
         if args.gate and args.gate not in gates:
             ap.error(f"unknown gate {args.gate!r} (see --list-gates)")
         n_fail = 0
+        records: dict[str, dict] = {}
         for name in names:
             try:
                 r = compare(name, gates[name], oracles[name], spark, args.sf_dir)
                 ok = r.ok
                 detail = "" if ok else " " + "; ".join(r.mismatches[:3])
+                records[name] = {
+                    "rows_match": r.spark_rows == r.oracle_rows,
+                    "schema_match": r.columns_match and r.types_match,
+                    "hash_match": r.values_match,
+                    "spark_rows": r.spark_rows,
+                    "oracle_rows": r.oracle_rows,
+                    "err": None if ok else "; ".join(r.mismatches[:3]),
+                }
             except Exception as ex:  # noqa: BLE001 — report and continue
                 ok, detail = False, f" {type(ex).__name__}: {ex}"[:200]
+                records[name] = {
+                    "rows_match": False,
+                    "schema_match": False,
+                    "hash_match": False,
+                    "spark_rows": None,
+                    "oracle_rows": None,
+                    "err": f"{type(ex).__name__}: {ex}"[:300],
+                }
             n_fail += 0 if ok else 1
             print(("OK  " if ok else "FAIL") + f" {name}{detail}", flush=True)
         print(f"oracle-check: {len(names) - n_fail}/{len(names)} OK")
+        if args.json_out:
+            import json
+
+            records["__meta__"] = {
+                "sf_dir": args.sf_dir,
+                "n_ok": len(names) - n_fail,
+                "n_total": len(names),
+            }
+            with open(args.json_out, "w") as f:
+                json.dump(records, f, indent=1)
         return 1 if n_fail else 0
     if args.gate:
         if not args.sf_dir:

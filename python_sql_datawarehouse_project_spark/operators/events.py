@@ -928,19 +928,23 @@ def ev17_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # nullif guards the degenerate vmax == vmin table (all values
     # equal / single row): Spark ANSI raises DIVIDE_BY_ZERO where
-    # DuckDB yields nan — coalesce(bin, 0) puts everything in bin 0 on
-    # both engines instead (round-5 one-row-input sweep).
+    # DuckDB yields nan.  The degenerate bin is then assigned by an
+    # EXPLICIT width-IS-NULL branch on both engines (everything in
+    # bin 0) — relying on LEAST(NULL, k) would silently depend on
+    # both engines sharing NULL-skipping LEAST semantics, which
+    # DuckDB has changed across versions (round-6 ADVICE fix).
     width = F.nullif(
         (F.col("vmax") - F.col("vmin")) / F.lit(float(EV17_BINS)), F.lit(0.0)
     )
     binned = ev.crossJoin(F.broadcast(bounds)).select(
-        F.coalesce(
+        F.when(width.isNull(), F.lit(0))
+        .otherwise(
             F.least(
                 F.floor((F.col("value") - F.col("vmin")) / width),
                 F.lit(EV17_BINS - 1),
-            ),
-            F.lit(0),
-        ).alias("bin"),
+            )
+        )
+        .alias("bin"),
         "value",
     )
     return (
@@ -956,15 +960,14 @@ def ev17_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EV17_ORACLE = f"""
 WITH bounds AS (
-    SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM events
+    SELECT vmin, vmax,
+           nullif((vmax - vmin) / {float(EV17_BINS)!r}, 0.0) AS width
+    FROM (SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM events)
 )
-SELECT COALESCE(
-           LEAST(CAST(floor((value - vmin)
-                            / nullif((vmax - vmin) / {float(EV17_BINS)!r},
-                                     0.0))
-                      AS BIGINT),
-                 {EV17_BINS - 1}),
-           0) AS bin,
+SELECT CASE WHEN width IS NULL THEN 0
+            ELSE LEAST(CAST(floor((value - vmin) / width) AS BIGINT),
+                       {EV17_BINS - 1})
+       END AS bin,
        COUNT(*) AS n_events,
        MIN(value) AS bin_min,
        MAX(value) AS bin_max

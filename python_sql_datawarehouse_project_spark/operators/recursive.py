@@ -216,9 +216,13 @@ def q43_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     q9 remains the production path: the loop controls per-level
     persistence, bucketed scans and checkpoint cadence explicitly,
     where the native operator manages its own working-table state.
-    This gate pins the SQL SURFACE (an analyst can paste the
-    reference's query verbatim modulo table names) — the strongest
-    §2.10 parity statement available."""
+    MEASURED PENALTY (r5 bench, sf0.1): q43 4.28s vs q9 1.65s — the
+    native operator's working-table management is ~2.6x slower than
+    the driver loop on the same query and oracle.  Do NOT promote
+    q43 into the MV/production path; it exists to pin the SQL
+    SURFACE (an analyst can paste the reference's query verbatim
+    modulo table names) — the strongest §2.10 parity statement
+    available."""
     from ..catalog import load_table
 
     load_table(spark, sf_dir, "orders").createOrReplaceTempView(

@@ -137,14 +137,20 @@ def ux2_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The repair targets a deterministically corrupted sales column
     (every 7th order's sales nulled, every 11th negated) so the rule
-    genuinely fires at any SF.  Scale: pure per-row expressions at
+    genuinely fires at any SF.  The consistency check compares
+    sales_raw against the carried true total (l_extendedprice), not
+    against q * (l_extendedprice / q): the double round-trip often
+    differs from l_extendedprice by a ulp, which flagged CLEAN rows
+    as repaired and perturbed their sales_fixed (round-6 ADVICE fix).
+    The repair value itself stays the reference's recompute
+    expression q * abs(p).  Scale: pure per-row expressions at
     parquet-scan speed; no shuffle."""
     spark.sql(
         """
         CREATE OR REPLACE TEMPORARY FUNCTION spark_graft_fix_sales(
-            q DOUBLE, p DOUBLE, s DOUBLE)
+            q DOUBLE, p DOUBLE, s DOUBLE, expected DOUBLE)
         RETURNS DOUBLE
-        RETURN CASE WHEN s IS NULL OR s <= 0 OR s <> q * abs(p)
+        RETURN CASE WHEN s IS NULL OR s <= 0 OR s <> expected
                     THEN q * abs(p) ELSE s END
         """
     )
@@ -154,7 +160,7 @@ def ux2_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         WITH corrupted AS (
-            SELECT l_orderkey, l_linenumber, l_quantity,
+            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
                    l_extendedprice / l_quantity AS unit_price,
                    CASE WHEN l_orderkey % 7 = 0 THEN CAST(NULL AS DOUBLE)
                         WHEN l_orderkey % 11 = 0 THEN -l_extendedprice
@@ -162,10 +168,10 @@ def ux2_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM spark_graft_li_for_sqludf
         )
         SELECT l_orderkey, l_linenumber,
-               spark_graft_fix_sales(l_quantity, unit_price, sales_raw)
-                   AS sales_fixed,
+               spark_graft_fix_sales(l_quantity, unit_price, sales_raw,
+                                     l_extendedprice) AS sales_fixed,
                CAST(sales_raw IS NULL OR sales_raw <= 0
-                    OR sales_raw <> l_quantity * abs(unit_price)
+                    OR sales_raw <> l_extendedprice
                     AS INT) AS was_repaired
         FROM corrupted
         """
@@ -174,7 +180,7 @@ def ux2_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 UX2_ORACLE = """
 WITH corrupted AS (
-    SELECT l_orderkey, l_linenumber, l_quantity,
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
            l_extendedprice / l_quantity AS unit_price,
            CASE WHEN l_orderkey % 7 = 0 THEN CAST(NULL AS DOUBLE)
                 WHEN l_orderkey % 11 = 0 THEN -l_extendedprice
@@ -183,11 +189,11 @@ WITH corrupted AS (
 )
 SELECT l_orderkey, l_linenumber,
        CASE WHEN sales_raw IS NULL OR sales_raw <= 0
-                 OR sales_raw <> l_quantity * abs(unit_price)
+                 OR sales_raw <> l_extendedprice
             THEN l_quantity * abs(unit_price) ELSE sales_raw END
            AS sales_fixed,
        CAST(sales_raw IS NULL OR sales_raw <= 0
-            OR sales_raw <> l_quantity * abs(unit_price)
+            OR sales_raw <> l_extendedprice
             AS INT) AS was_repaired
 FROM corrupted
 """

@@ -60,6 +60,19 @@ class Warehouse:
         )
         return int(obs.get["rows"])
 
+    def _drop_batch_partition(self, layer: str, name: str, batch_id: str) -> None:
+        """Remove one batch partition directory.  Needed wherever a
+        rewrite may legitimately produce ZERO rows: dynamic overwrite
+        writes no files for an empty result, so the old partition
+        would otherwise survive on disk (delete_keys, merge_upsert,
+        write_batch_with_expectations all route through this)."""
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(self.path(layer, name), f"{BATCH_COL}={batch_id}"),
+            ignore_errors=True,
+        )
+
     def write_batch_with_expectations(
         self,
         df: DataFrame,
@@ -114,6 +127,16 @@ class Warehouse:
         bad = flagged.where(F.size("_failed_expectations") > 0)
         n_good = self.write_batch(good, layer, name, batch_id)
         n_bad = self.write_batch(bad, layer, f"{name}__quarantine", batch_id)
+        # Dynamic overwrite writes NO files for an empty result, so a
+        # re-run whose pass/fail split changed (all rows now pass where
+        # some were quarantined before, or vice versa) would leave the
+        # STALE partition on disk while the runlog reports the new
+        # counts.  Mirror delete_keys: an empty side explicitly drops
+        # its batch partition (round-6 ADVICE fix).
+        if n_good == 0:
+            self._drop_batch_partition(layer, name, batch_id)
+        if n_bad == 0:
+            self._drop_batch_partition(layer, f"{name}__quarantine", batch_id)
         per_rule = (
             flagged.select(
                 F.explode("_failed_expectations").alias("rule")
@@ -382,12 +405,7 @@ class Warehouse:
             out = kept.select(*cols).unionByName(matched_ups)
             n_after = self.write_batch(out, layer, name, b)
             if n_after == 0:
-                import shutil
-
-                shutil.rmtree(
-                    os.path.join(self.path(layer, name), f"{BATCH_COL}={b}"),
-                    ignore_errors=True,
-                )
+                self._drop_batch_partition(layer, name, b)
             updated += n_matched
             # n_after = kept + n_matched, so the matched rows that
             # vanished (delete-flagged) are exactly n_before - n_after.
@@ -450,13 +468,6 @@ class Warehouse:
                 # dynamic overwrite writes NO files for an empty
                 # result, which would leave the old partition (and the
                 # supposedly-deleted rows) on disk — drop it explicitly
-                import shutil
-
-                shutil.rmtree(
-                    os.path.join(
-                        self.path(layer, name), f"{BATCH_COL}={b}"
-                    ),
-                    ignore_errors=True,
-                )
+                self._drop_batch_partition(layer, name, b)
             deleted += n_before - n_after
         return deleted

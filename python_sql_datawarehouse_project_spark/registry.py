@@ -53,42 +53,27 @@ from .streaming import windows as stream_windows
 
 # Key order is load-bearing: the driver's correctness gate checks the
 # FIRST 50 registry keys in insertion order (observed window size in
-# r1/r2).  CORRECTNESS_r03 never landed on disk, so at the start of
-# round 4 the keys with a *recorded* green driver row are exactly the
-# 59 from r1/r2; everything else rotates through the window by
-# priority, explicitly, via _WINDOW_PRIORITY below (key-level — module
-# order alone could not express the r3/r4 tail additions that live
-# inside already-green modules, e.g. events.ev11-15, analytics
-# q12/q16/q23).
+# r1/r2/r5).  CORRECTNESS_r05 landed 50/50 green, so the recorded
+# driver-green set entering round 6 is the r1+r2+r5 union: 109
+# distinct keys, leaving exactly 66 never-driver-checked (all
+# round-3..5 extensions; recompute any time with
+# provenance.never_driver_green(list(queries()))).
 #
-# Priority tiers in _WINDOW_PRIORITY:
-#   A. round-3 tail additions that have never been inside ANY window
-#      (36 keys: tpch q13-q22, profiling, stream_extras, embquality,
-#      windows_extra, udtfs, evals, plus ev11-15 / q12 / q16 / q23 /
-#      ds5-ds6 / aj2-aj3 / qa13-qa18 / sim6 / tx12-tx14 / cs1);
-#   B. the two r2 hash-fails whose oracle casts were fixed in r3
-#      (ev8, qa5) — they need a recorded green row to close VERDICT r2
-#      item #2;
-#   C. keys that sat in r3's presumed window but have no recorded row
-#      (stream_*, sk*, rj1, w4/w5, sim5, tx5) to fill the 50.
-# ROUND-5 STATUS: CORRECTNESS_r04 (like r03) never landed on disk, so
-# the recorded-green set is STILL only the 59 rows from r1+r2 and the
-# 50 keys below remain the oldest unrecorded — the window therefore
-# does NOT rotate this round; it stays exactly as round 4 left it so
-# those 50 finally get a recorded row.  ROUND-6 NOTE: once a
-# CORRECTNESS_r05 lands, rotate its green keys out and fill the window
-# oldest-never-checked first from: the round-4 tail in arrival order
-# (q24-q31, tx15/tx16, emb2, stream_enrich_segments, then q32-q44,
-# emb3/emb4, stream_coldstart_purchases, ux1_pandas_udaf,
-# qa19_ndv_profile, ds8_sequence_packing, dd12/sim7/q43/ev16/ev17 —
-# all swept green at sf0.1, COVERAGE.md), then the round-5 tail
-# (w8_rolling_median, rj2_interval_overlap, qa20_grouped_regression,
-# qa21_ks_distance, tx17_char_diversity, ux2_sql_udf,
-# ev18_ohlc_daily_cascade, ev19_decayed_engagement,
-# ev20_growth_accounting, dd13_ensemble_agreement,
-# w9_running_distinct, ev21_rolling_correlation).
-# provenance.never_driver_green() recomputes the exact set from
-# whatever CORRECTNESS_r* files exist.
+# ROUND-6 ROTATION (executes the plan VERDICT r5 item #1 cites): the
+# 50 r5-green keys rotate OUT and the window refills
+# oldest-never-checked-first —
+#   A. the 15 round-3 tail keys that have never been inside any
+#      window (tx6-tx11, qa8-qa12, pd1, eq1, pk1, ls1);
+#   B. the 35 round-4 tail keys in arrival order (q24-q31, tx15/tx16,
+#      emb2, stream_enrich_segments, q32-q44 incl. q43, emb3/emb4,
+#      stream_coldstart_purchases, ux1, qa19, ds8, dd12, sim7,
+#      ev16/ev17).
+# 15 + 35 = 50.  The 16 keys still queued for ROUND 7 (the round-5
+# tail plus the four round-3 stragglers that didn't fit): sq1, ds7,
+# zo1, dd11, ev18-ev21, dd13, w8, w9, rj2, qa20, qa21, tx17, ux2.
+# All 66 are green in the local two-SF oracle-parity pytest suite and
+# the sf0.1 CLI sweep (COVERAGE.md); the rotation exists purely to
+# convert builder-side evidence into recorded driver rows.
 _MODULES = (
     windows,
     recursive,
@@ -134,59 +119,58 @@ _MODULES = (
 # must exist (asserted in queries()) so a renamed gate fails loudly
 # instead of silently dropping out of the window.
 _WINDOW_PRIORITY = (
-    # -- tier A: never inside any driver window ------------------------
-    "q12_regional_revenue",
-    "q13_pricing_summary",
-    "q14_shipping_priority",
-    "q15_top_supplier",
-    "q16_mixed_grain_report",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q21_exclusive_late_supplier",
-    "q22_dormant_high_balance",
-    "q23_unpivot_metrics",
-    "w6_first_last_nth",
-    "w7_range_frame",
-    "aj2_asof_next_event",
-    "aj3_asof_tolerance",
-    "cs1_canonical_selection",
-    "ds5_quality_quantile_filter",
-    "ds6_clean_mix",
-    "emb1_centroid_outliers",
-    "ev11_gap_fill",
-    "ev12_ohlc_hourly",
-    "ev13_props_variant",
-    "ev14_mode_event_type",
-    "ev15_daily_anomaly",
-    "qa13_benford_digits",
-    "qa14_kmv_set_ops",
-    "qa15_lsh_recall",
-    "qa16_mad_outliers",
-    "qa17_null_drift",
-    "qa18_blocking_recall",
-    "sim6_ivf_recall",
-    "stream_ohlc_hourly",
-    "stream_sliding_windows",
-    "tx12_commonness",
-    "tx13_chunk_udtf",
-    "tx14_langid_confusion",
-    # -- tier B: r2 hash-fails, oracle casts fixed in r3 ---------------
-    "ev8_rolling_7day",
-    "qa5_exact_percentiles",
-    # -- tier C: in r3's presumed window, no recorded row --------------
-    "stream_tumbling_hourly",
-    "stream_session_windows",
-    "stream_first_events",
-    "stream_preorder_pairs",
-    "stream_dedup_events",
-    "sk1_salted_hot_key_agg",
-    "sk2_salted_skew_join",
-    "rj1_preorder_attribution",
-    "w4_ntile_spend_quartiles",
-    "w5_spend_percentile",
-    "sim5_radius_search",
-    "tx5_tfidf_top_terms",
+    # -- tier A: round-3 tail, oldest never-checked keys ----------------
+    "tx6_decontamination",
+    "tx7_repetition",
+    "tx8_chunks",
+    "tx9_bigram_lift",
+    "tx10_textrank",
+    "tx11_vocab_stats",
+    "qa8_chisq_drift",
+    "qa9_cms_heavy_hitters",
+    "qa10_join_explosion",
+    "qa11_fd_profile",
+    "qa12_corr_profile",
+    "pd1_window_dedup",
+    "eq1_int8_quantize",
+    "pk1_pack_chunks",
+    "ls1_leakage_safe_split",
+    # -- tier B: round-4 tail, arrival order -----------------------------
+    "q24_order_priority_check",
+    "q25_volume_shipping",
+    "q26_market_share",
+    "q27_returned_items",
+    "q28_latency_priority",
+    "q29_promo_revenue",
+    "q30_pivot_priority_revenue",
+    "q31_date_dim",
+    "tx15_pii_redaction",
+    "tx16_bigram_novelty",
+    "emb2_dimension_profile",
+    "stream_enrich_segments",
+    "q32_min_cost_supplier",
+    "q33_local_supplier_volume",
+    "q34_forecast_revenue",
+    "q35_product_profit",
+    "q36_important_parts",
+    "q37_order_count_distribution",
+    "q38_supplier_part_variety",
+    "q39_promotion_candidates",
+    "q40_snapshot_diff",
+    "q41_set_ops",
+    "q42_table_fingerprint",
+    "q43_recursive_sql",
+    "q44_market_basket",
+    "emb3_int8_quant",
+    "emb4_matryoshka",
+    "stream_coldstart_purchases",
+    "ux1_pandas_udaf",
+    "qa19_ndv_profile",
+    "ds8_sequence_packing",
+    "dd12_triangle_census",
+    "sim7_knn_graph",
+    "ev16_cumulative_users",
+    "ev17_value_histogram",
 )
 
 

@@ -524,3 +524,44 @@ def test_expectations_all_pass_writes_no_quarantine_rows(spark, wh):
         clean, "bronze", "t", "B1", _EXPECTATIONS
     )
     assert stats == {"passed": 1, "quarantined": 0, "by_rule": {}}
+
+
+def test_expectations_rerun_with_changed_split_leaves_no_stale_rows(spark, wh):
+    """A batch re-run whose pass/fail split CHANGED must not leave the
+    previous run's partition behind: dynamic overwrite writes no files
+    for an empty result, so the empty side's stale partition has to be
+    dropped explicitly (round-6 ADVICE fix).  Sweep all four
+    transitions: mixed -> all-pass, all-pass -> all-fail, and back."""
+    mixed = _exp_frame(spark)
+    all_pass = spark.createDataFrame(
+        [(1, 1.0, "a"), (2, 2.0, "b")], "id int, amount double, tag string"
+    )
+    all_fail = spark.createDataFrame(
+        [(1, -1.0, "a"), (2, -2.0, "b")], "id int, amount double, tag string"
+    )
+
+    def state():
+        def n(tbl):
+            # list_batches, not exists: dropping the only partition
+            # leaves an empty table dir that parquet cannot infer a
+            # schema from (schema-on-read has nothing to read).
+            if "B1" not in wh.list_batches("bronze", tbl):
+                return 0
+            return wh.read_batch("bronze", tbl, "B1").count()
+
+        return n("t"), n("t__quarantine")
+
+    wh.write_batch_with_expectations(mixed, "bronze", "t", "B1", _EXPECTATIONS)
+    assert state() == (1, 4)
+    # re-run now passes everything: the 4 quarantined rows must vanish
+    stats = wh.write_batch_with_expectations(
+        all_pass, "bronze", "t", "B1", _EXPECTATIONS
+    )
+    assert stats == {"passed": 2, "quarantined": 0, "by_rule": {}}
+    assert state() == (2, 0)
+    # re-run now fails everything: the 2 good rows must vanish
+    wh.write_batch_with_expectations(all_fail, "bronze", "t", "B1", _EXPECTATIONS)
+    assert state() == (0, 2)
+    # and back to mixed: both sides replaced, no accumulation
+    wh.write_batch_with_expectations(mixed, "bronze", "t", "B1", _EXPECTATIONS)
+    assert state() == (1, 4)
