@@ -687,8 +687,6 @@ def dd7_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     which DuckDB computes as a recursive reachability closure + MIN
     — integer-only logic on both engines.
     """
-    from .recursive import finalize_recursion
-
     docs = load_table(spark, sf_dir, "documents")
     pairs = (
         _lsh_candidates(_doc_sketches(docs))
@@ -696,6 +694,19 @@ def dd7_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("est") >= EST_T)
         .select("doc_a", "doc_b")
     )
+    return _propagate_clusters(spark, docs, pairs)
+
+
+def _propagate_clusters(
+    spark: SparkSession, docs: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """dd7's pointer-jumping min-label propagation over an ARBITRARY
+    (doc_a, doc_b) pair frame — shared by the inline dd7 gate (pairs
+    recomputed from documents) and the Warehouse-backed DedupIndex
+    (pairs read from the persisted candidate index), so the two paths
+    are bit-identical by construction."""
+    from .recursive import finalize_recursion
+
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .unionByName(
@@ -1095,14 +1106,30 @@ def cs1_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores (proven bit-identical cross-engine, so the argmax is
     deterministic), ROW_NUMBER per cluster.  Costs one extra
     label-sized shuffle on top of dd7 — the window partitions by
-    cluster_id over (id, label, score) triples only."""
+    cluster_id over (id, label, score) triples only.
+
+    The gate recomputes dd7's full closure inline (a pure function of
+    the input tables, as the oracle contract requires); a production
+    pipeline reads the persisted cluster labels instead — see
+    plans/dedup_index.DedupIndex.cs1_canonical_selection, which feeds
+    the SAME composition below from the Warehouse-backed index
+    (bit-identical by construction, pytest-pinned)."""
+    labels = dd7_dup_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+    return _canonical_from_labels(spark, sf_dir, labels)
+
+
+def _canonical_from_labels(
+    spark: SparkSession, sf_dir: str, labels: DataFrame
+) -> DataFrame:
+    """cs1's scoring+argmax composition over an arbitrary label frame
+    (doc_id, cluster_id, cluster_size) — shared by the inline gate and
+    the DedupIndex variant."""
     from pyspark.sql import Window
 
     from .text import tx2_quality_score
 
-    labels = dd7_dup_clusters(spark, sf_dir).select(
-        "doc_id", "cluster_id", "cluster_size"
-    )
     scored = labels.join(
         tx2_quality_score(spark, sf_dir).select("doc_id", "quality_score"),
         "doc_id",
@@ -1163,12 +1190,27 @@ def dd13_ensemble_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: composes the two gate pipelines unchanged — both are
     banded-LSH sublinear candidate generators; the FULL OUTER join
     runs on pair keys (|pairs|, not |docs|^2) and the final aggregate
-    is a 1-row scalar (audited SinglePartition)."""
-    tp = dd3_minhash_lsh_pairs(spark, sf_dir).select(
+    is a 1-row scalar (audited SinglePartition).
+
+    Like cs1, the gate recomputes BOTH candidate pipelines inline; a
+    production pipeline reads the persisted pair tables instead —
+    plans/dedup_index.DedupIndex.dd13_ensemble_agreement feeds the
+    SAME set algebra below from the index (bit-identical,
+    pytest-pinned)."""
+    tp = dd3_minhash_lsh_pairs(spark, sf_dir)
+    ep = dd6_embedding_neardup_lsh(spark, sf_dir)
+    return _agreement_from_pairs(tp, ep)
+
+
+def _agreement_from_pairs(tp: DataFrame, ep: DataFrame) -> DataFrame:
+    """dd13's set algebra over arbitrary text-pair (doc_a, doc_b, ...)
+    and embedding-pair (vec_a, vec_b, ...) frames — shared by the
+    inline gate and the DedupIndex variant."""
+    tp = tp.select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b"),
         F.lit(1).alias("_t"),
     )
-    ep = dd6_embedding_neardup_lsh(spark, sf_dir).select(
+    ep = ep.select(
         F.col("vec_a").alias("a"), F.col("vec_b").alias("b"),
         F.lit(1).alias("_e"),
     )

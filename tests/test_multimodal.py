@@ -47,6 +47,59 @@ def test_real_decoder_is_stubbed():
         mm.decode_image(b"\x89PNG...")
 
 
+# -- real stdlib BMP decode through the seam (VERDICT r5 #7) ----------
+def _checker(width, height):
+    """Deterministic checkerboard-ish test image, top-down (r,g,b)."""
+    return [
+        [((x * 37) % 256, (y * 53) % 256, (x * y) % 256) for x in range(width)]
+        for y in range(height)
+    ]
+
+
+def test_bmp_codec_round_trips():
+    for w, h in ((1, 1), (3, 2), (5, 4)):  # 5px rows exercise stride pad
+        px = _checker(w, h)
+        blob = mm.encode_bmp(w, h, px)
+        assert blob[:2] == b"BM"
+        assert mm.decode_bmp(blob) == (w, h, px)
+
+
+def test_bmp_decoder_rejects_non_bmp_and_truncation():
+    with pytest.raises(ValueError):
+        mm.decode_bmp(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    blob = mm.encode_bmp(3, 2, _checker(3, 2))
+    with pytest.raises(ValueError):
+        mm.decode_bmp(blob[:-4])
+
+
+def test_real_bmp_decode_runs_end_to_end_on_executors(spark):
+    """The mm2 seam executing a GENUINE decode: real BMP bytes go in
+    as the payload column, the stdlib parser runs inside mapInPandas
+    on executors, and the features come back computed over decoded
+    PIXELS — not file bytes (byte 0 of a BMP file is ord('B'); pixel
+    channel 0 is the image's own red value, so f_first alone proves
+    decoding happened)."""
+    imgs = [(i, mm.encode_bmp(4 + i, 3, _checker(4 + i, 3))) for i in range(6)]
+    df = spark.createDataFrame(
+        [(i, blob, "bmp", len(blob)) for i, blob in imgs],
+        "doc_id long, payload binary, format string, n_bytes int",
+    ).repartition(3)
+    out = {
+        r["doc_id"]: r
+        for r in mm.decode_features(spark, df, mm.bmp_decode_features).collect()
+    }
+    assert len(out) == len(imgs)
+    for i, blob in imgs:
+        exp = mm.bmp_decode_features(blob)
+        r = out[i]
+        got = [r.f_len, r.f_sum, r.f_mean, r.f_var, r.f_first, r.f_last]
+        assert got == exp, (i, got, exp)
+        # decoded-pixel evidence: first channel is the image's (0,0)
+        # red value (0 for _checker), never ord('B') = 66
+        assert r.f_first == 0.0
+        assert r.f_len == (4 + i) * 3 * 3  # w*h*3 channels, not file size
+
+
 def test_mm2_decode_fn_seam(spark, sf_dir):
     # VERDICT r2 #8: a replacement decoder must slot into mm2 without
     # touching the oracled pipeline — same schema, same rows-in/rows-out
