@@ -89,17 +89,30 @@ def main() -> None:
                     "overwrite"
                 ).save()
 
+    from python_sql_datawarehouse_project_spark.streaming.windows import (
+        LAST_DRAIN_SPLIT,
+    )
+
     total = 0.0
+    stream_split: dict[str, dict] = {}
     for name in sorted(queries):
+        LAST_DRAIN_SPLIT.clear()
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
+        if name.startswith("stream_") and LAST_DRAIN_SPLIT:
+            stream_split[name] = dict(LAST_DRAIN_SPLIT)
 
     _warn_regressions(timings)
     _record_history(timings, sf)
 
+    # Each drained stream gate carries a fixed AvailableNow lifecycle
+    # cost (query start/stop, source listing, checkpoint init) that is
+    # NOT execution work; stream_setup_total_sec quantifies it so
+    # cross-round totals can compare execution (VERDICT r5 #8).
+    setup_total = round(sum(s["setup_s"] for s in stream_split.values()), 3)
     print(
         json.dumps(
             {
@@ -108,6 +121,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "stream_setup_total_sec": setup_total,
+                "stream_split": stream_split,
             }
         )
     )

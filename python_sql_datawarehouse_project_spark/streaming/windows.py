@@ -229,6 +229,16 @@ def session_windows(stream: DataFrame) -> DataFrame:
     )
 
 
+# Filled by run_available_now after every drain: the wall/execution
+# split of the LAST drained query.  A harness that just invoked one
+# stream gate (bench.py) pops this to annotate how much of the gate's
+# wall time was micro-batch execution (sum of triggerExecution across
+# batches) vs fixed drain lifecycle cost (query start/stop, source
+# listing, checkpoint init + teardown) — the ~2-3 s/gate constant the
+# cross-round bench totals should not be charged for (VERDICT r5 #8).
+LAST_DRAIN_SPLIT: dict = {}
+
+
 def run_available_now(
     spark: SparkSession,
     result: DataFrame,
@@ -243,8 +253,11 @@ def run_available_now(
     fire on a drained bounded source (nothing is ever late relative
     to a watermark that only advances between micro-batches).
     """
+    import time
+
     qname = name or f"stream_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(_fast_tmpdir(), "spark-graft-ckpt", qname)
+    t0 = time.perf_counter()
     q = (
         result.writeStream.format("memory")
         .queryName(qname)
@@ -255,6 +268,24 @@ def run_available_now(
     )
     try:
         q.awaitTermination()
+        wall = time.perf_counter() - t0
+        progress = q.recentProgress or []
+        exec_s = (
+            sum(
+                (p.get("durationMs") or {}).get("triggerExecution", 0)
+                for p in progress
+            )
+            / 1000.0
+        )
+        LAST_DRAIN_SPLIT.clear()
+        LAST_DRAIN_SPLIT.update(
+            {
+                "wall_s": round(wall, 3),
+                "exec_s": round(exec_s, 3),
+                "setup_s": round(max(0.0, wall - exec_s), 3),
+                "n_batches": len(progress),
+            }
+        )
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(qname)
