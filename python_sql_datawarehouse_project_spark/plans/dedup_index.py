@@ -12,32 +12,49 @@ runs ONCE, its outputs land as batch-partitioned warehouse tables,
 and every composed consumer reads the index.
 
 Index tables (layer ``index``, partitioned by dwh_batch_id like every
-warehouse table, so a re-build of a corpus snapshot is the same
-idempotent dynamic-partition overwrite as any load):
+warehouse table; batch ids must sort lexically in load order, the
+same read_as_of convention as the rest of the warehouse):
 
-  text_pairs   dd3-grade MinHash-LSH candidate pairs
-               (doc_a, doc_b, jaccard_est >= EST_T) — the text
-               near-dup edge list dd7/cs1/dd13/dd8 all consume
+  doc_ids      (doc_id) — corpus membership per batch; the cluster
+               label frame's init set (includes shingle-less docs,
+               which the sketch table by construction cannot)
+  sketches     (doc_id, sig) — MinHash signatures; ~16 longs/doc,
+               the only per-doc state an incremental probe needs
+  bands        (doc_id, band, band_key) — the banded LSH index the
+               new-vs-corpus probe joins against
+  text_pairs   dd3-grade candidate pairs (doc_a, doc_b,
+               jaccard_est >= EST_T) — the near-dup edge list
+               dd7/cs1/dd13/dd8 all consume; one partition per
+               ingested batch (base: all-pairs; append batch k:
+               new-vs-corpus + new-vs-new pairs only)
   emb_pairs    dd6-grade hyperplane-LSH embedding pairs
                (vec_a, vec_b, cosine >= COSINE_T)
-  clusters     dd7's connected-component labels over text_pairs
-               (doc_id, cluster_id, cluster_size, keep)
+  clusters     dd7's connected-component labels over ALL text_pairs
+               as of each batch (doc_id, cluster_id, cluster_size,
+               keep) — read the latest partition for current state,
+               an older one for as-of state
+
+Incremental growth (``append_batch``) is the dd11 probe made
+persistent: a new batch sketches ONLY its own documents, band-joins
+against the PERSISTED corpus bands (asymmetric — per-ingest cost
+scales with the batch, never the corpus), appends its pairs as a new
+text_pairs partition, and re-derives cluster labels over the pair
+union (label-sized work: two longs per doc).  pytest pins that an
+appended index equals a from-scratch rebuild bit-for-bit — pairs AND
+clusters.
 
 At 100 TB this is the load-bearing design: sketching + banding the
-corpus is the expensive pass and happens once per snapshot; the pair
-tables are orders of magnitude smaller than the corpus (id-only
-rows); incremental ingestion appends new-batch pairs via dd11's
-asymmetric band probe instead of re-pairing the corpus.  Bucketing
-the persisted bands by band_key (plans/bucketing.py pattern) removes
-even the probe-side shuffle.
+corpus is the expensive pass and happens once per document ever; the
+pair tables are orders of magnitude smaller than the corpus (id-only
+rows).  Bucketing the persisted bands by band_key (plans/bucketing.py
+pattern) removes even the probe-side shuffle.
 
 Consumers (each the SAME composition code as its oracled gate —
-bit-identical by construction, and pinned empirically in
-tests/test_dedup_index.py):
+bit-identical by construction, pinned in tests/test_dedup_index.py):
 
-  cs1_canonical_selection   labels from the index + tx2 scores
+  cs1_canonical_selection   latest labels + tx2 scores
   dd13_ensemble_agreement   set algebra over the two pair tables
-  dd7_dup_clusters          read back the persisted labels
+  dd7_dup_clusters          read back the latest persisted labels
 
 Measured (sf0.1, local[32], round 6, /tmp noop-sink timing run):
 build 12.1 s once; index-fed cs1 1.66 s vs 7.56 s inline (4.6x),
@@ -50,54 +67,155 @@ sweeps, re-mixes, canonical refreshes) is pure profit.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators import dedup
+from ..operators.incremental import _bands
 from .warehouse import BATCH_COL, Warehouse
 
 LAYER = "index"
 
 
 class DedupIndex:
-    """Persisted candidate/cluster index over one corpus snapshot."""
+    """Persisted candidate/cluster index over a growing corpus."""
 
     def __init__(self, warehouse: Warehouse, batch_id: str = "full"):
         self.wh = warehouse
         self.batch_id = batch_id
 
+    # -- building ------------------------------------------------------
+
     def build(self, spark: SparkSession, sf_dir: str) -> dict[str, int]:
-        """Run candidate generation ONCE and persist all three index
-        tables; returns per-table row counts.  Clusters are computed
-        from the just-written text_pairs (not a recompute), so the
-        whole build is one sketch+band pass plus the label loop."""
-        n_tp = self.wh.write_batch(
-            dedup.dd3_minhash_lsh_pairs(spark, sf_dir),
-            LAYER,
-            "text_pairs",
-            self.batch_id,
-        )
-        n_ep = self.wh.write_batch(
+        """Base snapshot: run candidate generation ONCE over the
+        documents/embeddings tables and persist every index table
+        under the base batch id; returns per-table row counts."""
+        docs = load_table(spark, sf_dir, "documents")
+        counts = self._ingest_docs(spark, docs, self.batch_id, base=True)
+        counts["emb_pairs"] = self.wh.write_batch(
             dedup.dd6_embedding_neardup_lsh(spark, sf_dir),
             LAYER,
             "emb_pairs",
             self.batch_id,
         )
-        docs = load_table(spark, sf_dir, "documents")
-        clusters = dedup._propagate_clusters(
-            spark, docs, self._pairs("text_pairs").select("doc_a", "doc_b")
-        )
-        n_cl = self.wh.write_batch(clusters, LAYER, "clusters", self.batch_id)
-        return {"text_pairs": n_tp, "emb_pairs": n_ep, "clusters": n_cl}
+        return counts
 
-    def _pairs(self, name: str) -> DataFrame:
-        return self.wh.read_batch(LAYER, name, self.batch_id).drop(BATCH_COL)
+    def append_batch(
+        self, spark: SparkSession, new_docs: DataFrame, batch_id: str
+    ) -> dict[str, int]:
+        """Incremental ingest: sketch/band ONLY the new documents,
+        probe the persisted corpus bands for cross pairs (asymmetric
+        dd11 join), add new-vs-new pairs, land everything as the
+        batch's partitions, and re-derive cluster labels over the
+        pair union.  Idempotent: a replay overwrites the same
+        partitions and excludes its own prior output from the corpus
+        side of the probe."""
+        return self._ingest_docs(spark, new_docs, batch_id, base=False)
+
+    def _ingest_docs(
+        self, spark: SparkSession, docs: DataFrame, bid: str, base: bool
+    ) -> dict[str, int]:
+        sk = dedup._doc_sketches(docs).localCheckpoint(eager=True)
+        counts = {
+            "doc_ids": self.wh.write_batch(
+                docs.select("doc_id"), LAYER, "doc_ids", bid
+            ),
+            "sketches": self.wh.write_batch(
+                sk.select("doc_id", "sig"), LAYER, "sketches", bid
+            ),
+            "bands": self.wh.write_batch(_bands(sk), LAYER, "bands", bid),
+        }
+        # intra-batch pairs: dd3's own body over this batch's sketches
+        intra = (
+            dedup._lsh_candidates(sk)
+            .select(
+                "doc_a", "doc_b", dedup._sig_agreement().alias("jaccard_est")
+            )
+            .filter(F.col("jaccard_est") >= dedup.EST_T)
+        )
+        if base:
+            pairs_new = intra
+        else:
+            pairs_new = intra.unionByName(self._probe_corpus(sk, bid))
+        counts["text_pairs"] = self.wh.write_batch(
+            pairs_new, LAYER, "text_pairs", bid
+        )
+        clusters = dedup._propagate_clusters(
+            spark,
+            self._all("doc_ids"),
+            self._all("text_pairs").select("doc_a", "doc_b"),
+        )
+        counts["clusters"] = self.wh.write_batch(
+            clusters, LAYER, "clusters", bid
+        )
+        return counts
+
+    def _probe_corpus(self, new_sk: DataFrame, bid: str) -> DataFrame:
+        """New-vs-corpus candidate pairs at dd3 grade: the new batch's
+        bands join the PERSISTED band index (excluding this batch id,
+        so replays are idempotent), signatures re-attach by id, and
+        the estimated-Jaccard filter matches dd3's.  Output pairs are
+        normalized (doc_a = min) so the union of all partitions equals
+        a from-scratch all-pairs run exactly."""
+        not_self = F.col(BATCH_COL) != bid
+        corpus_bands = (
+            self.wh.read_table(LAYER, "bands")
+            .filter(not_self)
+            .select(
+                F.col("doc_id").alias("corpus_id"), "band", "band_key"
+            )
+        )
+        cand = (
+            _bands(new_sk)
+            .select(F.col("doc_id").alias("new_id"), "band", "band_key")
+            .join(corpus_bands, ["band", "band_key"])
+            .select("new_id", "corpus_id")
+            .dropDuplicates(["new_id", "corpus_id"])
+        )
+        corpus_sigs = (
+            self.wh.read_table(LAYER, "sketches")
+            .filter(not_self)
+            .select(F.col("doc_id").alias("corpus_id"), F.col("sig").alias("sig_b"))
+        )
+        est = (
+            cand.join(
+                new_sk.select(
+                    F.col("doc_id").alias("new_id"), F.col("sig").alias("sig_a")
+                ),
+                "new_id",
+            )
+            .join(corpus_sigs, "corpus_id")
+            .select(
+                "new_id", "corpus_id", dedup._sig_agreement().alias("jaccard_est")
+            )
+            .filter(F.col("jaccard_est") >= dedup.EST_T)
+        )
+        return est.select(
+            F.least("new_id", "corpus_id").alias("doc_a"),
+            F.greatest("new_id", "corpus_id").alias("doc_b"),
+            "jaccard_est",
+        )
+
+    # -- reads ---------------------------------------------------------
+
+    def _all(self, name: str) -> DataFrame:
+        """Every batch partition of one index table."""
+        return self.wh.read_table(LAYER, name).drop(BATCH_COL)
+
+    def _latest(self, name: str) -> DataFrame:
+        """The newest batch partition (lexical batch-id order — the
+        warehouse-wide load-order convention)."""
+        batches = self.wh.list_batches(LAYER, name)
+        if not batches:
+            raise ValueError(f"index table {name} has no batches — build first")
+        return self.wh.read_batch(LAYER, name, batches[-1]).drop(BATCH_COL)
 
     # -- index-fed consumers (same composition code as the gates) -----
 
     def dd7_dup_clusters(self) -> DataFrame:
-        """dd7's verdict straight from the persisted labels — zero
-        recompute; the partition-pruned scan is the whole cost."""
-        return self._pairs("clusters")
+        """dd7's verdict straight from the latest persisted labels —
+        zero recompute; the partition-pruned scan is the whole cost."""
+        return self._latest("clusters")
 
     def cs1_canonical_selection(
         self, spark: SparkSession, sf_dir: str
@@ -105,7 +223,7 @@ class DedupIndex:
         """cs1 fed from the index: skips the sketch/band/CC closure
         (the 7.6 s tail at sf0.1) and pays only the tx2 score pass +
         one label-sized window."""
-        labels = self._pairs("clusters").select(
+        labels = self._latest("clusters").select(
             "doc_id", "cluster_id", "cluster_size"
         )
         return dedup._canonical_from_labels(spark, sf_dir, labels)
@@ -114,5 +232,5 @@ class DedupIndex:
         """dd13 fed from the index: pure set algebra over the two
         persisted pair tables — no sketching, no banding, no rescore."""
         return dedup._agreement_from_pairs(
-            self._pairs("text_pairs"), self._pairs("emb_pairs")
+            self._all("text_pairs"), self._all("emb_pairs")
         )

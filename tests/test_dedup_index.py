@@ -52,3 +52,37 @@ def test_rebuild_is_idempotent(spark, sf_dir, idx):
     counts = idx.build(spark, sf_dir)  # same snapshot, same batch_id
     assert counts["text_pairs"] > 0
     assert _rows(idx.dd13_ensemble_agreement()) == before
+
+
+# -- incremental append == from-scratch rebuild (the dd11 seam) -------
+def test_append_batch_equals_full_rebuild(spark, sf_dir, tmp_path_factory):
+    """Growing the index one batch at a time must land on EXACTLY the
+    state a from-scratch rebuild over the union produces: text_pairs
+    (union of base + append partitions) and the latest cluster labels
+    are compared bit-for-bit.  This is the 100 TB ingestion contract —
+    per-ingest cost scales with the batch via the persisted band
+    probe, with zero drift from the batch boundaries."""
+    from python_sql_datawarehouse_project_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs_even = docs.filter("doc_id % 2 = 0")
+    docs_odd = docs.filter("doc_id % 2 = 1")
+
+    incr = DedupIndex(
+        Warehouse(spark, str(tmp_path_factory.mktemp("idx_incr"))), "b000"
+    )
+    incr._ingest_docs(spark, docs_even, "b000", base=True)
+    c1 = incr.append_batch(spark, docs_odd, "b001")
+    assert c1["text_pairs"] > 0  # cross near-dups must exist at sf0.001
+
+    full = DedupIndex(
+        Warehouse(spark, str(tmp_path_factory.mktemp("idx_full"))), "b000"
+    )
+    full._ingest_docs(spark, docs, "b000", base=True)
+
+    assert _rows(incr._all("text_pairs")) == _rows(full._all("text_pairs"))
+    assert _rows(incr._latest("clusters")) == _rows(full._latest("clusters"))
+    # replaying the append converges (idempotent partitions, corpus
+    # side of the probe excludes the batch's own prior output)
+    incr.append_batch(spark, docs_odd, "b001")
+    assert _rows(incr._all("text_pairs")) == _rows(full._all("text_pairs"))
