@@ -150,27 +150,21 @@ class DedupIndex:
         )
         return counts
 
-    def _probe_corpus(self, new_sk: DataFrame, bid: str) -> DataFrame:
+    def _probe_corpus(
+        self, new_sk: DataFrame, bid: str, candidates: DataFrame | None = None
+    ) -> DataFrame:
         """New-vs-corpus candidate pairs at dd3 grade: the new batch's
         bands join the PERSISTED band index (excluding this batch id,
         so replays are idempotent), signatures re-attach by id, and
         the estimated-Jaccard filter matches dd3's.  Output pairs are
         normalized (doc_a = min) so the union of all partitions equals
-        a from-scratch all-pairs run exactly."""
+        a from-scratch all-pairs run exactly.  `candidates` lets a
+        deployment substitute the bucketed probe below."""
         not_self = F.col(BATCH_COL) != bid
-        corpus_bands = (
-            self.wh.read_table(LAYER, "bands")
-            .filter(not_self)
-            .select(
-                F.col("doc_id").alias("corpus_id"), "band", "band_key"
-            )
-        )
         cand = (
-            _bands(new_sk)
-            .select(F.col("doc_id").alias("new_id"), "band", "band_key")
-            .join(corpus_bands, ["band", "band_key"])
-            .select("new_id", "corpus_id")
-            .dropDuplicates(["new_id", "corpus_id"])
+            candidates
+            if candidates is not None
+            else self._probe_candidates(new_sk, bid)
         )
         corpus_sigs = (
             self.wh.read_table(LAYER, "sketches")
@@ -194,6 +188,88 @@ class DedupIndex:
             F.least("new_id", "corpus_id").alias("doc_a"),
             F.greatest("new_id", "corpus_id").alias("doc_b"),
             "jaccard_est",
+        )
+
+    def _probe_candidates(self, new_sk: DataFrame, bid: str) -> DataFrame:
+        """Default (shuffle) candidate join against the parquet band
+        partitions — both sides exchange on the band key."""
+        not_self = F.col(BATCH_COL) != bid
+        corpus_bands = (
+            self.wh.read_table(LAYER, "bands")
+            .filter(not_self)
+            .select(F.col("doc_id").alias("corpus_id"), "band", "band_key")
+        )
+        return (
+            _bands(new_sk)
+            .select(F.col("doc_id").alias("new_id"), "band", "band_key")
+            .join(corpus_bands, ["band", "band_key"])
+            .select("new_id", "corpus_id")
+            .dropDuplicates(["new_id", "corpus_id"])
+        )
+
+    # -- bucketed band index: the corpus-side shuffle eliminated ------
+
+    @staticmethod
+    def _bk() -> F.Column:
+        """(band, band_key) folded into ONE composite key — band is an
+        int and band_key an md5 hex (no ':'), so the fold is a
+        bijection and joining on bk is exactly the (band, band_key)
+        equi-join.  One column so it can be the bucketBy key."""
+        return F.concat_ws(
+            ":", F.col("band").cast("string"), F.col("band_key")
+        )
+
+    def bucketize_bands(
+        self, spark: SparkSession, out_dir: str, buckets: int = 8
+    ) -> str:
+        """Materialize the corpus band index bucketed+sorted by the
+        composite band key (plans/bucketing.py pattern; production
+        sizing: corpus_bands_size/bucket ~ 128-256 MB).  Returns the
+        catalog table name.  After this, probe_corpus_bucketed joins
+        the corpus side with ZERO Exchange — at 100 TB the per-ingest
+        probe shuffles only the batch, and the corpus's band layout is
+        paid once at index-build time (plan-pinned in
+        tests/test_dedup_index.py)."""
+        import hashlib
+        import os
+
+        digest = hashlib.md5(
+            os.path.abspath(self.wh.root).encode()
+        ).hexdigest()[:8]
+        name = f"dedup_bands_{digest}"
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        bands = self.wh.read_table(LAYER, "bands").select(
+            "doc_id", self._bk().alias("bk")
+        )
+        (
+            bands.write.format("parquet")
+            .mode("overwrite")
+            .option("path", os.path.join(out_dir, name))
+            .bucketBy(buckets, "bk")
+            .sortBy("bk")
+            .saveAsTable(name)
+        )
+        return name
+
+    def probe_corpus_bucketed(
+        self, spark: SparkSession, table_name: str, new_sk: DataFrame
+    ) -> DataFrame:
+        """Candidate probe against the BUCKETED band index: the corpus
+        scan feeds the join in its bucketed layout (no Exchange on the
+        big side); only the batch-sized new side shuffles.  Same
+        candidate set as _probe_candidates (pytest-pinned; note the
+        bucketed table covers ALL batches, so probe against it before
+        landing the new batch's bands or rebuild it after)."""
+        corpus = spark.table(table_name).select(
+            F.col("doc_id").alias("corpus_id"), "bk"
+        )
+        nb = _bands(new_sk).select(
+            F.col("doc_id").alias("new_id"), self._bk().alias("bk")
+        )
+        return (
+            nb.join(corpus, "bk")
+            .select("new_id", "corpus_id")
+            .dropDuplicates(["new_id", "corpus_id"])
         )
 
     # -- reads ---------------------------------------------------------

@@ -86,3 +86,45 @@ def test_append_batch_equals_full_rebuild(spark, sf_dir, tmp_path_factory):
     # side of the probe excludes the batch's own prior output)
     incr.append_batch(spark, docs_odd, "b001")
     assert _rows(incr._all("text_pairs")) == _rows(full._all("text_pairs"))
+
+
+def test_bucketed_band_probe_same_candidates_no_corpus_exchange(
+    spark, sf_dir, tmp_path_factory
+):
+    """The bucketed band index must (a) produce EXACTLY the shuffle
+    probe's candidate set and (b) feed the probe join from its
+    bucketed layout — corpus side scans with no Exchange, so the plan
+    has strictly fewer Exchanges than the shuffle path and reports the
+    bucketed read."""
+    from python_sql_datawarehouse_project_spark.catalog import load_table
+    from python_sql_datawarehouse_project_spark.operators.dedup import (
+        _doc_sketches,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = DedupIndex(
+        Warehouse(spark, str(tmp_path_factory.mktemp("idx_bkt"))), "b000"
+    )
+    idx._ingest_docs(spark, docs.filter("doc_id % 2 = 0"), "b000", base=True)
+    new_sk = _doc_sketches(docs.filter("doc_id % 2 = 1")).localCheckpoint(
+        eager=True
+    )
+
+    name = idx.bucketize_bands(
+        spark, str(tmp_path_factory.mktemp("bkt_tbl"))
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = idx._probe_candidates(new_sk, "b001")
+        bucketed = idx.probe_corpus_bucketed(spark, name, new_sk)
+        assert _rows(bucketed) == _rows(plain)
+        p_plain = plain._jdf.queryExecution().executedPlan().toString()
+        p_bkt = bucketed._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in p_bkt, p_bkt
+        assert p_bkt.count("Exchange") < p_plain.count("Exchange"), (
+            p_bkt.count("Exchange"),
+            p_plain.count("Exchange"),
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
