@@ -16,9 +16,13 @@ against the corpus bands, so per-ingest cost scales with the BATCH
 corpus side's sketches/bands are a persisted artifact (the "LSH
 index" — written once by the initial dd2-style pass, appended per
 batch); this operator recomputes them inline only because the gate
-must be a pure function of the input tables.  Batch-internal
-duplicates are dd2 applied to the batch alone — same machinery,
-batch-sized cost.
+must be a pure function of the input tables.  The persisted form is
+IMPLEMENTED at plans/dedup_index.DedupIndex since round 6:
+append_batch runs exactly this asymmetric probe against the
+warehouse-backed band index (bucketed variant eliminates the
+corpus-side shuffle, plan-pinned), with pytest proving appended
+state == from-scratch rebuild.  Batch-internal duplicates are dd2
+applied to the batch alone — same machinery, batch-sized cost.
 
 Batch membership is a deterministic md5 gate (pmod(h(doc_id), 5) == 0
 -> ~20% "new"), not a doc_id cutoff: identical membership across
