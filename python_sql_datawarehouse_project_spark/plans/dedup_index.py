@@ -140,15 +140,92 @@ class DedupIndex:
         counts["text_pairs"] = self.wh.write_batch(
             pairs_new, LAYER, "text_pairs", bid
         )
-        clusters = dedup._propagate_clusters(
-            spark,
-            self._all("doc_ids"),
-            self._all("text_pairs").select("doc_a", "doc_b"),
-        )
+        if base:
+            clusters = dedup._propagate_clusters(
+                spark,
+                self._all("doc_ids"),
+                self._all("text_pairs").select("doc_a", "doc_b"),
+            )
+        else:
+            clusters = self._refresh_clusters_incremental(spark, bid)
         counts["clusters"] = self.wh.write_batch(
             clusters, LAYER, "clusters", bid
         )
         return counts
+
+    def _refresh_clusters_incremental(
+        self, spark: SparkSession, bid: str
+    ) -> DataFrame:
+        """Cluster labels after an append WITHOUT re-propagating the
+        whole graph: new edges can only merge components that contain
+        one of their endpoints, so (a) components of the previous
+        snapshot touched by a new pair, plus (b) the new batch's
+        docs, form the only subgraph whose labels can change;
+        propagation runs over that subgraph's edges + the new pairs,
+        and every untouched component's labels carry over verbatim.
+        Equality with a from-scratch rebuild is exact (min-label CC is
+        confluent) and pytest-pinned.  Cost scales with the AFFECTED
+        portion of the graph, not the corpus — the term that turns
+        per-batch ingestion from O(corpus) to O(batch + touched
+        clusters) at 100 TB.
+
+        Measured honestly (sf1, 45k+5k docs): the synthetic corpus is
+        pathologically dense (~21.5M base pairs = ~1000 partners/doc;
+        the 5k-doc batch lands 5.1M new pairs touching nearly every
+        component), so the affected subgraph IS the graph and this
+        path costs ~12% MORE than full re-propagation there (64.2 s
+        vs 57 s total append).  It stays the default because the
+        overhead is bounded (affected-selection semi-joins) while the
+        win on a realistically sparse corpus — where a batch touches
+        a small fraction of components — is unbounded; a deployment
+        appending into a dense graph can re-propagate fully instead
+        (what build() does)."""
+        not_self = F.col(BATCH_COL) != bid
+        prev_batches = [
+            b for b in self.wh.list_batches(LAYER, "clusters") if b != bid
+        ]
+        if not prev_batches:
+            raise ValueError("append_batch requires a built base index")
+        prev = (
+            self.wh.read_batch(LAYER, "clusters", prev_batches[-1])
+            .drop(BATCH_COL)
+            .select("doc_id", "cluster_id", "cluster_size", "keep")
+        )
+        new_pairs = self.wh.read_batch(LAYER, "text_pairs", bid).select(
+            "doc_a", "doc_b"
+        )
+        new_ids = self.wh.read_batch(LAYER, "doc_ids", bid).select("doc_id")
+        touched = (
+            new_pairs.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(new_pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        affected = (
+            prev.join(touched, "doc_id", "left_semi")
+            .select("cluster_id")
+            .distinct()
+        )
+        aff_docs = (
+            prev.join(affected, "cluster_id", "left_semi")
+            .select("doc_id")
+            .unionByName(new_ids)
+            .distinct()
+        )
+        # prior pairs live entirely inside one component, so one
+        # endpoint membership selects exactly the affected edges
+        old_pairs = (
+            self.wh.read_table(LAYER, "text_pairs")
+            .filter(not_self)
+            .select("doc_a", "doc_b")
+        )
+        sub_pairs = old_pairs.join(
+            aff_docs.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi"
+        ).unionByName(new_pairs)
+        sub_labels = dedup._propagate_clusters(spark, aff_docs, sub_pairs)
+        untouched = prev.join(affected, "cluster_id", "left_anti")
+        return untouched.unionByName(
+            sub_labels.select("doc_id", "cluster_id", "cluster_size", "keep")
+        )
 
     def _probe_corpus(
         self, new_sk: DataFrame, bid: str, candidates: DataFrame | None = None
