@@ -270,18 +270,25 @@ def run_available_now(
         q.awaitTermination()
         wall = time.perf_counter() - t0
         progress = q.recentProgress or []
-        exec_s = (
-            sum(
-                (p.get("durationMs") or {}).get("triggerExecution", 0)
-                for p in progress
+
+        def total(key: str) -> float:
+            return (
+                sum((p.get("durationMs") or {}).get(key, 0) for p in progress)
+                / 1000.0
             )
-            / 1000.0
-        )
+
+        exec_s = total("triggerExecution")
+        addbatch_s = total("addBatch")
         LAST_DRAIN_SPLIT.clear()
         LAST_DRAIN_SPLIT.update(
             {
                 "wall_s": round(wall, 3),
+                # triggerExecution per batch: addBatch (the actual
+                # micro-batch query) + offset/WAL/state bookkeeping
                 "exec_s": round(exec_s, 3),
+                "addbatch_s": round(addbatch_s, 3),
+                # fixed lifecycle cost outside any batch: query
+                # start/stop, source listing, checkpoint init/teardown
                 "setup_s": round(max(0.0, wall - exec_s), 3),
                 "n_batches": len(progress),
             }
