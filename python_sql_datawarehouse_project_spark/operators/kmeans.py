@@ -159,28 +159,40 @@ def sim4_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists = n.select(
         "vec_id", "vn", _best_centroid(F.col("vn"), cents).alias("cid")
     )
+    queries = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vn").alias("qv")
+    )
+    return finalize_recursion(_ivf_probe(queries, lists, cents), [n])
+
+
+def _ivf_probe(
+    queries: DataFrame, lists: DataFrame, cents: list[list[float]]
+) -> DataFrame:
+    """The IVF probe over arbitrary (query_id, qv) queries and
+    (vec_id, vn, cid) inverted lists: rank each query's centroids
+    (dot DESC, cid ASC on ties), probe the NPROBE best lists, exact
+    fold cosine inside those lists only, top-k rank.  Shared by the
+    sim4 gate (lists assigned inline from freshly-trained centroids)
+    and plans/ann_index.AnnIndex (lists read from the persisted
+    index) — bit-identical by construction."""
     # per-query centroid ranking: sort (dot, -cid) ascending, reverse
     # -> dot DESC with cid ASC on ties, take NPROBE
     rank_arr = F.array(
         *[
             F.struct(
-                _dot_lit(F.col("vn"), c).alias("dot"),
+                _dot_lit(F.col("qv"), c).alias("dot"),
                 F.lit(-cid).alias("ncid"),
             )
             for cid, c in enumerate(cents)
         ]
     )
-    qprobe = (
-        n.filter(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("vn").alias("qv"),
-            F.explode(
-                F.slice(F.reverse(F.array_sort(rank_arr)), 1, NPROBE)
-            ).alias("best"),
-        )
-        .select("query_id", "qv", (-F.col("best.ncid")).alias("cid"))
-    )
+    qprobe = queries.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.slice(F.reverse(F.array_sort(rank_arr)), 1, NPROBE)
+        ).alias("best"),
+    ).select("query_id", "qv", (-F.col("best.ncid")).alias("cid"))
     pairs = (
         lists.join(F.broadcast(qprobe), "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -190,7 +202,7 @@ def sim4_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             H.dot_fold(F.col("qv"), F.col("vn")).alias("cosine"),
         )
     )
-    return finalize_recursion(_ranked(pairs), [n])
+    return _ranked(pairs)
 
 
 def _sql_assign(prev_c: str, src: str = "e") -> str:

@@ -1,0 +1,118 @@
+"""Warehouse-backed persisted IVF index for similarity search.
+
+The ANN twin of plans/dedup_index: sim4's oracled gate retrains its
+k-means coarse quantizer and re-assigns the whole corpus on EVERY
+call (a gate must be a pure function of the input tables); a
+production vector store does that once.  AnnIndex persists the two
+artifacts a serving path needs:
+
+  ann_centroids   (cid, c array<double>) — KM_K trained centroids,
+                  k x dim, driver-collectable by construction
+  ann_lists       (vec_id, vn, cid) — the inverted lists: every
+                  corpus vector normalized and assigned to its
+                  nearest centroid, written PARTITIONED BY cid
+
+and serves top-k through the exact probe the sim4 gate uses
+(operators/kmeans._ivf_probe — shared code, bit-identical results,
+pinned in tests/test_ann_index.py).
+
+Why partition the lists by cid: the probe joins a BROADCAST of the
+(query, probed-cid) frame against the lists, so Spark plans dynamic
+partition pruning on the cid partition column — only the NPROBE
+probed lists per query batch are ever read from storage.  At corpus
+scale that is the difference between scanning k lists and scanning
+the corpus; it is the storage-layout half of the IVF contract
+(the compute half — exact cosine only inside probed lists — is the
+probe itself).  The plan shape is asserted in the tests
+("dynamicpruning" subquery on the lists scan).
+
+Scale notes: centroid training is sampled at corpus scale (kmeans.py
+module docstring: int64 fixed-point headroom bounds exact training at
+~2M vectors/cluster; assignment of the full corpus is one broadcast
+argmax pass, shuffle-free).  Rebuilds are idempotent batch overwrites
+like every warehouse table; a growing corpus appends new vectors by
+assigning against the FROZEN centroids (one map pass) and retrains
+only when list-size skew warrants it — the standard IVF maintenance
+trade, and the reason centroids and lists are separate tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.kmeans import (
+    _best_centroid,
+    _emb_normalized,
+    _ivf_probe,
+    train_centroids,
+)
+from .warehouse import Warehouse
+
+LAYER = "index"
+
+
+class AnnIndex:
+    """Persisted IVF (centroids + cid-partitioned inverted lists)."""
+
+    def __init__(self, warehouse: Warehouse):
+        self.wh = warehouse
+
+    def _lists_path(self) -> str:
+        return self.wh.path(LAYER, "ann_lists")
+
+    def build(self, spark: SparkSession, sf_dir: str) -> dict[str, int]:
+        """Train the coarse quantizer once, assign the corpus, persist
+        centroids + inverted lists; returns row counts."""
+        n = _emb_normalized(spark, sf_dir).persist()
+        cents = train_centroids(n)
+        if not cents:
+            n.unpersist()
+            raise ValueError("empty embeddings corpus — nothing to index")
+        cent_df = spark.createDataFrame(
+            [(cid, list(c)) for cid, c in enumerate(cents)],
+            "cid int, c array<double>",
+        )
+        n_cents = self.wh.write_batch(cent_df, LAYER, "ann_centroids", "full")
+        lists = n.select(
+            "vec_id", "vn", _best_centroid(F.col("vn"), cents).alias("cid")
+        )
+        # direct partitioned write (not write_batch): cid is the
+        # partition column the probe's dynamic pruning keys on
+        lists.write.mode("overwrite").partitionBy("cid").parquet(
+            self._lists_path()
+        )
+        n_lists = spark.read.parquet(self._lists_path()).count()
+        n.unpersist()
+        return {"ann_centroids": n_cents, "ann_lists": n_lists}
+
+    def centroids(self, spark: SparkSession) -> list[list[float]]:
+        rows = (
+            self.wh.read_table(LAYER, "ann_centroids")
+            .orderBy("cid")
+            .collect()
+        )
+        return [list(r["c"]) for r in rows]
+
+    def lists(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self._lists_path())
+
+    def topk(self, spark: SparkSession, queries: DataFrame) -> DataFrame:
+        """Top-k neighbors for a (query_id, qv) frame — qv must be
+        L2-normalized, like every vector in the index.  Same probe
+        code as the sim4 gate; only the NPROBE probed list partitions
+        are scanned (dynamic partition pruning)."""
+        return _ivf_probe(queries, self.lists(spark), self.centroids(spark))
+
+    def topk_corpus_queries(
+        self, spark: SparkSession, n_queries: int
+    ) -> DataFrame:
+        """The sim4 gate's query convention — the first n_queries
+        corpus vectors queried against the index — served entirely
+        from persisted state (no embeddings-table access)."""
+        q = (
+            self.lists(spark)
+            .filter(F.col("vec_id") < n_queries)
+            .select(F.col("vec_id").alias("query_id"), F.col("vn").alias("qv"))
+        )
+        return self.topk(spark, q)

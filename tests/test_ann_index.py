@@ -1,0 +1,68 @@
+"""AnnIndex: the persisted IVF index must serve the sim4 gate's
+results bit-for-bit from stored state, and its cid-partitioned lists
+must be dynamically pruned by the probe join."""
+
+from __future__ import annotations
+
+import pytest
+
+from python_sql_datawarehouse_project_spark.operators.kmeans import (
+    N_QUERIES,
+    sim4_ivf_kmeans_topk,
+)
+from python_sql_datawarehouse_project_spark.plans.ann_index import AnnIndex
+from python_sql_datawarehouse_project_spark.plans.warehouse import Warehouse
+
+
+@pytest.fixture(scope="module")
+def ann(spark, sf_dir, tmp_path_factory):
+    idx = AnnIndex(Warehouse(spark, str(tmp_path_factory.mktemp("ann"))))
+    counts = idx.build(spark, sf_dir)
+    assert counts["ann_centroids"] > 0 and counts["ann_lists"] > 0
+    return idx
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_index_served_topk_equals_sim4_gate(spark, sf_dir, ann):
+    served = ann.topk_corpus_queries(spark, N_QUERIES)
+    assert _rows(served) == _rows(sim4_ivf_kmeans_topk(spark, sf_dir))
+
+
+def test_probe_scan_is_dynamically_pruned(spark, ann):
+    # the broadcast probe side carries the NPROBE cids per query, so
+    # the cid-partitioned lists scan must plan a dynamic partition
+    # pruning subquery — only probed lists are read from storage
+    df = ann.topk_corpus_queries(spark, N_QUERIES)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_rebuild_is_idempotent(spark, sf_dir, ann):
+    before = _rows(ann.topk_corpus_queries(spark, N_QUERIES))
+    ann.build(spark, sf_dir)
+    assert _rows(ann.topk_corpus_queries(spark, N_QUERIES)) == before
+
+
+def test_topk_accepts_external_queries(spark, ann):
+    # any normalized (query_id, qv) frame probes the index — take two
+    # stored vectors as "external" queries and check self-match rank 1
+    q = (
+        ann.lists(spark)
+        .orderBy("vec_id")
+        .limit(2)
+        .select("vec_id", "vn")
+    )
+    ext = q.selectExpr("vec_id + 1000000 AS query_id", "vn AS qv")
+    res = ann.topk(spark, ext)
+    ids = {r["query_id"] for r in res.collect()}
+    assert ids == {r["vec_id"] + 1000000 for r in q.collect()}
+    top = {
+        r["query_id"]: r["neighbor_id"]
+        for r in res.collect()
+        if r["rank"] == 1
+    }
+    # rank-1 neighbor of a copied vector is the original (cosine 1.0)
+    assert top == {r["vec_id"] + 1000000: r["vec_id"] for r in q.collect()}
