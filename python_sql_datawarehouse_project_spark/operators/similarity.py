@@ -38,18 +38,21 @@ N_QUERIES = 5  # probe set: vec_id < 5
 TOP_K = 10
 
 
-def _emb_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
+def normalize_embeddings(emb: DataFrame) -> DataFrame:
+    """L2-normalize any (vec_id, embedding) frame -> (vec_id, vn).
+
+    Norm is projected into a column first: referencing the dot-fold
+    inside the transform() lambda would re-run it per element (64x),
+    since higher-order functions evaluate captured trees interpreted.
+    Repartition so the corpus side of the scoring join is spread
+    across all cores — the sf parquet is one small file -> one input
+    partition, which would serialize all per-pair dot products onto
+    a single task (the probe side is broadcast, so the streamed
+    side's partitioning IS the parallelism)."""
+    spark = emb.sparkSession
+    emb = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    # Norm is projected into a column first: referencing the dot-fold
-    # inside the transform() lambda would re-run it per element (64x),
-    # since higher-order functions evaluate captured trees interpreted.
-    # Repartition so the corpus side of the scoring join is spread
-    # across all cores — the sf parquet is one small file -> one input
-    # partition, which would serialize all per-pair dot products onto
-    # a single task (the probe side is broadcast, so the streamed
-    # side's partitioning IS the parallelism).
     emb = emb.repartition(
         spark.sparkContext.defaultParallelism, "vec_id"
     )
@@ -59,6 +62,10 @@ def _emb_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("vn"),
     )
+
+
+def _emb_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return normalize_embeddings(load_table(spark, sf_dir, "embeddings"))
 
 
 _SQL_NORM_CTE = """

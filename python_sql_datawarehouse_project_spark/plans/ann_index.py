@@ -77,14 +77,49 @@ class AnnIndex:
         lists = n.select(
             "vec_id", "vn", _best_centroid(F.col("vn"), cents).alias("cid")
         )
-        # direct partitioned write (not write_batch): cid is the
-        # partition column the probe's dynamic pruning keys on
-        lists.write.mode("overwrite").partitionBy("cid").parquet(
-            self._lists_path()
-        )
-        n_lists = spark.read.parquet(self._lists_path()).count()
+        n_lists = self._write_lists(spark, lists, "full")
         n.unpersist()
         return {"ann_centroids": n_cents, "ann_lists": n_lists}
+
+    def _write_lists(
+        self, spark: SparkSession, lists: DataFrame, batch_id: str
+    ) -> int:
+        """Direct partitioned write (not write_batch): (batch, cid)
+        partitioning — batch for idempotent dynamic overwrite of one
+        ingest, cid for the probe's dynamic partition pruning."""
+        (
+            lists.withColumn("batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch", "cid")
+            .parquet(self._lists_path())
+        )
+        return (
+            spark.read.parquet(self._lists_path())
+            .filter(F.col("batch") == batch_id)
+            .count()
+        )
+
+    def append_vectors(
+        self, spark: SparkSession, new_vecs: DataFrame, batch_id: str
+    ) -> int:
+        """Grow the index without retraining: normalize the new
+        (vec_id, embedding) frame, assign each vector to its nearest
+        FROZEN centroid (one broadcast argmax map pass — no shuffle,
+        no training job), land it as the batch's list partitions.
+        This is the standard IVF maintenance contract: appends are
+        cheap and exact w.r.t. the frozen quantizer; retrain (a new
+        build) only when list-size skew warrants it.  Idempotent: a
+        replay dynamically overwrites the same (batch, cid)
+        partitions.  Returns the number of vectors landed."""
+        from ..operators.similarity import normalize_embeddings
+
+        cents = self.centroids(spark)
+        n = normalize_embeddings(new_vecs)
+        lists = n.select(
+            "vec_id", "vn", _best_centroid(F.col("vn"), cents).alias("cid")
+        )
+        return self._write_lists(spark, lists, batch_id)
 
     def centroids(self, spark: SparkSession) -> list[list[float]]:
         rows = (

@@ -46,6 +46,50 @@ def test_rebuild_is_idempotent(spark, sf_dir, ann):
     assert _rows(ann.topk_corpus_queries(spark, N_QUERIES)) == before
 
 
+def test_append_vectors_frozen_centroids(spark, sf_dir, tmp_path_factory):
+    """Half-corpus build + append of the other half: appended vectors
+    land under the FROZEN quantizer (no retrain), are served by the
+    probe, and a replayed append changes nothing (dynamic overwrite
+    of the batch's partitions)."""
+    from python_sql_datawarehouse_project_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = AnnIndex(Warehouse(spark, str(tmp_path_factory.mktemp("ann_app"))))
+
+    # build over the even half only (temp view trick not needed: the
+    # index APIs take frames; build() reads the table, so stage a
+    # half-corpus parquet dir)
+    import os
+
+    half_dir = str(tmp_path_factory.mktemp("half_sf"))
+    emb.filter("vec_id % 2 = 0").write.parquet(
+        os.path.join(half_dir, "embeddings.parquet")
+    )
+    cents_before = None
+    idx.build(spark, half_dir)
+    cents_before = idx.centroids(spark)
+
+    n_new = idx.append_vectors(spark, emb.filter("vec_id % 2 = 1"), "b001")
+    assert n_new == emb.filter("vec_id % 2 = 1").count()
+    assert idx.centroids(spark) == cents_before  # frozen quantizer
+    total = idx.lists(spark).count()
+    assert total == emb.count()
+    # an appended vector queried as its own copy self-matches at rank 1
+    one = (
+        idx.lists(spark)
+        .filter("vec_id % 2 = 1")
+        .orderBy("vec_id")
+        .limit(1)
+        .select("vec_id", "vn")
+    )
+    ext = one.selectExpr("vec_id + 1000000 AS query_id", "vn AS qv")
+    res = {r["rank"]: r["neighbor_id"] for r in idx.topk(spark, ext).collect()}
+    assert res[1] == one.collect()[0]["vec_id"]
+    # replayed append converges
+    idx.append_vectors(spark, emb.filter("vec_id % 2 = 1"), "b001")
+    assert idx.lists(spark).count() == total
+
+
 def test_topk_accepts_external_queries(spark, ann):
     # any normalized (query_id, qv) frame probes the index — take two
     # stored vectors as "external" queries and check self-match rank 1
