@@ -97,14 +97,32 @@ def q13_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "l_linestatus",
         F.col("_sq").alias("sum_qty"),
-        F.col("_sb").cast("double").alias("sum_base_price"),
-        F.col("_sd").cast("double").alias("sum_disc_price"),
-        F.col("_sc").cast("double").alias("sum_charge"),
+        _dec2dbl("_sb", 4).alias("sum_base_price"),
+        _dec2dbl("_sd", 4).alias("sum_disc_price"),
+        _dec2dbl("_sc", 6).alias("sum_charge"),
         (F.col("_sq").cast("double") / n).alias("avg_qty"),
-        (F.col("_sb").cast("double") / n).alias("avg_price"),
-        (F.col("_sdisc").cast("double") / n).alias("avg_disc"),
+        (_dec2dbl("_sb", 4) / n).alias("avg_price"),
+        (_dec2dbl("_sdisc", 6) / n).alias("avg_disc"),
         "count_order",
     )
+
+
+def _dec2dbl(col: str, scale: int) -> F.Column:
+    """DECIMAL -> DOUBLE through an exact int64 extraction.
+
+    A direct decimal->double cast diverges between engines once the
+    sum carries more significant digits than a double holds (~16):
+    each engine performs ITS OWN internal conversion (DuckDB divides
+    a separately-rounded hugeint->double by 10^scale), and the round-6
+    sf1 parity sweep caught q13's sum_charge differing by one ulp at
+    6M rows (exact decimal ~2.78e16 units of 1e-6).  Extracting the
+    integral units first — decimal * 10^scale is integral and fits
+    int64 for the full DECIMAL(18,s) domain (1e18 < 2^63) — makes
+    BOTH engines run the identical two correctly-rounded steps:
+    int64 -> double, then one double division by 10^scale."""
+    return (F.col(col) * F.lit(10**scale)).cast("long").cast(
+        "double"
+    ) / F.lit(float(10**scale))
 
 
 Q13_ORACLE = f"""
@@ -123,12 +141,17 @@ WITH g AS (
     GROUP BY l_returnflag, l_linestatus
 )
 SELECT l_returnflag, l_linestatus, sum_qty,
-       CAST(sb AS DOUBLE) AS sum_base_price,
-       CAST(sd AS DOUBLE) AS sum_disc_price,
-       CAST(sc AS DOUBLE) AS sum_charge,
+       CAST(CAST(sb * 10000 AS BIGINT) AS DOUBLE) / 10000.0
+           AS sum_base_price,
+       CAST(CAST(sd * 10000 AS BIGINT) AS DOUBLE) / 10000.0
+           AS sum_disc_price,
+       CAST(CAST(sc * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0
+           AS sum_charge,
        CAST(sum_qty AS DOUBLE) / CAST(count_order AS DOUBLE) AS avg_qty,
-       CAST(sb AS DOUBLE) / CAST(count_order AS DOUBLE) AS avg_price,
-       CAST(sdisc AS DOUBLE) / CAST(count_order AS DOUBLE) AS avg_disc,
+       CAST(CAST(sb * 10000 AS BIGINT) AS DOUBLE) / 10000.0
+           / CAST(count_order AS DOUBLE) AS avg_price,
+       CAST(CAST(sdisc * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0
+           / CAST(count_order AS DOUBLE) AS avg_disc,
        count_order
 FROM g
 """
