@@ -104,12 +104,20 @@ def _rp_value(i: int, j: int) -> float:
     return lcg / float(_RP_MOD) - 0.5
 
 
-# Hyperplanes as plain Python floats: consumers embed them as literal
-# arrays (constant-folded by Catalyst) instead of re-deriving the LCG
-# expression tree per array element inside an interpreted lambda.
-RP_PLANES: list[list[float]] = [
-    [_rp_value(i, j) for j in range(RP_DIM)] for i in range(RP_BITS)
-]
+def rp_planes(count: int) -> list[list[float]]:
+    """First `count` hyperplanes of the shared LCG family, as plain
+    Python floats: consumers embed them as literal arrays
+    (constant-folded by Catalyst) instead of re-deriving the LCG
+    expression tree per array element inside an interpreted lambda.
+    Plane i is the same row for every caller regardless of `count`,
+    so a wider signature extends a narrower one — the auto-sizing
+    path (dedup.dd14) and the frozen 16-plane gates draw from one
+    deterministic family both engines can evaluate inline."""
+    return [[_rp_value(i, j) for j in range(RP_DIM)] for i in range(count)]
+
+
+# The frozen 16-plane signature the fixed-constant gates use.
+RP_PLANES: list[list[float]] = rp_planes(RP_BITS)
 
 
 def poly_fingerprint(chars: Column) -> Column:

@@ -644,6 +644,140 @@ WHERE {H.sql_dot('a.vn', 'b.vn')} >= {COSINE_T}
 DD6_ORACLE = _dd6_oracle()
 
 
+# -- dd14: auto-sized hyperplane LSH (the deploy-time sizing rule) ----
+# dd6's constants are frozen (4 bands x 4 bits -> 16 buckets/band), so
+# its candidate volume grows ~quadratically once the corpus outgrows
+# the bucket space — measured at sf1: 46.6M candidates, exponent 1.37
+# (PERF.md round-6 Diagnosis 1).  The documented fix is a sizing rule,
+# implemented here as the production path: hold per-band bucket
+# OCCUPANCY constant by growing bits-per-band with the corpus
+# (2^bits * AUTO_OCC >= n), keep band count fixed for recall.  The
+# rule is integer-only on both engines (no transcendentals), so the
+# Spark plan and the DuckDB oracle derive the SAME width from the
+# SAME count — the gate stays bit-exact at every scale, which is the
+# point: this is the operator whose CONSTANTS adapt, oracled.
+AUTO_BANDS = 8  # recall at COSINE_T ~ 1-(1-p^bits)^8, p = 1-theta/pi
+AUTO_OCC = 64  # target vectors per band-bucket
+AUTO_MIN_BITS = 4
+AUTO_MAX_BITS = 24  # 2^24 buckets/band * 64 occ ~ 10^9 vectors
+
+
+def _auto_bits(n_vectors: int) -> int:
+    """Smallest bits-per-band with 2^bits * AUTO_OCC >= n, clamped to
+    [AUTO_MIN_BITS, AUTO_MAX_BITS].  Integer arithmetic only — the
+    oracle computes the identical value with a MIN over range()."""
+    b = AUTO_MIN_BITS
+    while b < AUTO_MAX_BITS and (1 << b) * AUTO_OCC < n_vectors:
+        b += 1
+    return b
+
+
+def _auto_band_candidates(n: DataFrame, bits: int) -> DataFrame:
+    """Banded hyperplane-LSH candidate pairs at a caller-chosen band
+    width: band k keys on bits [k*bits, (k+1)*bits) of the projection
+    signature, offset by k << bits so band keyspaces never collide.
+    Same id-only exchange discipline as dd6: the band join ships
+    (vec_id, band_key) longs, never vectors."""
+    planes = H.rp_planes(AUTO_BANDS * bits)
+
+    def proj(i: int):
+        return F.aggregate(
+            F.zip_with(
+                F.col("vn"),
+                F.array(*[F.lit(c) for c in planes[i]]),
+                lambda x, r: x * r,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    keys = []
+    for k in range(AUTO_BANDS):
+        key = F.lit(k << bits).cast("long")
+        for t in range(bits):
+            key = key + F.when(
+                proj(k * bits + t) > 0, F.lit(1 << t).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        keys.append(key)
+    bands = n.select("vec_id", F.explode(F.array(*keys)).alias("band_key"))
+    a, c = bands.alias("a"), bands.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.band_key") == F.col("c.band_key"))
+            & (F.col("a.vec_id") < F.col("c.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("c.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+
+
+def dd14_lsh_autosized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with SCALE-ADAPTIVE banded LSH: same
+    candidates-then-verify shape as dd6, but bits-per-band is derived
+    from the corpus size so per-bucket occupancy — and therefore
+    candidates-per-vector — stays constant as the corpus grows.  One
+    bounded driver action (the count) picks the width; everything
+    downstream is the shared id-only band join + exact fold rescore.
+
+    Measured (PERF.md round 6): frozen dd6 is 46.6M candidates /
+    exponent 1.37 across the sf0.1 -> sf1 decade; the occupancy rule
+    at the same decade holds candidates near-linear — this gate is
+    the production parameterization of that diagnosis."""
+    n = _load_normalized(spark, sf_dir).localCheckpoint(eager=True)
+    bits = _auto_bits(n.count())
+    return _exact_rescore(n, _auto_band_candidates(n, bits))
+
+
+def _dd14_oracle() -> str:
+    # Plane index for band k, local bit t: i = k*bits + t; component
+    # r(i, j) is the shared LCG (sql_rp_component) — identical to the
+    # literal arrays the Spark side folds over.
+    proj = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(range(0, {dim}), j -> "
+        "vn[CAST(j AS INT) + 1] * {r})), (acc, x) -> acc + x)"
+    ).format(
+        dim=H.RP_DIM,
+        r=H.sql_rp_component("(CAST(k AS INT) * b + CAST(t AS INT))", "j"),
+    )
+    local = (
+        f"list_sum(list_transform(range(0, CAST(b AS BIGINT)), t -> "
+        f"CASE WHEN {proj} > 0 THEN (CAST(1 AS BIGINT) << CAST(t AS INT)) "
+        f"ELSE CAST(0 AS BIGINT) END))"
+    )
+    return f"""
+WITH {_SQL_NORMALIZED},
+meta AS (
+    SELECT CAST(COALESCE(MIN(i), {AUTO_MAX_BITS}) AS INT) AS b
+    FROM range({AUTO_MIN_BITS}, {AUTO_MAX_BITS + 1}) t(i)
+    WHERE (CAST(1 AS BIGINT) << CAST(i AS INT)) * {AUTO_OCC}
+          >= (SELECT COUNT(*) FROM normalized)
+),
+bands AS (
+    SELECT vec_id,
+           unnest(list_transform(range(0, {AUTO_BANDS}), k ->
+               (CAST(k AS BIGINT) << b) + {local})) AS band_key
+    FROM normalized, meta
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+    FROM bands a JOIN bands c
+      ON a.band_key = c.band_key AND a.vec_id < c.vec_id
+)
+SELECT cand.vec_a, cand.vec_b, {H.sql_dot('a.vn', 'b.vn')} AS cosine
+FROM cand
+JOIN normalized a ON cand.vec_a = a.vec_id
+JOIN normalized b ON cand.vec_b = b.vec_id
+WHERE {H.sql_dot('a.vn', 'b.vn')} >= {COSINE_T}
+"""
+
+
+DD14_ORACLE = _dd14_oracle()
+
+
 # -- dd7: duplicate clustering (connected components) -----------------
 DD7_MAX_ROUNDS = 50
 
@@ -1284,6 +1418,7 @@ QUERIES = {
     "cs1_canonical_selection": cs1_canonical_selection,
     "dd12_triangle_census": dd12_triangle_census,
     "dd13_ensemble_agreement": dd13_ensemble_agreement,
+    "dd14_lsh_autosized": dd14_lsh_autosized,
 }
 ORACLES = {
     "dd1_exact_dedup": DD1_ORACLE,
@@ -1299,4 +1434,5 @@ ORACLES = {
     "cs1_canonical_selection": CS1_ORACLE,
     "dd12_triangle_census": DD12_ORACLE,
     "dd13_ensemble_agreement": DD13_ORACLE,
+    "dd14_lsh_autosized": DD14_ORACLE,
 }

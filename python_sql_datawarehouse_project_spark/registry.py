@@ -68,9 +68,10 @@ from .streaming import windows as stream_windows
 #      emb2, stream_enrich_segments, q32-q44 incl. q43, emb3/emb4,
 #      stream_coldstart_purchases, ux1, qa19, ds8, dd12, sim7,
 #      ev16/ev17).
-# 15 + 35 = 50.  The 16 keys still queued for ROUND 7 (the round-5
-# tail plus the four round-3 stragglers that didn't fit): sq1, ds7,
-# zo1, dd11, ev18-ev21, dd13, w8, w9, rj2, qa20, qa21, tx17, ux2.
+# 15 + 35 = 50.  The 17 keys still queued for ROUND 7 (the round-5
+# tail plus the four round-3 stragglers that didn't fit, plus the
+# round-6 addition dd14_lsh_autosized): sq1, ds7, zo1, dd11,
+# ev18-ev21, dd13, w8, w9, rj2, qa20, qa21, tx17, ux2, dd14.
 # All 66 are green in the local two-SF oracle-parity pytest suite and
 # the sf0.1 CLI sweep (COVERAGE.md); the rotation exists purely to
 # convert builder-side evidence into recorded driver rows.

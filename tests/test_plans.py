@@ -85,6 +85,43 @@ def test_dd6_candidates_are_bucketed_not_quadratic(spark, sf_dir):
     assert "band_key" in p  # the bucketed candidate join is present
 
 
+def test_dd14_autosized_stays_bucketed_not_quadratic(spark, sf_dir):
+    # The auto-sized variant must keep dd6's sublinear plan shape at
+    # EVERY derived width: band-key equi-join + rescore hash joins,
+    # never a cartesian/nested-loop or blocked-BLAS stage.
+    p = plan_of(dedup.dd14_lsh_autosized(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "band_key" in p
+
+
+def test_dd14_sizing_rule_is_occupancy_bounded():
+    # Integer-only sizing rule: smallest b with 2^b * AUTO_OCC >= n,
+    # clamped.  The DuckDB oracle computes the same MIN over range();
+    # these fixed points pin both engines to one width per count.
+    ab, occ = dedup._auto_bits, dedup.AUTO_OCC
+    assert ab(0) == dedup.AUTO_MIN_BITS
+    assert ab(occ << dedup.AUTO_MIN_BITS) == dedup.AUTO_MIN_BITS
+    assert ab((occ << dedup.AUTO_MIN_BITS) + 1) == dedup.AUTO_MIN_BITS + 1
+    assert ab(10**12) == dedup.AUTO_MAX_BITS  # clamp, never unbounded
+    for n in (1, 10_000, 600_000, 6_000_000):
+        b = ab(n)
+        assert (1 << b) * occ >= n or b == dedup.AUTO_MAX_BITS
+        assert b == dedup.AUTO_MIN_BITS or (1 << (b - 1)) * occ < n
+
+
+def test_dd14_planes_extend_the_frozen_family():
+    # rp_planes(count) must be a prefix-stable family: the frozen
+    # 16-plane gates (dd6/emb*) and dd14's wider signatures share
+    # plane i for every i, so widening never re-randomizes hashes.
+    from python_sql_datawarehouse_project_spark.functions import hashing as H
+
+    wide = H.rp_planes(24)
+    assert wide[: H.RP_BITS] == H.RP_PLANES
+    assert len(wide) == 24 and len(wide[0]) == H.RP_DIM
+
+
 def test_dd3_band_join_exchanges_ids_not_sketches(spark, sf_dir):
     # The band self-join must shuffle only (doc_id, band, band_key) —
     # hs/sig payloads get re-attached after the pair dedup.
