@@ -656,6 +656,20 @@ DD6_ORACLE = _dd6_oracle()
 # Spark plan and the DuckDB oracle derive the SAME width from the
 # SAME count — the gate stays bit-exact at every scale, which is the
 # point: this is the operator whose CONSTANTS adapt, oracled.
+#
+# RECALL ENVELOPE (measured, PERF.md round-6 recall study): constant
+# cost-per-vector is a TRADE.  Collision prob per plane at cosine c
+# is p = 1 - arccos(c)/pi; recall = 1-(1-p^bits)^bands.  For
+# high-similarity pairs — the dedup regime, c >= 0.9, p >= 0.9 —
+# 8 fixed bands hold recall 0.90/0.74 through bits 9/12.  At this
+# gate's aggressive COSINE_T = 0.40 (p = 0.63) borderline recall
+# DECAYS as bits grow (measured 0.48 at n=2k/bits=5 -> 0.16 at
+# n=20k/bits=9, matching theory), and holding it constant would take
+# bands ~ (n/occ)^0.66 — candidates O(n^1.66), the LSH exponent
+# floor at low thresholds; dd6's frozen constants pay O(n^2) for the
+# same flat ~0.46.  Per candidate generated, dd14 recalls ~1.9x more
+# true pairs than dd6 at sf1 — the rule buys a better point on the
+# cost/recall frontier, not a free lunch.
 AUTO_BANDS = 8  # recall at COSINE_T ~ 1-(1-p^bits)^8, p = 1-theta/pi
 AUTO_OCC = 64  # target vectors per band-bucket
 AUTO_MIN_BITS = 4
@@ -725,7 +739,12 @@ def dd14_lsh_autosized(spark: SparkSession, sf_dir: str) -> DataFrame:
     Measured (PERF.md round 6): frozen dd6 is 46.6M candidates /
     exponent 1.37 across the sf0.1 -> sf1 decade; the occupancy rule
     at the same decade holds candidates near-linear — this gate is
-    the production parameterization of that diagnosis."""
+    the production parameterization of that diagnosis.  Recall:
+    constant cost-per-vector holds recall in the high-similarity
+    dedup regime but cedes borderline pairs at the gate's low 0.40
+    threshold as n grows (module comment block + PERF.md recall
+    study for the measured envelope and the O(n^1.66) constant-
+    recall alternative)."""
     n = _load_normalized(spark, sf_dir).localCheckpoint(eager=True)
     bits = _auto_bits(n.count())
     return _exact_rescore(n, _auto_band_candidates(n, bits))
