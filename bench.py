@@ -35,6 +35,39 @@ def _smallest_sibling_sf(sf_dir: str) -> str:
     return best
 
 
+def _host_calibration(spark) -> dict[str, float]:
+    """Fixed, data-independent micro-benchmarks that measure THIS
+    box, not this repo: a codegen/CPU probe (hash-fold over a
+    synthetic range) and a shuffle probe (hash repartition + agg of
+    the same range).  Rounds 4/5 spent a whole adjudication cycle
+    separating host re-anchors (1.3x box drift) from code
+    regressions; these two numbers give every future BENCH_r*.json a
+    denominator so per-gate ratios can be host-normalized without
+    re-running old code.  min-of-3 so a GC pause or page-cache miss
+    in one rep doesn't skew the anchor.
+    """
+    out: dict[str, float] = {}
+    probes = {
+        # 100M-row hash fold: whole-stage codegen straight-line speed.
+        "cpu_sec": lambda: spark.range(0, 100_000_000, 1, 32)
+        .selectExpr("sum(xxhash64(id)) AS h"),
+        # 10M rows through a 32-way hash exchange: shuffle write/read
+        # + partial/final agg — the path every groupBy/join pays.
+        "shuffle_sec": lambda: spark.range(0, 10_000_000, 1, 32)
+        .selectExpr("id % 97 AS k", "id")
+        .groupBy("k")
+        .agg({"id": "sum"}),
+    }
+    for name, build in probes.items():
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            build().write.format("noop").mode("overwrite").save()
+            reps.append(time.perf_counter() - t0)
+        out[name] = round(min(reps), 3)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -44,6 +77,7 @@ def main() -> None:
 
     spark = build_session(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
+    calib = _host_calibration(spark)
 
     from python_sql_datawarehouse_project_spark import registry
 
@@ -106,7 +140,7 @@ def main() -> None:
             stream_split[name] = dict(LAST_DRAIN_SPLIT)
 
     _warn_regressions(timings)
-    _record_history(timings, sf)
+    _record_history(timings, sf, calib)
 
     # Each drained stream gate carries a fixed AvailableNow lifecycle
     # cost (query start/stop, source listing, checkpoint init) that is
@@ -121,6 +155,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "host_calibration": calib,
                 "stream_setup_total_sec": setup_total,
                 "stream_split": stream_split,
             }
@@ -131,7 +166,7 @@ def main() -> None:
 _HISTORY = "BENCH_HISTORY.json"
 
 
-def _record_history(timings: dict[str, float], sf) -> None:
+def _record_history(timings: dict[str, float], sf, calib: dict | None = None) -> None:
     """Append this run's per-query timings to BENCH_HISTORY.json (a
     list of runs, newest last).  The driver's BENCH_r*.json wrappers
     truncate stdout and may drop the queries map, so the repo keeps
@@ -143,7 +178,10 @@ def _record_history(timings: dict[str, float], sf) -> None:
             hist = json.load(f)
     except (OSError, ValueError):
         hist = []
-    hist.append({"sf": sf, "queries": timings})
+    entry: dict = {"sf": sf, "queries": timings}
+    if calib:
+        entry["host_calibration"] = calib
+    hist.append(entry)
     hist = hist[-20:]  # bounded
     try:
         with open(path, "w") as f:

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .operators import (
     analytics,
     asof,
+    bpe,
     corpus,
     dedup,
     embquality,
@@ -32,8 +33,11 @@ from .operators import (
     rangejoin,
     reconcile,
     recursive,
+    retrieval,
+    semijoin,
     similarity,
     skew,
+    spans,
     text,
     tpch,
     tpch2,
@@ -68,10 +72,10 @@ from .streaming import windows as stream_windows
 #      emb2, stream_enrich_segments, q32-q44 incl. q43, emb3/emb4,
 #      stream_coldstart_purchases, ux1, qa19, ds8, dd12, sim7,
 #      ev16/ev17).
-# 15 + 35 = 50.  The 17 keys still queued for ROUND 7 (the round-5
+# 15 + 35 = 50.  The 21 keys still queued for ROUND 7 (the round-5
 # tail plus the four round-3 stragglers that didn't fit, plus the
-# round-6 addition dd14_lsh_autosized): sq1, ds7, zo1, dd11,
-# ev18-ev21, dd13, w8, w9, rj2, qa20, qa21, tx17, ux2, dd14.
+# round-6 additions): sq1, ds7, zo1, dd11, ev18-ev21, dd13, w8, w9,
+# rj2, qa20, qa21, tx17, ux2, dd14, dd15, tx18, tx19, sj1.
 # All 66 are green in the local two-SF oracle-parity pytest suite and
 # the sf0.1 CLI sweep (COVERAGE.md); the rotation exists purely to
 # convert builder-side evidence into recorded driver rows.
@@ -112,6 +116,10 @@ _MODULES = (
     udtfs,  # tx13 LATERAL Python UDTF — same tail rule
     stream_tws,  # transformWithState twin — registers only where protobuf exists
     evals,  # tx14/sim6 component scoreboards — same tail rule
+    spans,  # dd15 repeated-span census (round-6 addition) — tail rule
+    retrieval,  # tx18 BM25 scoring (round-6 addition) — tail rule
+    semijoin,  # sj1 semi-join reduction (round-6 addition) — tail rule
+    bpe,  # tx19 BPE pair census (round-6 addition) — tail rule
 )
 
 

@@ -93,6 +93,7 @@ _SINGLE_PARTITION_OK = {
     "qa21_ks_distance",
     "qa4_kmv_distinct",
     "qa8_chisq_drift",
+    "tx18_bm25_scores",  # 4-int64 corpus-stats scalar (N, sum_dl, df_i)
     "tx5_tfidf_top_terms",
     "tx9_bigram_lift",
     "w3_surrogate_keys",

@@ -1242,3 +1242,131 @@ def test_ev16_window_runs_over_days_not_events(spark, sf_dir):
     assert win, p
     assert "user_id" not in win.group(0), win.group(0)
     assert "distinct" not in win.group(0).lower(), win.group(0)
+
+
+def test_sj1_semi_reduction_below_merge_join(spark, sf_dir):
+    # The scale contract: the part-key reduction is a BROADCAST LeftSemi
+    # hash join applied to lineitem BEFORE the lineitem⋈orders exchange,
+    # and the big fact-fact join is the merge-hinted SortMergeJoin (the
+    # 100 TB plan, not the small-SF broadcast accident).
+    from python_sql_datawarehouse_project_spark.operators import semijoin
+
+    p = plan_of(semijoin.sj1_semijoin_reduced_join(spark, sf_dir), mode="simple")
+    assert "SortMergeJoin" in p, p
+    semi = p.find("BroadcastHashJoin")
+    smj = p.find("SortMergeJoin")
+    assert semi != -1 and "LeftSemi" in p, p
+    # In EXPLAIN's tree rendering children print BELOW their parent, so
+    # the reducing semi join must appear AFTER the SMJ line it feeds.
+    assert semi > smj, p
+
+
+def test_dd15_census_is_one_span_aggregation_no_join(spark, sf_dir):
+    # The span census must be pure aggregation: explode -> two-phase
+    # (expand) hash aggregate keyed on the span — no self-join, no
+    # window, no python.
+    from python_sql_datawarehouse_project_spark.operators import spans
+
+    p = plan_of(spans.dd15_repeated_spans(spark, sf_dir), mode="simple")
+    assert "Join" not in p, p
+    assert "Window" not in p, p
+    assert "HashAggregate" in p, p
+
+
+def test_tx18_single_scan_broadcast_stats_no_explode(spark, sf_dir):
+    # BM25 is per-row arithmetic + one broadcast 1-row stats merge:
+    # the document table is scanned ONCE per side of the stats seam
+    # (tf reuse), tokens are never exploded, and the only join is the
+    # broadcast nested-loop against the 1-row corpus-stats aggregate.
+    from python_sql_datawarehouse_project_spark.operators import retrieval
+
+    p = plan_of(retrieval.tx18_bm25_scores(spark, sf_dir), mode="simple")
+    assert "Generate" not in p, p  # no explode
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_dd15_spans_match_bruteforce(spark, sf_dir):
+    # Semantic pin independent of the DuckDB oracle: a python
+    # re-derivation of the census on the tiny SF.
+    from collections import defaultdict
+
+    import re
+
+    from python_sql_datawarehouse_project_spark.operators import spans
+    from python_sql_datawarehouse_project_spark.operators.text import (
+        _STRIP_RE,
+        _WS_RE,
+    )
+
+    def _py_tokens(text: str) -> list[str]:
+        s = re.sub(_STRIP_RE, " ", text.lower())
+        s = re.sub(_WS_RE, " ", s).strip()
+        return s.split(" ")
+
+    rows = spans.dd15_repeated_spans(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    occ, dids = defaultdict(int), defaultdict(set)
+    for r in docs:
+        tk = _py_tokens(r["text"])
+        if len(tk) < spans.SPAN_K:
+            continue
+        for i in range(len(tk) - spans.SPAN_K + 1):
+            s = " ".join(tk[i : i + spans.SPAN_K])
+            occ[s] += 1
+            dids[s].add(r["doc_id"])
+    want = {s for s in dids if len(dids[s]) >= 2}
+    got = {r["span"] for r in rows}
+    assert got == want
+    for r in rows:
+        assert r["n_occurrences"] == occ[r["span"]]
+        assert r["n_docs"] == len(dids[r["span"]])
+        assert r["first_doc_id"] == min(dids[r["span"]])
+
+
+def test_tx19_two_hash_aggs_vocab_sized_shuffle(spark, sf_dir):
+    # The census must be two map-side-combinable hash aggregations
+    # (word freq, then pair counts) — no join, no window; the token
+    # explode feeds a partial aggregate BEFORE any exchange so the
+    # shuffle is vocabulary-sized.
+    import re
+
+    from python_sql_datawarehouse_project_spark.operators import bpe
+
+    p = plan_of(bpe.tx19_bpe_pair_census(spark, sf_dir), mode="simple")
+    assert "Join" not in p, p
+    assert "Window" not in p, p
+    # partial word-frequency agg must sit below the first exchange
+    # (children print after parents): the LAST HashAggregate in the
+    # rendering is the map-side partial over the exploded tokens.
+    lines = p.splitlines()
+    first_exchange = max(i for i, ln in enumerate(lines) if "Exchange" in ln)
+    partial_aggs = [i for i, ln in enumerate(lines) if "HashAggregate" in ln]
+    assert any(i > first_exchange for i in partial_aggs), p
+
+
+def test_tx19_matches_bruteforce(spark, sf_dir):
+    from collections import Counter, defaultdict
+
+    from python_sql_datawarehouse_project_spark.operators import bpe
+    from python_sql_datawarehouse_project_spark.operators.text import (
+        _STRIP_RE,
+        _WS_RE,
+    )
+    import re
+
+    rows = bpe.tx19_bpe_pair_census(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    freq = Counter()
+    for r in docs:
+        s = re.sub(_WS_RE, " ", re.sub(_STRIP_RE, " ", r["text"].lower())).strip()
+        freq.update(w for w in s.split(" ") if len(w) >= 2)
+    occ, words = Counter(), defaultdict(set)
+    for w, n in freq.items():
+        for i in range(len(w) - 1):
+            occ[w[i : i + 2]] += n
+            words[w[i : i + 2]].add(w)
+    assert {r["pair"] for r in rows} == set(occ)
+    for r in rows:
+        assert r["n_occurrences"] == occ[r["pair"]]
+        assert r["n_words"] == len(words[r["pair"]])
