@@ -686,12 +686,11 @@ def _auto_bits(n_vectors: int) -> int:
     return b
 
 
-def _auto_band_candidates(n: DataFrame, bits: int) -> DataFrame:
-    """Banded hyperplane-LSH candidate pairs at a caller-chosen band
-    width: band k keys on bits [k*bits, (k+1)*bits) of the projection
+def _auto_bands(n: DataFrame, bits: int) -> DataFrame:
+    """(vec_id, band_key) band assignments at a caller-chosen width:
+    band k keys on bits [k*bits, (k+1)*bits) of the projection
     signature, offset by k << bits so band keyspaces never collide.
-    Same id-only exchange discipline as dd6: the band join ships
-    (vec_id, band_key) longs, never vectors."""
+    Id-only discipline: the frame carries two longs, never vectors."""
     planes = H.rp_planes(AUTO_BANDS * bits)
 
     def proj(i: int):
@@ -713,7 +712,15 @@ def _auto_band_candidates(n: DataFrame, bits: int) -> DataFrame:
                 proj(k * bits + t) > 0, F.lit(1 << t).cast("long")
             ).otherwise(F.lit(0).cast("long"))
         keys.append(key)
-    bands = n.select("vec_id", F.explode(F.array(*keys)).alias("band_key"))
+    return n.select("vec_id", F.explode(F.array(*keys)).alias("band_key"))
+
+
+def _auto_band_candidates(n: DataFrame, bits: int) -> DataFrame:
+    """Banded hyperplane-LSH candidate pairs over _auto_bands: every
+    same-bucket pair, deduped across bands.  Same id-only exchange
+    discipline as dd6: the band join ships (vec_id, band_key) longs,
+    never vectors."""
+    bands = _auto_bands(n, bits)
     a, c = bands.alias("a"), bands.alias("c")
     return (
         a.join(
@@ -744,7 +751,16 @@ def dd14_lsh_autosized(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup regime but cedes borderline pairs at the gate's low 0.40
     threshold as n grows (module comment block + PERF.md recall
     study for the measured envelope and the O(n^1.66) constant-
-    recall alternative)."""
+    recall alternative).
+
+    SECOND-DECADE LIMIT (measured, PERF.md round-6 session 2): the
+    occupancy rule is noise-limited in DENSE corpora — at n=200k the
+    corpus's true near-dup clusters stop splitting (3.3-4.3k vectors
+    per bucket, 742M candidates, >1500 s where sf1 took 37 s); extra
+    bits flip inside the cluster noise radius and buy nothing.  For
+    corpora with large duplicate clusters use dd16_lsh_capped_star:
+    same banding, occupancy cap + star reduction, constant
+    per-vector candidates across both measured decades."""
     n = _load_normalized(spark, sf_dir).localCheckpoint(eager=True)
     bits = _auto_bits(n.count())
     return _exact_rescore(n, _auto_band_candidates(n, bits))
@@ -795,6 +811,106 @@ WHERE {H.sql_dot('a.vn', 'b.vn')} >= {COSINE_T}
 
 
 DD14_ORACLE = _dd14_oracle()
+
+
+# -- dd16: occupancy-capped LSH with star reduction -------------------
+# WHY (measured, PERF.md round-6 sf10 study): dd14's occupancy rule
+# assumes adding bits splits buckets, but a bucket whose members are a
+# genuinely DENSE near-dup cluster stops splitting once the extra
+# plane bits flip inside the cluster's noise radius — at n=200k the
+# corpus's dense clusters put 3.3-4.3k vectors in single buckets and
+# the full pair expansion hits 742M candidates (3,710/vector; the
+# gate ran past 25 min where sf1 took 37 s).  No banded LSH fixes
+# that by resizing: within-cluster pairs are IRREDUCIBLE candidates.
+# For DEDUP the clique is not needed — connectivity is: a bucket over
+# the cap emits a STAR (every member paired to the bucket's min
+# vec_id) instead of all pairs, and the downstream connected-
+# components pass (dd7) reconstructs the cluster from the star
+# exactly as it would from the clique.  Measured candidate counts
+# (numpy replication of the plane family, cross-checked exactly):
+# sf0.1 120k vs 763k, sf1 1.25M vs 13.2M, sf10 6.0M vs 742M — per-
+# vector 60/63/30, CONSTANT across two decades where the uncapped
+# expansion grows x56.  Honest trade: a pair inside an over-cap
+# bucket survives only through hub transitivity (both ends >= t with
+# the hub, or co-located in some other small bucket) — the canopy-
+# clustering compromise; recall in the c >= 0.9 dedup regime is
+# unaffected because dense-cluster members are mutually similar to
+# the hub by construction.
+DD16_CAP = AUTO_OCC  # occupancy ceiling: <= CAP all pairs, > CAP star
+
+
+def _capped_star_candidates(n: DataFrame, bits: int) -> DataFrame:
+    """Candidate pairs with per-bucket occupancy cap: buckets at or
+    under DD16_CAP contribute every pair; larger buckets contribute
+    (member, hub=min vec_id) star edges.  hub < member always, so the
+    vec_a < vec_b invariant and the cross-band DISTINCT both hold.
+    Shuffle shape: one band-key aggregate (two longs per bucket) plus
+    the same id-only band self-join as dd14, now bounded by CAP^2/2
+    pairs per bucket."""
+    bands = _auto_bands(n, bits)
+    occ = bands.groupBy("band_key").agg(
+        F.count(F.lit(1)).alias("occ"), F.min("vec_id").alias("hub")
+    )
+    banded = bands.join(occ, "band_key")
+    small = banded.where(F.col("occ") <= DD16_CAP)
+    a, c = small.alias("a"), small.alias("c")
+    small_pairs = a.join(
+        c,
+        (F.col("a.band_key") == F.col("c.band_key"))
+        & (F.col("a.vec_id") < F.col("c.vec_id")),
+    ).select(F.col("a.vec_id").alias("vec_a"), F.col("c.vec_id").alias("vec_b"))
+    star = banded.where(
+        (F.col("occ") > DD16_CAP) & (F.col("vec_id") != F.col("hub"))
+    ).select(F.col("hub").alias("vec_a"), F.col("vec_id").alias("vec_b"))
+    return small_pairs.unionByName(star).distinct()
+
+
+def dd16_lsh_capped_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd14's auto-sized banding with an occupancy cap and star
+    reduction over dense buckets — the parameterization that stays
+    linear when the corpus contains large true near-dup clusters (the
+    100 TB case; see the measured blow-up in the comment block
+    above).  Output contract matches dd6/dd14 (vec_a < vec_b, exact
+    fold cosine >= COSINE_T); the edge SET is the connectivity-
+    preserving subset, which is what the dd7 clustering pass
+    consumes."""
+    n = _load_normalized(spark, sf_dir).localCheckpoint(eager=True)
+    bits = _auto_bits(n.count())
+    return _exact_rescore(n, _capped_star_candidates(n, bits))
+
+
+def _dd16_oracle() -> str:
+    base = _dd14_oracle()
+    head, _, _ = base.partition("cand AS (")
+    return (
+        head
+        + f"""occ AS (
+    SELECT band_key, COUNT(*) AS occ, MIN(vec_id) AS hub
+    FROM bands GROUP BY band_key
+),
+cand AS (
+    SELECT DISTINCT vec_a, vec_b FROM (
+        SELECT a.vec_id AS vec_a, c.vec_id AS vec_b
+        FROM bands a
+        JOIN occ o ON a.band_key = o.band_key
+        JOIN bands c ON a.band_key = c.band_key AND a.vec_id < c.vec_id
+        WHERE o.occ <= {DD16_CAP}
+        UNION ALL
+        SELECT o.hub AS vec_a, b.vec_id AS vec_b
+        FROM bands b JOIN occ o ON b.band_key = o.band_key
+        WHERE o.occ > {DD16_CAP} AND b.vec_id <> o.hub
+    )
+)
+SELECT cand.vec_a, cand.vec_b, {H.sql_dot('a.vn', 'b.vn')} AS cosine
+FROM cand
+JOIN normalized a ON cand.vec_a = a.vec_id
+JOIN normalized b ON cand.vec_b = b.vec_id
+WHERE {H.sql_dot('a.vn', 'b.vn')} >= {COSINE_T}
+"""
+    )
+
+
+DD16_ORACLE = _dd16_oracle()
 
 
 # -- dd7: duplicate clustering (connected components) -----------------
@@ -1438,6 +1554,7 @@ QUERIES = {
     "dd12_triangle_census": dd12_triangle_census,
     "dd13_ensemble_agreement": dd13_ensemble_agreement,
     "dd14_lsh_autosized": dd14_lsh_autosized,
+    "dd16_lsh_capped_star": dd16_lsh_capped_star,
 }
 ORACLES = {
     "dd1_exact_dedup": DD1_ORACLE,
@@ -1454,4 +1571,5 @@ ORACLES = {
     "dd12_triangle_census": DD12_ORACLE,
     "dd13_ensemble_agreement": DD13_ORACLE,
     "dd14_lsh_autosized": DD14_ORACLE,
+    "dd16_lsh_capped_star": DD16_ORACLE,
 }

@@ -26,6 +26,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", required=True)
     ap.add_argument("--reps", type=int, default=1)
+    ap.add_argument(
+        "--warm-gate",
+        help="gate used for the untimed JVM/codegen warm-up execution "
+        "(default: the first timed gate; pick a CHEAP one when timing "
+        "an expensive gate in its own process)",
+    )
     ap.add_argument("gates", nargs="+")
     args = ap.parse_args()
 
@@ -39,9 +45,12 @@ def main() -> None:
     if unknown:
         ap.error(f"unknown gates: {unknown}")
 
-    # One warm-up execution of the first gate so JVM/codegen/Arrow
-    # startup is not attributed to it.
-    queries[args.gates[0]](spark, args.sf_dir).write.format("noop").mode(
+    # One warm-up execution so JVM/codegen/Arrow startup is not
+    # attributed to the first timed gate.
+    warm = args.warm_gate or args.gates[0]
+    if warm not in queries:
+        ap.error(f"unknown warm gate {warm!r}")
+    queries[warm](spark, args.sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
 

@@ -1370,3 +1370,41 @@ def test_tx19_matches_bruteforce(spark, sf_dir):
     for r in rows:
         assert r["n_occurrences"] == occ[r["pair"]]
         assert r["n_words"] == len(words[r["pair"]])
+
+
+def test_dd16_capped_star_stays_bucketed(spark, sf_dir):
+    # Same plan bar as dd14: band-key equi-joins only — no cartesian,
+    # no nested-loop, no blocked-BLAS stage — at the derived width,
+    # with the occupancy aggregate feeding both branches.
+    p = plan_of(dedup.dd16_lsh_capped_star(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "FlatMapGroupsInPandas" not in p
+    assert "band_key" in p
+
+
+def test_dd16_equals_dd14_when_no_bucket_exceeds_cap(spark, sf_dir):
+    # At sf0.001 every band bucket is under DD16_CAP, so the star
+    # branch is empty and the capped gate must equal dd14 exactly —
+    # the cap is a pure scale guard, not a semantics change below it.
+    a = sorted(map(tuple, dedup.dd14_lsh_autosized(spark, sf_dir).collect()))
+    b = sorted(map(tuple, dedup.dd16_lsh_capped_star(spark, sf_dir).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_dd16_dense_bucket_emits_star_not_clique(spark):
+    # 70 identical vectors -> one bucket per band, occupancy 70 > 64:
+    # the candidate set must be the 69-edge star on the min vec_id,
+    # not the 2,415-pair clique.
+    from pyspark.sql import functions as F
+
+    from python_sql_datawarehouse_project_spark.functions import hashing as H
+
+    vec = [1.0] + [0.0] * (H.RP_DIM - 1)
+    n = spark.createDataFrame(
+        [(i, vec) for i in range(70)], "vec_id long, vn array<double>"
+    )
+    cand = dedup._capped_star_candidates(n, bits=4).collect()
+    assert len(cand) == 69
+    assert all(r["vec_a"] == 0 and r["vec_b"] > 0 for r in cand)
+    assert {r["vec_b"] for r in cand} == set(range(1, 70))
