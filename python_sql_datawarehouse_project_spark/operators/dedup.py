@@ -148,6 +148,29 @@ def _doc_sketches(docs: DataFrame) -> DataFrame:
     )
 
 
+def _band_assignments(sk: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) minhash band assignments — the
+    id-only frame every pairing policy (full self-join, capped star,
+    asymmetric probe) keys on."""
+    return sk.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(H.LSH_BANDS - 1))).alias("band"),
+        "sig",
+    ).select(
+        "doc_id",
+        "band",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("sig"), F.col("band") * H.LSH_ROWS + 1, H.LSH_ROWS),
+                    lambda s: s.cast("string"),
+                ),
+            )
+        ).alias("band_key"),
+    )
+
+
 def _lsh_candidates(sk: DataFrame) -> DataFrame:
     """Banded-LSH candidate pairs carrying both docs' sketches.
 
@@ -168,23 +191,7 @@ def _lsh_candidates(sk: DataFrame) -> DataFrame:
     the recursion frontiers), and on a cluster this is the standard
     reuse answer for an expensive shared stage."""
     sk = sk.localCheckpoint(eager=True)
-    bands = sk.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(H.LSH_BANDS - 1))).alias("band"),
-        "sig",
-    ).select(
-        "doc_id",
-        "band",
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.slice(F.col("sig"), F.col("band") * H.LSH_ROWS + 1, H.LSH_ROWS),
-                    lambda s: s.cast("string"),
-                ),
-            )
-        ).alias("band_key"),
-    )
+    bands = _band_assignments(sk)
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     pairs = (
@@ -319,6 +326,115 @@ FROM cand
 WHERE CAST(len(list_filter(list_zip(sig_a, sig_b), p -> p[1] = p[2]))
             AS DOUBLE) / {float(H.MINHASH_K)} >= {EST_T}
 """
+
+
+# -- dd17: occupancy-capped minhash LSH (text-side dd16) -------------
+# WHY (measured, PERF.md round-6 session 2): dd7's sf10 timeout is an
+# INPUT explosion — dd3's band buckets go dense exactly like dd14's
+# (500k docs with replicated duplicate structure), so the edge list CC
+# must shuffle is quadratic before clustering starts.  Same rule as
+# dd16: buckets at/under the cap emit every pair, dense buckets emit a
+# star on the bucket's min doc_id — connectivity preserved for the
+# clustering pass, candidate mass linear in bucket size.
+DD17_CAP = 64
+
+
+def _capped_lsh_candidates(sk: DataFrame) -> DataFrame:
+    """dd3's candidate stage with the dd16 occupancy cap: identical
+    id-only exchange discipline (the band join and the occupancy
+    aggregate move (doc_id, band, band_key) only; sketches re-attach
+    by doc_id afterwards), but per-bucket pair mass is bounded by
+    DD17_CAP^2/2 — dense buckets contribute m-1 star edges instead of
+    m(m-1)/2."""
+    sk = sk.localCheckpoint(eager=True)
+    bands = _band_assignments(sk)
+    occ = bands.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("occ"), F.min("doc_id").alias("hub")
+    )
+    banded = bands.join(occ, ["band", "band_key"])
+    small = banded.where(F.col("occ") <= DD17_CAP)
+    a = small.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    b = small.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    small_pairs = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    star = banded.where(
+        (F.col("occ") > DD17_CAP) & (F.col("doc_id") != F.col("hub"))
+    ).select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    pairs = small_pairs.unionByName(star).dropDuplicates(["doc_a", "doc_b"])
+    lhs = sk.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hs").alias("hs_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    rhs = sk.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hs").alias("hs_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    return pairs.join(lhs, "doc_a").join(rhs, "doc_b")
+
+
+def dd17_minhash_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd3's output contract (doc_a < doc_b, minhash-estimated
+    Jaccard >= EST_T) over occupancy-capped candidates — the edge set
+    a corpus-scale dedup pipeline feeds the dd7 clustering pass (see
+    the dd16/dd17 comment blocks for the measured dense-corpus
+    blow-up this guards against, and PERF.md for the sf10 CC
+    demonstration).  Below the cap the candidate set — and therefore
+    the gate — is identical to dd3 (pytest-pinned at sf0.001)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = _capped_lsh_candidates(_doc_sketches(docs))
+    return cand.select(
+        "doc_a", "doc_b", _sig_agreement().alias("jaccard_est")
+    ).filter(F.col("jaccard_est") >= EST_T)
+
+
+def _sql_capped_sketch_ctes() -> str:
+    return f"""{_sql_band_ctes()},
+occ AS (
+    SELECT band, band_key, COUNT(*) AS occ, MIN(doc_id) AS hub
+    FROM bands GROUP BY band, band_key
+),
+cpairs AS (
+    SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN occ o ON a.band = o.band AND a.band_key = o.band_key
+        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+        WHERE o.occ <= {DD17_CAP}
+        UNION ALL
+        SELECT o.hub AS doc_a, b.doc_id AS doc_b
+        FROM bands b JOIN occ o
+          ON b.band = o.band AND b.band_key = o.band_key
+        WHERE o.occ > {DD17_CAP} AND b.doc_id <> o.hub
+    )
+),
+cand AS (
+    SELECT p.doc_a, p.doc_b, a.hs AS hs_a, b.hs AS hs_b,
+           a.sig AS sig_a, b.sig AS sig_b
+    FROM cpairs p
+    JOIN sketches a ON p.doc_a = a.doc_id
+    JOIN sketches b ON p.doc_b = b.doc_id
+)"""
+
+
+def _dd17_oracle() -> str:
+    return f"""
+WITH {_sql_capped_sketch_ctes()}
+SELECT doc_a, doc_b,
+       CAST(len(list_filter(list_zip(sig_a, sig_b), p -> p[1] = p[2]))
+            AS DOUBLE) / {float(H.MINHASH_K)} AS jaccard_est
+FROM cand
+WHERE CAST(len(list_filter(list_zip(sig_a, sig_b), p -> p[1] = p[2]))
+            AS DOUBLE) / {float(H.MINHASH_K)} >= {EST_T}
+"""
+
+
+DD17_ORACLE = _dd17_oracle()
 
 
 # -- dd4: SimHash with banded Hamming near-dups ----------------------
@@ -1555,6 +1671,7 @@ QUERIES = {
     "dd13_ensemble_agreement": dd13_ensemble_agreement,
     "dd14_lsh_autosized": dd14_lsh_autosized,
     "dd16_lsh_capped_star": dd16_lsh_capped_star,
+    "dd17_minhash_capped_pairs": dd17_minhash_capped_pairs,
 }
 ORACLES = {
     "dd1_exact_dedup": DD1_ORACLE,
@@ -1572,4 +1689,5 @@ ORACLES = {
     "dd13_ensemble_agreement": DD13_ORACLE,
     "dd14_lsh_autosized": DD14_ORACLE,
     "dd16_lsh_capped_star": DD16_ORACLE,
+    "dd17_minhash_capped_pairs": DD17_ORACLE,
 }

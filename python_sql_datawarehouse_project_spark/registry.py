@@ -75,7 +75,7 @@ from .streaming import windows as stream_windows
 # 15 + 35 = 50.  The 21 keys still queued for ROUND 7 (the round-5
 # tail plus the four round-3 stragglers that didn't fit, plus the
 # round-6 additions): sq1, ds7, zo1, dd11, ev18-ev21, dd13, w8, w9,
-# rj2, qa20, qa21, tx17, ux2, dd14, dd15, tx18, tx19, sj1, dd16.
+# rj2, qa20, qa21, tx17, ux2, dd14, dd15, tx18, tx19, sj1, dd16, dd17.
 # All 66 are green in the local two-SF oracle-parity pytest suite and
 # the sf0.1 CLI sweep (COVERAGE.md); the rotation exists purely to
 # convert builder-side evidence into recorded driver rows.

@@ -1408,3 +1408,34 @@ def test_dd16_dense_bucket_emits_star_not_clique(spark):
     assert len(cand) == 69
     assert all(r["vec_a"] == 0 and r["vec_b"] > 0 for r in cand)
     assert {r["vec_b"] for r in cand} == set(range(1, 70))
+
+
+def test_dd17_capped_pairs_plan_and_identity(spark, sf_dir):
+    # Plan: id-only band joins, no cartesian/nested-loop; semantics:
+    # below the cap the gate equals dd3 exactly (sf0.001 buckets are
+    # all under DD17_CAP).
+    p = plan_of(dedup.dd17_minhash_capped_pairs(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    a = sorted(map(tuple, dedup.dd3_minhash_lsh_pairs(spark, sf_dir).collect()))
+    b = sorted(
+        map(tuple, dedup.dd17_minhash_capped_pairs(spark, sf_dir).collect())
+    )
+    assert a == b and len(a) > 0
+
+
+def test_dd17_dense_bucket_emits_star_not_clique(spark):
+    # 70 identical sketches -> every band bucket holds all 70 docs,
+    # occupancy > 64: candidates must be the 69-edge star on doc 0.
+    from python_sql_datawarehouse_project_spark.functions import hashing as H
+
+    sig = list(range(H.MINHASH_K))
+    hs = [1, 2, 3]
+    sk = spark.createDataFrame(
+        [(i, hs, sig) for i in range(70)],
+        "doc_id long, hs array<long>, sig array<long>",
+    )
+    cand = dedup._capped_lsh_candidates(sk).select("doc_a", "doc_b").collect()
+    assert len(cand) == 69
+    assert all(r["doc_a"] == 0 and r["doc_b"] > 0 for r in cand)
+    assert {r["doc_b"] for r in cand} == set(range(1, 70))
