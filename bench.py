@@ -77,7 +77,6 @@ def main() -> None:
 
     spark = build_session(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
-    calib = _host_calibration(spark)
 
     from python_sql_datawarehouse_project_spark import registry
 
@@ -123,13 +122,41 @@ def main() -> None:
                     "overwrite"
                 ).save()
 
+    # Calibrate AFTER the warm-up block: measured cold (right after
+    # session build) the probes carry first-noop-commit + codegen
+    # compile noise and swing 3x between sessions; hot they anchor.
+    # A second calibration after the gate loop brackets the run —
+    # this box has shown contiguous multi-minute sick windows (one
+    # alphabetical span of gates 5-24x slow while the rest measured
+    # 0.97x), and start/end anchors make that diagnosable from the
+    # JSON alone.
+    calib = _host_calibration(spark)
+
     from python_sql_datawarehouse_project_spark.streaming.windows import (
         LAST_DRAIN_SPLIT,
     )
 
+    # In-loop probe: one 0.1-0.2 s cpu-probe sample every PROBE_EVERY
+    # gates.  The bracketing calibrations miss mid-run sick windows
+    # (observed: a contiguous alphabetical span of gates 5-24x slow
+    # while start/end probes both measured healthy); the timeline
+    # localizes them to a gate range so a reviewer can discount that
+    # span instead of the whole run.
+    PROBE_EVERY = 20
+
+    def _probe() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 50_000_000, 1, 32).selectExpr(
+            "sum(xxhash64(id)) AS h"
+        ).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
     total = 0.0
     stream_split: dict[str, dict] = {}
-    for name in sorted(queries):
+    calib_timeline: list[list] = []
+    for i, name in enumerate(sorted(queries)):
+        if i % PROBE_EVERY == 0:
+            calib_timeline.append([name, _probe()])
         LAST_DRAIN_SPLIT.clear()
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -139,6 +166,10 @@ def main() -> None:
         if name.startswith("stream_") and LAST_DRAIN_SPLIT:
             stream_split[name] = dict(LAST_DRAIN_SPLIT)
 
+    calib = {
+        **{f"start_{k}": v for k, v in calib.items()},
+        **{f"end_{k}": v for k, v in _host_calibration(spark).items()},
+    }
     _warn_regressions(timings)
     _record_history(timings, sf, calib)
 
@@ -156,6 +187,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "host_calibration": calib,
+                "calib_timeline": calib_timeline,
                 "stream_setup_total_sec": setup_total,
                 "stream_split": stream_split,
             }
