@@ -44,8 +44,10 @@ from .text import _sql_tokens, _tokens
 BM25_TERMS = ("spark", "join", "window")  # fixed probe query
 BM25_K1 = 1.2
 BM25_B = 0.75
-_ONE_MINUS_B = 0.25  # 1 - BM25_B, folded identically on both engines
-_K1_PLUS_1 = 2.2  # BM25_K1 + 1
+# Folded identically on both engines; derived so a BM25_B / BM25_K1
+# change cannot silently drift from these literals (ADVICE r6 #2).
+_ONE_MINUS_B = 1 - BM25_B
+_K1_PLUS_1 = BM25_K1 + 1
 
 
 def _tf(term: str):

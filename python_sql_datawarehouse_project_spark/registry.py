@@ -57,28 +57,27 @@ from .streaming import windows as stream_windows
 
 # Key order is load-bearing: the driver's correctness gate checks the
 # FIRST 50 registry keys in insertion order (observed window size in
-# r1/r2/r5).  CORRECTNESS_r05 landed 50/50 green, so the recorded
-# driver-green set entering round 6 is the r1+r2+r5 union: 109
-# distinct keys, leaving exactly 66 never-driver-checked (all
-# round-3..5 extensions; recompute any time with
+# r1/r2/r5/r6).  After CORRECTNESS_r06 (50/50 green) the recorded
+# driver-green union is 159 of 182 keys, leaving exactly 23
+# never-driver-checked (recompute any time with
 # provenance.never_driver_green(list(queries()))).
 #
-# ROUND-6 ROTATION (executes the plan VERDICT r5 item #1 cites): the
-# 50 r5-green keys rotate OUT and the window refills
-# oldest-never-checked-first —
-#   A. the 15 round-3 tail keys that have never been inside any
-#      window (tx6-tx11, qa8-qa12, pd1, eq1, pk1, ls1);
-#   B. the 35 round-4 tail keys in arrival order (q24-q31, tx15/tx16,
-#      emb2, stream_enrich_segments, q32-q44 incl. q43, emb3/emb4,
-#      stream_coldstart_purchases, ux1, qa19, ds8, dd12, sim7,
-#      ev16/ev17).
-# 15 + 35 = 50.  The 21 keys still queued for ROUND 7 (the round-5
-# tail plus the four round-3 stragglers that didn't fit, plus the
-# round-6 additions): sq1, ds7, zo1, dd11, ev18-ev21, dd13, w8, w9,
-# rj2, qa20, qa21, tx17, ux2, dd14, dd15, tx18, tx19, sj1, dd16, dd17.
-# All 66 are green in the local two-SF oracle-parity pytest suite and
-# the sf0.1 CLI sweep (COVERAGE.md); the rotation exists purely to
-# convert builder-side evidence into recorded driver rows.
+# ROUND-7 ROTATION (executes VERDICT r6 "Next round" #1): ALL 23
+# never-driver-green keys enter the window —
+#   A. the 16 round-5-tail + round-3-straggler keys (w8, w9, rj2,
+#      qa20, qa21, tx17, ux2, ev18-ev21, dd13, sq1, ds7, zo1, dd11);
+#   B. the 7 round-6 additions (dd14, dd15, dd16, dd17, tx18, tx19,
+#      sj1);
+#   C. any round-7 additions (sim8 capped kNN, dd18 composed capped
+#      dedup pipeline) so never_driver_green() reaches AND STAYS
+#      empty after this round's rotation.
+# The window is padded back to 50 with the OLDEST previously-green
+# keys for re-confirmation (the 11 round-1 keys, then round-2 keys in
+# arrival order) per the verdict's prescription.  All 23 backlog keys
+# are green in the local two-SF oracle-parity pytest suite and the
+# committed 182/182 sf0.1 CLI sweep (ORACLECHECK_r06.json); the
+# rotation exists purely to convert builder-side evidence into
+# recorded driver rows.
 _MODULES = (
     windows,
     recursive,
@@ -128,58 +127,60 @@ _MODULES = (
 # must exist (asserted in queries()) so a renamed gate fails loudly
 # instead of silently dropping out of the window.
 _WINDOW_PRIORITY = (
-    # -- tier A: round-3 tail, oldest never-checked keys ----------------
-    "tx6_decontamination",
-    "tx7_repetition",
-    "tx8_chunks",
-    "tx9_bigram_lift",
-    "tx10_textrank",
-    "tx11_vocab_stats",
-    "qa8_chisq_drift",
-    "qa9_cms_heavy_hitters",
-    "qa10_join_explosion",
-    "qa11_fd_profile",
-    "qa12_corr_profile",
-    "pd1_window_dedup",
-    "eq1_int8_quantize",
-    "pk1_pack_chunks",
-    "ls1_leakage_safe_split",
-    # -- tier B: round-4 tail, arrival order -----------------------------
-    "q24_order_priority_check",
-    "q25_volume_shipping",
-    "q26_market_share",
-    "q27_returned_items",
-    "q28_latency_priority",
-    "q29_promo_revenue",
-    "q30_pivot_priority_revenue",
-    "q31_date_dim",
-    "tx15_pii_redaction",
-    "tx16_bigram_novelty",
-    "emb2_dimension_profile",
-    "stream_enrich_segments",
-    "q32_min_cost_supplier",
-    "q33_local_supplier_volume",
-    "q34_forecast_revenue",
-    "q35_product_profit",
-    "q36_important_parts",
-    "q37_order_count_distribution",
-    "q38_supplier_part_variety",
-    "q39_promotion_candidates",
-    "q40_snapshot_diff",
-    "q41_set_ops",
-    "q42_table_fingerprint",
-    "q43_recursive_sql",
-    "q44_market_basket",
-    "emb3_int8_quant",
-    "emb4_matryoshka",
-    "stream_coldstart_purchases",
-    "ux1_pandas_udaf",
-    "qa19_ndv_profile",
-    "ds8_sequence_packing",
-    "dd12_triangle_census",
-    "sim7_knn_graph",
-    "ev16_cumulative_users",
-    "ev17_value_histogram",
+    # -- tier A: the 16 round-5-tail/round-3-straggler never-green keys --
+    "w8_rolling_median",
+    "w9_running_distinct",
+    "rj2_interval_overlap",
+    "qa20_grouped_regression",
+    "qa21_ks_distance",
+    "tx17_char_diversity",
+    "ux2_sql_udf",
+    "ev18_ohlc_daily_cascade",
+    "ev19_decayed_engagement",
+    "ev20_growth_accounting",
+    "ev21_rolling_correlation",
+    "dd13_ensemble_agreement",
+    "sq1_event_sequences",
+    "ds7_epoch_schedule",
+    "zo1_zorder_code",
+    "dd11_incremental_lsh",
+    # -- tier B: the 7 round-6 additions, never-green ---------------------
+    "dd14_lsh_autosized",
+    "dd15_repeated_spans",
+    "dd16_lsh_capped_star",
+    "dd17_minhash_capped_pairs",
+    "tx18_bm25_scores",
+    "tx19_bpe_pair_census",
+    "sj1_semijoin_reduced_join",
+    # -- tier C: round-7 additions (new gates enter here as they land) ----
+    # -- tier D: padding — oldest previously-green keys, re-confirmation --
+    "w1_dedup_keep_latest",
+    "w2_lead_end_dating",
+    "w3_surrogate_keys",
+    "q9_delayed_orders_chain",
+    "sim1_topk_bruteforce",
+    "sim2_lsh_topk",
+    "sim3_ivf_topk",
+    "tx1_token_count",
+    "tx2_quality_score",
+    "tx3_language_id",
+    "tx4_fingerprint",
+    "qa1_null_profile",
+    "qa2_dup_keys",
+    "qa3_referential",
+    "qa4_kmv_distinct",
+    "qa6_order_event_reconcile",
+    "qa7_value_histogram",
+    "ev1_tumbling_hourly",
+    "ev2_sliding_windows",
+    "ev3_session_windows",
+    "ev4_props_json",
+    "ev5_funnel",
+    "ev6_cohort_retention",
+    "ev7_transition_matrix",
+    "ev9_hourly_active_users",
+    "ev10_gap_histogram",
+    "q1_monthly_sales_product",
 )
 
 

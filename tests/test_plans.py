@@ -1340,9 +1340,12 @@ def test_tx19_two_hash_aggs_vocab_sized_shuffle(spark, sf_dir):
     # (children print after parents): the LAST HashAggregate in the
     # rendering is the map-side partial over the exploded tokens.
     lines = p.splitlines()
-    first_exchange = max(i for i, ln in enumerate(lines) if "Exchange" in ln)
+    # LAST Exchange line in the rendering = deepest / first-executed
+    # exchange (children print below parents) — named accordingly
+    # (ADVICE r6 #3).
+    deepest_exchange = max(i for i, ln in enumerate(lines) if "Exchange" in ln)
     partial_aggs = [i for i, ln in enumerate(lines) if "HashAggregate" in ln]
-    assert any(i > first_exchange for i in partial_aggs), p
+    assert any(i > deepest_exchange for i in partial_aggs), p
 
 
 def test_tx19_matches_bruteforce(spark, sf_dir):
