@@ -344,27 +344,9 @@ def sim7_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _load_normalized, _lsh_band_candidates
 
     n = _load_normalized(spark, sf_dir).localCheckpoint(eager=True)
-    cand = _lsh_band_candidates(n)
-    sym = cand.unionByName(
-        cand.select(
-            F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b")
-        )
-    ).select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
-    a = n.select(F.col("vec_id").alias("src"), F.col("vn").alias("va"))
-    b = n.select(F.col("vec_id").alias("dst"), F.col("vn").alias("vb"))
-    scored = (
-        sym.join(a, "src")
-        .join(b, "dst")
-        .select("src", "dst", H.dot_fold(F.col("va"), F.col("vb")).alias("cosine"))
-    )
-    w = Window.partitionBy("src").orderBy(
-        F.desc("cosine"), F.asc("dst")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= SIM7_K)
-        .select("src", "dst", "cosine", "rank")
-    )
+    # Scoring/ranking shared verbatim with sim8 (the scale-safe
+    # variant); ONLY candidate generation differs between the two.
+    return _knn_rank_pairs(n, _lsh_band_candidates(n))
 
 
 def _sim7_oracle() -> str:
@@ -408,12 +390,197 @@ SELECT src, dst, cosine, rank FROM ranked WHERE rank <= {SIM7_K}
 """
 
 
+# -- sim8: scale-safe kNN graph (auto-sized banding + occupancy cap) --
+# WHY (VERDICT r6 "What's wrong" #1): sim7 consumes dd6's FROZEN
+# banding, measured super-linear (exponent 1.41 over sf0.1 -> sf1,
+# same fixed-bucket-space cause as dd6/dd14's diagnosis).  sim8 is
+# the dd14/dd16 treatment applied to the kNN graph:
+#   * bits-per-band derived from the corpus count (dd14's _auto_bits
+#     rule) so per-bucket occupancy stays constant as n grows;
+#   * a per-bucket occupancy cap: buckets at/under SIM8_OCC_CAP
+#     contribute every pair; DENSE buckets (true near-dup clusters
+#     that no amount of extra bits splits — the measured dd14 sf10
+#     failure) contribute a deterministic RING instead — members
+#     sorted by vec_id, each paired with its SIM8_RING successors.
+# dd16's star reduction does NOT transfer: kNN needs real per-pair
+# cosines, and a star gives non-hub members only one candidate.  The
+# ring gives every member >= min(2*SIM8_RING, m-1) in-cluster
+# candidates, bounding bucket pair mass at m*SIM8_RING instead of
+# m^2/2 while keeping per-source candidates constant.
+#
+# Approximation contract, stated not hidden: inside an over-cap
+# bucket the ring samples the clique by vec_id adjacency, so a
+# member's top-K may miss an in-bucket neighbor outside its ring
+# window UNLESS they co-occur in another small bucket (8 bands give
+# 8 chances).  In the dense regime that triggers the cap, members
+# are mutually similar by construction (that is WHY the bucket
+# cannot split), so ranked candidates are near-ties — the same
+# canopy compromise dd16 documents for dedup.  Below the cap the
+# candidate set is EXACTLY dd14's auto-sized band candidates
+# (pytest-pinned), and the scoring/ranking composition is pinned
+# bit-identical to sim7's over any shared candidate set.
+SIM8_OCC_CAP = 64  # = dedup.AUTO_OCC, asserted below at import
+SIM8_RING = 2 * SIM7_K
+
+
+def _sim8_capped_ring_candidates(
+    bands: DataFrame, cap: int = SIM8_OCC_CAP, ring: int = SIM8_RING
+) -> DataFrame:
+    """(vec_a < vec_b) candidate pairs from a (vec_id, band_key)
+    assignment with per-bucket occupancy capping: full pairs for
+    buckets <= cap, vec_id-ordered ring pairs (distance <= ring) for
+    dense buckets.  Id-only exchange discipline throughout — the
+    occupancy count, the position window and both joins move two
+    longs per row, never vectors; output is bounded by
+    max(cap, 2*ring)/2 pairs per member per band.  occ and pos are
+    both window functions over the SAME band_key partitioning so they
+    share one Exchange (a groupBy-count + join-back would shuffle the
+    assignment twice for the same answer)."""
+    wk = Window.partitionBy("band_key")
+    banded = bands.select(
+        "band_key",
+        "vec_id",
+        F.count(F.lit(1)).over(wk).alias("occ"),
+        F.row_number().over(wk.orderBy(F.asc("vec_id"))).alias("pos"),
+    )
+    small = banded.where(F.col("occ") <= cap)
+    a, c = small.alias("a"), small.alias("c")
+    small_pairs = a.join(
+        c,
+        (F.col("a.band_key") == F.col("c.band_key"))
+        & (F.col("a.vec_id") < F.col("c.vec_id")),
+    ).select(F.col("a.vec_id").alias("vec_a"), F.col("c.vec_id").alias("vec_b"))
+    over = banded.where(F.col("occ") > cap)
+    # pos is assigned in vec_id order, so the equi-join below always
+    # pairs a smaller vec_id (vec_a) with a larger one (vec_b) —
+    # vec_a < vec_b holds by construction, no extra filter.
+    left = over.select(
+        "band_key",
+        F.col("vec_id").alias("vec_a"),
+        F.explode(
+            F.array(*[F.col("pos") + F.lit(j) for j in range(1, ring + 1)])
+        ).alias("dpos"),
+    )
+    right = over.select(
+        "band_key", F.col("vec_id").alias("vec_b"), F.col("pos").alias("dpos")
+    )
+    ring_pairs = left.join(right, ["band_key", "dpos"]).select(
+        "vec_a", "vec_b"
+    )
+    return small_pairs.unionByName(ring_pairs).distinct()
+
+
+def _knn_rank_pairs(n: DataFrame, cand: DataFrame) -> DataFrame:
+    """sim7's symmetrize + exact-fold score + per-source top-K over an
+    arbitrary (vec_a, vec_b) candidate frame — shared verbatim by
+    sim7 (dd6 frozen banding) and sim8 (auto-sized capped banding),
+    so the two gates differ ONLY in candidate generation and the
+    ranking semantics are bit-identical by construction."""
+    sym = cand.unionByName(
+        cand.select(
+            F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b")
+        )
+    ).select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+    a = n.select(F.col("vec_id").alias("src"), F.col("vn").alias("va"))
+    b = n.select(F.col("vec_id").alias("dst"), F.col("vn").alias("vb"))
+    scored = (
+        sym.join(a, "src")
+        .join(b, "dst")
+        .select(
+            "src", "dst", H.dot_fold(F.col("va"), F.col("vb")).alias("cosine")
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SIM7_K)
+        .select("src", "dst", "cosine", "rank")
+    )
+
+
+def sim8_knn_graph_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every vector's top-SIM7_K nearest candidate neighbors, with
+    scale-adaptive banding and bounded per-bucket candidate mass —
+    the production parameterization of sim7 (see the comment block
+    above for the measured super-linearity this fixes and the ring
+    approximation contract).  One bounded driver action (the count)
+    picks the band width; everything downstream is id-only band
+    machinery plus the shared scoring/ranking composition."""
+    from .dedup import AUTO_OCC, _auto_bands, _auto_bits, _load_normalized
+
+    assert SIM8_OCC_CAP == AUTO_OCC  # one occupancy rule family-wide
+    n = _load_normalized(spark, sf_dir).localCheckpoint(eager=True)
+    bits = _auto_bits(n.count())
+    cand = _sim8_capped_ring_candidates(_auto_bands(n, bits))
+    return _knn_rank_pairs(n, cand)
+
+
+def _sim8_oracle() -> str:
+    # Reuse dd14's oracle head (normalized + integer bit-sizing meta +
+    # auto-sized bands CTEs) exactly as dd16 does, then the capped/
+    # ring candidate stage and sim7's ranking tail.
+    from .dedup import _dd14_oracle
+
+    base = _dd14_oracle()
+    head, _, _ = base.partition("cand AS (")
+    return (
+        head
+        + f"""occ AS (
+    SELECT band_key, COUNT(*) AS occ FROM bands GROUP BY band_key
+),
+small_pairs AS (
+    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b
+    FROM bands a
+    JOIN occ o ON a.band_key = o.band_key
+    JOIN bands c ON a.band_key = c.band_key AND a.vec_id < c.vec_id
+    WHERE o.occ <= {SIM8_OCC_CAP}
+),
+obands AS (
+    SELECT b.vec_id, b.band_key,
+           ROW_NUMBER() OVER (
+               PARTITION BY b.band_key ORDER BY b.vec_id) AS pos
+    FROM bands b JOIN occ o ON b.band_key = o.band_key
+    WHERE o.occ > {SIM8_OCC_CAP}
+),
+ring_pairs AS (
+    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b
+    FROM obands a JOIN obands c
+      ON a.band_key = c.band_key
+     AND c.pos - a.pos BETWEEN 1 AND {SIM8_RING}
+),
+cand AS (
+    SELECT DISTINCT vec_a, vec_b FROM (
+        SELECT * FROM small_pairs UNION ALL SELECT * FROM ring_pairs
+    )
+),
+sym AS (
+    SELECT vec_a AS src, vec_b AS dst FROM cand
+    UNION ALL
+    SELECT vec_b AS src, vec_a AS dst FROM cand
+),
+scored AS (
+    SELECT s.src, s.dst, {H.sql_dot('a.vn', 'b.vn')} AS cosine
+    FROM sym s
+    JOIN normalized a ON s.src = a.vec_id
+    JOIN normalized b ON s.dst = b.vec_id
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rank
+    FROM scored
+)
+SELECT src, dst, cosine, rank FROM ranked WHERE rank <= {SIM7_K}
+"""
+    )
+
+
 QUERIES = {
     "sim1_topk_bruteforce": sim1_topk_bruteforce,
     "sim5_radius_search": sim5_radius_search,
     "sim2_lsh_topk": sim2_lsh_topk,
     "sim3_ivf_topk": sim3_ivf_topk,
     "sim7_knn_graph": sim7_knn_graph,
+    "sim8_knn_graph_capped": sim8_knn_graph_capped,
 }
 ORACLES = {
     "sim1_topk_bruteforce": SIM1_ORACLE,
@@ -421,4 +588,5 @@ ORACLES = {
     "sim2_lsh_topk": SIM2_ORACLE,
     "sim3_ivf_topk": SIM3_ORACLE,
     "sim7_knn_graph": _sim7_oracle(),
+    "sim8_knn_graph_capped": _sim8_oracle(),
 }

@@ -153,6 +153,7 @@ _WINDOW_PRIORITY = (
     "tx19_bpe_pair_census",
     "sj1_semijoin_reduced_join",
     # -- tier C: round-7 additions (new gates enter here as they land) ----
+    "sim8_knn_graph_capped",
     # -- tier D: padding — oldest previously-green keys, re-confirmation --
     "w1_dedup_keep_latest",
     "w2_lead_end_dating",

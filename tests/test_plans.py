@@ -1229,6 +1229,74 @@ def test_sim7_knn_candidates_bucketed_not_quadratic(spark, sf_dir):
     assert "Window" in p
 
 
+def test_sim8_capped_ring_bucketed_not_quadratic(spark, sf_dir):
+    # Same shape contract as sim7 plus the occupancy machinery: the
+    # only joins are band_key equi-joins, ranking stays a src window.
+    from python_sql_datawarehouse_project_spark.operators import similarity
+
+    p = plan_of(similarity.sim8_knn_graph_capped(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "FlatMapGroupsInPandas" not in p
+    assert "band_key" in p
+    assert "Window" in p
+
+
+def test_sim8_equals_uncapped_when_cap_never_binds(spark, sf_dir):
+    # Below the cap sim8's candidate set IS dd14's auto-sized band
+    # candidates: with an unreachable occupancy cap the capped/ring
+    # generator must reproduce _auto_band_candidates exactly, and the
+    # shared ranking over either set must agree row-for-row.
+    from python_sql_datawarehouse_project_spark.operators import similarity
+    from python_sql_datawarehouse_project_spark.operators.dedup import (
+        _auto_band_candidates,
+        _auto_bands,
+        _auto_bits,
+        _load_normalized,
+    )
+
+    n = _load_normalized(spark, sf_dir).localCheckpoint(eager=True)
+    bits = _auto_bits(n.count())
+    bands = _auto_bands(n, bits)
+    capped = similarity._sim8_capped_ring_candidates(bands, cap=1 << 40)
+    full = _auto_band_candidates(n, bits)
+    assert capped.exceptAll(full).count() == 0
+    assert full.exceptAll(capped).count() == 0
+    got = similarity._knn_rank_pairs(n, capped).orderBy("src", "rank")
+    want = similarity._knn_rank_pairs(n, full).orderBy("src", "rank")
+    assert got.collect() == want.collect()
+
+
+def test_sim8_ring_bounds_dense_bucket_pairs(spark, sf_dir):
+    # Force every bucket over the cap (cap=1): per-source candidate
+    # degree from a single band is then bounded by 2*ring, proving
+    # the dense-bucket pair mass is m*ring, not m^2/2.
+    from pyspark.sql import functions as F
+
+    from python_sql_datawarehouse_project_spark.operators import similarity
+    from python_sql_datawarehouse_project_spark.operators.dedup import (
+        _load_normalized,
+    )
+
+    n = _load_normalized(spark, sf_dir).localCheckpoint(eager=True)
+    one_bucket = n.select("vec_id", F.lit(0).cast("long").alias("band_key"))
+    ring = 4
+    cand = similarity._sim8_capped_ring_candidates(
+        one_bucket, cap=1, ring=ring
+    )
+    m = n.count()
+    assert cand.count() == sum(min(ring, m - 1 - i) for i in range(m))
+    deg = (
+        cand.select(F.col("vec_a").alias("v"))
+        .unionAll(cand.select(F.col("vec_b").alias("v")))
+        .groupBy("v")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert deg <= 2 * ring
+
+
 def test_ev16_window_runs_over_days_not_events(spark, sf_dir):
     # The distinct-to-date decorrelation: the only window is the
     # running sum over the DAY-grain frame — no per-event or per-user
