@@ -1558,6 +1558,79 @@ FROM labeled l JOIN scored s ON l.doc_id = s.doc_id
 CS1_ORACLE = _cs1_oracle()
 
 
+# -- cs2: the production dedup pipeline, composed and capped ----------
+def cs2_capped_canonical_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The corpus-scale dedup verdict as ONE gate: dd17's
+    occupancy-capped minhash edges -> dd7's pointer-jumping connected
+    components -> cs1's quality-argmax canonical selection.  This is
+    the composition PERF.md measured end-to-end at sf10 (dd17 edges +
+    CC complete in 221 s where the uncapped dd7 was killed at
+    1500 s) — previously prose + three separate gates, now oracled as
+    the single pipeline a production corpus actually runs.
+
+    Semantics vs cs1: identical composition code
+    (`_propagate_clusters` + `_canonical_from_labels`, shared
+    verbatim), differing ONLY in the edge generator — dd17's capped
+    candidates instead of dd3's uncapped ones.  Below the cap dd17 ==
+    dd3 bit-for-bit, so cs2 == cs1 there (pytest-pinned, and the
+    DedupIndex-fed cs1 variant is pinned to BOTH).  Above the cap,
+    dense buckets contribute hub-star edges whose estimated Jaccard
+    still must clear EST_T, trading a documented sliver of recall
+    (dd17's contract) for the measured 7x sf10 completion.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd17_minhash_capped_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    labels = _propagate_clusters(spark, docs, pairs).select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+    return _canonical_from_labels(spark, sf_dir, labels)
+
+
+def _cs2_oracle() -> str:
+    from .text import TX2_ORACLE
+
+    return f"""
+WITH RECURSIVE {_sql_capped_sketch_ctes()},
+pairs AS (
+    SELECT doc_a, doc_b FROM cand
+    WHERE CAST(len(list_filter(list_zip(sig_a, sig_b), p -> p[1] = p[2]))
+               AS DOUBLE) / {float(H.MINHASH_K)} >= {EST_T}
+),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION ALL
+    SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(u, lbl) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+),
+clusters AS (
+    SELECT u AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY u
+),
+labeled AS (
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM clusters
+),
+scored AS ({TX2_ORACLE.strip()})
+SELECT l.doc_id, l.cluster_id, l.cluster_size, s.quality_score,
+       ROW_NUMBER() OVER (
+           PARTITION BY l.cluster_id
+           ORDER BY s.quality_score DESC, l.doc_id ASC
+       ) = 1 AS selected
+FROM labeled l JOIN scored s ON l.doc_id = s.doc_id
+"""
+
+
+CS2_ORACLE = _cs2_oracle()
+
+
 # -- dd13: multi-signal near-dup agreement ----------------------------
 def dd13_ensemble_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Agreement between the two independent near-dup signals — text
@@ -1667,6 +1740,7 @@ QUERIES = {
     "dd9_fuzzy_pairs": dd9_fuzzy_pairs,
     "dd10_sorted_neighborhood": dd10_sorted_neighborhood,
     "cs1_canonical_selection": cs1_canonical_selection,
+    "cs2_capped_canonical_pipeline": cs2_capped_canonical_pipeline,
     "dd12_triangle_census": dd12_triangle_census,
     "dd13_ensemble_agreement": dd13_ensemble_agreement,
     "dd14_lsh_autosized": dd14_lsh_autosized,
@@ -1685,6 +1759,7 @@ ORACLES = {
     "dd9_fuzzy_pairs": DD9_ORACLE,
     "dd10_sorted_neighborhood": DD10_ORACLE,
     "cs1_canonical_selection": CS1_ORACLE,
+    "cs2_capped_canonical_pipeline": CS2_ORACLE,
     "dd12_triangle_census": DD12_ORACLE,
     "dd13_ensemble_agreement": DD13_ORACLE,
     "dd14_lsh_autosized": DD14_ORACLE,

@@ -154,6 +154,7 @@ _WINDOW_PRIORITY = (
     "sj1_semijoin_reduced_join",
     # -- tier C: round-7 additions (new gates enter here as they land) ----
     "sim8_knn_graph_capped",
+    "cs2_capped_canonical_pipeline",
     # -- tier D: padding — oldest previously-green keys, re-confirmation --
     "w1_dedup_keep_latest",
     "w2_lead_end_dating",

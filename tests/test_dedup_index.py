@@ -9,6 +9,7 @@ import pytest
 
 from python_sql_datawarehouse_project_spark.operators.dedup import (
     cs1_canonical_selection,
+    cs2_capped_canonical_pipeline,
     dd7_dup_clusters,
     dd13_ensemble_agreement,
 )
@@ -33,6 +34,15 @@ def test_index_fed_cs1_equals_inline_gate(spark, sf_dir, idx):
     assert _rows(idx.cs1_canonical_selection(spark, sf_dir)) == _rows(
         cs1_canonical_selection(spark, sf_dir)
     )
+
+
+def test_index_fed_variant_pins_cs2_composed_pipeline(spark, sf_dir, idx):
+    # Below the occupancy cap dd17 == dd3 bit-for-bit, so the composed
+    # capped pipeline gate (cs2, VERDICT r6 #3) must equal BOTH the
+    # inline cs1 and the index-fed variant — one verdict, three paths.
+    got = _rows(cs2_capped_canonical_pipeline(spark, sf_dir))
+    assert got == _rows(cs1_canonical_selection(spark, sf_dir))
+    assert got == _rows(idx.cs1_canonical_selection(spark, sf_dir))
 
 
 def test_index_fed_dd13_equals_inline_gate(spark, sf_dir, idx):
