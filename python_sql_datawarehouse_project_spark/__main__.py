@@ -58,6 +58,15 @@ def main(argv: list[str] | None = None) -> int:
         "the driver's correctness gate, runnable at any scale factor",
     )
     ap.add_argument(
+        "--hashed-big",
+        action="store_true",
+        help="with --oracle-check: compare registry.HASHED_AT_SCALE "
+        "gates via the in-engine hashed compare (count + md5 hash-sum "
+        "on both sides) instead of materializing rows driver-side — "
+        "the sf>=1 big-output path; such gates are marked 'hashed' in "
+        "the OK/FAIL line and the JSON record",
+    )
+    ap.add_argument(
         "--json-out",
         help="with --oracle-check: also write the per-gate results as "
         "JSON (CORRECTNESS_r*.json shape: rows/schema/hash booleans "
@@ -82,7 +91,7 @@ def main(argv: list[str] | None = None) -> int:
         if not args.sf_dir:
             ap.error("--oracle-check requires --sf-dir")
         from . import registry
-        from .testing import compare
+        from .testing import compare, compare_hashed
 
         gates, oracles = registry.queries(), registry.oracles()
         names = [args.gate] if args.gate else sorted(gates)
@@ -91,8 +100,10 @@ def main(argv: list[str] | None = None) -> int:
         n_fail = 0
         records: dict[str, dict] = {}
         for name in names:
+            hashed = args.hashed_big and name in registry.HASHED_AT_SCALE
+            cmp_fn = compare_hashed if hashed else compare
             try:
-                r = compare(name, gates[name], oracles[name], spark, args.sf_dir)
+                r = cmp_fn(name, gates[name], oracles[name], spark, args.sf_dir)
                 ok = r.ok
                 detail = "" if ok else " " + "; ".join(r.mismatches[:3])
                 records[name] = {
@@ -103,6 +114,8 @@ def main(argv: list[str] | None = None) -> int:
                     "oracle_rows": r.oracle_rows,
                     "err": None if ok else "; ".join(r.mismatches[:3]),
                 }
+                if hashed:
+                    records[name]["hashed"] = True
             except Exception as ex:  # noqa: BLE001 — report and continue
                 ok, detail = False, f" {type(ex).__name__}: {ex}"[:200]
                 records[name] = {
@@ -114,7 +127,8 @@ def main(argv: list[str] | None = None) -> int:
                     "err": f"{type(ex).__name__}: {ex}"[:300],
                 }
             n_fail += 0 if ok else 1
-            print(("OK  " if ok else "FAIL") + f" {name}{detail}", flush=True)
+            tag = " [hashed]" if hashed else ""
+            print(("OK  " if ok else "FAIL") + f" {name}{tag}{detail}", flush=True)
         print(f"oracle-check: {len(names) - n_fail}/{len(names)} OK")
         if args.json_out:
             import json

@@ -215,3 +215,32 @@ def oracles() -> dict[str, str]:
     # so this tolerates absences instead of asserting like _ordered.
     lead = [k for k in _WINDOW_PRIORITY if k in out]
     return {k: out[k] for k in [*lead, *(k for k in out if k not in lead)]}
+
+
+# Gates whose row-level output is big enough (millions of rows at
+# sf >= 1) that the full compare()'s driver-side materialization — not
+# either engine — is the scaling bottleneck.  The sf1+ parity sweep
+# checks these with testing.compare_hashed (in-engine count +
+# order-insensitive md5 hash-sum on BOTH sides; VERDICT r6 #5); at
+# <= sf0.1 the full row-by-row compare remains the gate.  Declared
+# here so the CLI sweep and the artifacts' __meta__ share one list.
+HASHED_AT_SCALE = frozenset({
+    "dd4_simhash",
+    "ev11_gap_fill",
+    "pd1_window_dedup",
+    "q1_monthly_sales_product",
+    "q43_recursive_sql",
+    "q4_running_sales",
+    "q9_delayed_orders_chain",
+    "qa2_dup_keys",
+    "stream_session_windows",
+    "tx13_chunk_udtf",
+    "tx8_chunks",
+    "ux2_sql_udf",
+    "w2_lead_end_dating",
+    "w6_first_last_nth",
+    "w7_range_frame",
+    "w8_rolling_median",
+    "w9_running_distinct",
+    "zo1_zorder_code",
+})

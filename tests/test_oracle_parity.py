@@ -88,3 +88,90 @@ def test_harness_flags_hugeint_oracle(spark, sf_dir):
         "FROM orders GROUP BY 1"
     )
     assert compare("hugeint_probe_fixed", q, fixed, spark, sf_dir).ok
+
+
+# -- hashed compare (the sf>=1 big-output path, VERDICT r6 #5) --------
+def test_hashed_compare_agrees_with_full_compare(spark, sf_dir):
+    """Every HASHED_AT_SCALE gate must pass the in-engine hashed
+    compare at sf0.001 — the same verdict the full row compare above
+    already renders, through the reduction path the sf1 sweep uses."""
+    from python_sql_datawarehouse_project_spark.testing import compare_hashed
+
+    for name in sorted(registry.HASHED_AT_SCALE):
+        res = compare_hashed(
+            name, _QUERIES[name], _ORACLES[name], spark, sf_dir
+        )
+        assert res.ok, f"{name}: {res.mismatches}"
+
+
+def test_hashed_compare_detects_value_and_count_drift(spark, sf_dir):
+    from python_sql_datawarehouse_project_spark.testing import compare_hashed
+
+    name = "qa2_dup_keys"
+    # value drift: same rows, one column zeroed
+    bad_vals = (
+        "SELECT l_orderkey, l_linenumber, CAST(0 AS BIGINT) AS n "
+        "FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) > 1"
+    )
+    assert not compare_hashed(
+        name, _QUERIES[name], bad_vals, spark, sf_dir
+    ).ok
+    # count drift: one row dropped
+    bad_rows = f"SELECT * FROM ({_ORACLES[name]}) ORDER BY 1, 2 OFFSET 1"
+    res = compare_hashed(name, _QUERIES[name], bad_rows, spark, sf_dir)
+    assert not res.ok and res.spark_rows == res.oracle_rows + 1
+    # double sensitivity: a last-bit perturbation must flip the hash
+    w8 = _ORACLES["w8_rolling_median"].replace(
+        "AS rolling_median",
+        "* (1.0 + 2.220446049250313e-16) AS rolling_median",
+    )
+    assert not compare_hashed(
+        "w8_rolling_median", _QUERIES["w8_rolling_median"], w8, spark, sf_dir
+    ).ok
+
+
+def test_canon_double_cross_engine_exact_and_injective(spark):
+    """The (sign, mantissa, exponent) decomposition must render every
+    double identically in both engines — including subnormals, the
+    2^52/2^53 mantissa boundaries, +-0 and random bit patterns — and
+    distinct doubles must get distinct strings (no collision hides a
+    real divergence)."""
+    import math
+    import random
+    import struct
+
+    import duckdb
+
+    from python_sql_datawarehouse_project_spark.testing import (
+        _duck_canon_double,
+        _spark_canon_double,
+    )
+
+    vals = [
+        0.1, 1 / 3, 1234.56, 2.0**52, 2.0**52 - 1, 2.0**53, 2.0**53 + 2,
+        1e308, 1e-308, 5e-324, 2.2250738585072014e-308, 1.0, 2.0, 0.5,
+        -0.1, -2.5, 123456.789012, 7e22, 1e-30, math.pi, 0.0, -0.0,
+    ]
+    rng = random.Random(42)
+    vals += [
+        struct.unpack("d", struct.pack("Q", rng.getrandbits(63)))[0]
+        for _ in range(200)
+    ]
+    vals = [v for v in vals if not (math.isnan(v) or math.isinf(v))]
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE vv(i INT, x DOUBLE)")
+        con.executemany("INSERT INTO vv VALUES (?, ?)", list(enumerate(vals)))
+        duck = [
+            r[0]
+            for r in con.execute(
+                f"SELECT {_duck_canon_double('x')} FROM vv ORDER BY i"
+            ).fetchall()
+        ]
+    finally:
+        con.close()
+    df = spark.createDataFrame(list(enumerate(vals)), "i int, x double")
+    got = [r[0] for r in df.orderBy("i").select(_spark_canon_double(df.x)).collect()]
+    assert got == duck
+    # injective up to 0.0 == -0.0 (the full compare's equality too)
+    assert len(set(got)) == len({0.0 if v == 0 else v for v in vals})
