@@ -38,6 +38,8 @@ trade, and the reason centroids and lists are separate tables.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -120,6 +122,68 @@ class AnnIndex:
             "vec_id", "vn", _best_centroid(F.col("vn"), cents).alias("cid")
         )
         return self._write_lists(spark, lists, batch_id)
+
+    def delete_keys(self, spark: SparkSession, keys: DataFrame) -> int:
+        """Takedown path for the inverted lists (VERDICT r6 #7 — the
+        corpus-curation story the DedupIndex already has): hard-delete
+        vectors by vec_id, rewriting ONLY the (batch, cid) list
+        partitions a deleted vector landed in.  Every vector lives in
+        exactly one such partition, so the rewrite set is bounded by
+        the deletion list (GDPR-class requests keep it tiny, and the
+        discovery pass is a broadcast semi-join that dynamic partition
+        pruning keeps off the untouched lists).  One dynamic-overwrite
+        job rewrites every affected partition that still has rows;
+        partitions the deletion empties are dropped explicitly
+        (dynamic overwrite writes no files for an empty result, which
+        would otherwise leave the deleted rows on disk — the same
+        boundary plans/warehouse.delete_keys documents).  The frozen
+        centroids are untouched: a takedown must not move anyone
+        else's list assignment.  Replay-idempotent: deleting the same
+        keys again finds zero affected partitions.  Returns the number
+        of vectors removed; after it, topk == a rebuild without the
+        keys (pytest-pinned)."""
+        import shutil
+
+        lists = self.lists(spark)
+        affected = (
+            lists.join(F.broadcast(keys), "vec_id", "left_semi")
+            .select("batch", "cid")
+            .distinct()
+            .collect()
+        )
+        if not affected:
+            return 0
+        aff_df = spark.createDataFrame(affected)
+        touched = lists.join(F.broadcast(aff_df), ["batch", "cid"], "left_semi")
+        n_before = touched.count()
+        # Eager checkpoint BEFORE the overwrite: the rewrite data is
+        # bounded (survivors of the affected partitions only), and
+        # materializing it first severs the plan's lineage to the very
+        # files the write replaces.
+        kept = touched.join(
+            F.broadcast(keys), "vec_id", "left_anti"
+        ).localCheckpoint(eager=True)
+        (
+            kept.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch", "cid")
+            .parquet(self._lists_path())
+        )
+        survivors = {
+            (r["batch"], r["cid"])
+            for r in kept.select("batch", "cid").distinct().collect()
+        }
+        for r in affected:
+            if (r["batch"], r["cid"]) not in survivors:
+                shutil.rmtree(
+                    os.path.join(
+                        self._lists_path(),
+                        f"batch={r['batch']}",
+                        f"cid={r['cid']}",
+                    ),
+                    ignore_errors=True,
+                )
+        return n_before - kept.count()
 
     def centroids(self, spark: SparkSession) -> list[list[float]]:
         rows = (

@@ -244,3 +244,33 @@ HASHED_AT_SCALE = frozenset({
     "w9_running_distinct",
     "zo1_zorder_code",
 })
+
+
+# Gates whose DUCKDB ORACLE (not the Spark operator) is quadratic or
+# recursive-closure work that does not complete at sf >= 1 in bounded
+# time: the scale sweep skips the oracle replay for these and records
+# the skip in the artifact's __meta__.  All are hash-green at the
+# three driver SFs, and each has either a capped scale-safe twin
+# (dd14/dd16/dd17/sim8/cs2's Spark side) or a declared small-corpus
+# role (dd5).  Kept in sync with measured probe results — a gate
+# leaves this set the round its oracle finishes at sf1 (round 7:
+# every member probed with a 180-300 s timeout; dd10's oracle
+# finished in 1.0 s and moved into the sweep, the rest timed out).
+HEAVY_ORACLE_SF1 = frozenset({
+    "cs1_canonical_selection",
+    "cs2_capped_canonical_pipeline",
+    "dd11_incremental_lsh",
+    "dd12_triangle_census",
+    "dd13_ensemble_agreement",
+    "dd17_minhash_capped_pairs",
+    "dd2_ngram_jaccard_pairs",
+    "dd3_minhash_lsh_pairs",
+    "dd5_embedding_neardup",
+    "dd6_embedding_neardup_lsh",
+    "dd7_dup_clusters",
+    "dd8_containment_pairs",
+    "dd9_fuzzy_pairs",
+    "qa15_lsh_recall",
+    "sim7_knn_graph",
+    "sim8_knn_graph_capped",
+})

@@ -1,0 +1,116 @@
+"""Scale-factor parity sweep: replay the registry against DuckDB at
+an arbitrary SF directory, with the two declared scale policies
+applied automatically:
+
+  * registry.HASHED_AT_SCALE  -> testing.compare_hashed (in-engine
+    count + md5 hash-sum on both sides; no driver-side rows)
+  * registry.HEAVY_ORACLE_SF1 -> skipped (the DuckDB oracle, not the
+    Spark operator, is the thing that does not scale; every member
+    was probed with an explicit timeout — see the registry comment)
+
+Writes the ORACLECHECK_sf1_r*.json artifact shape: one record per
+gate plus a __meta__ block declaring exactly what was skipped and
+why, so the artifact is self-describing.
+
+Usage:
+    python scripts/oraclecheck_sf.py --sf-dir /root/repo/.scratch/sf1 \
+        --json-out ORACLECHECK_sf1_r07.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", required=True)
+    ap.add_argument("--json-out")
+    ap.add_argument(
+        "--include-heavy",
+        action="store_true",
+        help="also replay HEAVY_ORACLE_SF1 gates (bring patience)",
+    )
+    args = ap.parse_args()
+
+    from python_sql_datawarehouse_project_spark import registry
+    from python_sql_datawarehouse_project_spark.session import build_session
+    from python_sql_datawarehouse_project_spark.testing import (
+        compare,
+        compare_hashed,
+    )
+
+    spark = build_session(app_name="oraclecheck-sf")
+    spark.sparkContext.setLogLevel("ERROR")
+    gates, oracles = registry.queries(), registry.oracles()
+    skipped = [] if args.include_heavy else sorted(
+        k for k in gates if k in registry.HEAVY_ORACLE_SF1
+    )
+    names = [k for k in sorted(gates) if k not in skipped]
+
+    n_fail = 0
+    records: dict[str, dict] = {}
+    for name in names:
+        hashed = name in registry.HASHED_AT_SCALE
+        cmp_fn = compare_hashed if hashed else compare
+        t0 = time.perf_counter()
+        try:
+            r = cmp_fn(name, gates[name], oracles[name], spark, args.sf_dir)
+            ok = r.ok
+            rec = {
+                "rows_match": r.spark_rows == r.oracle_rows,
+                "schema_match": r.columns_match and r.types_match,
+                "hash_match": r.values_match,
+                "spark_rows": r.spark_rows,
+                "oracle_rows": r.oracle_rows,
+                "err": None if ok else "; ".join(r.mismatches[:3]),
+            }
+        except Exception as ex:  # noqa: BLE001 — report and continue
+            ok = False
+            rec = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "spark_rows": None,
+                "oracle_rows": None,
+                "err": f"{type(ex).__name__}: {ex}"[:300],
+            }
+        if hashed:
+            rec["hashed"] = True
+        rec["sec"] = round(time.perf_counter() - t0, 1)
+        records[name] = rec
+        n_fail += 0 if ok else 1
+        tag = " [hashed]" if hashed else ""
+        print(
+            ("OK  " if ok else "FAIL")
+            + f" {name}{tag} ({rec['sec']}s)"
+            + ("" if ok else f" {rec['err']}"),
+            flush=True,
+        )
+    print(f"oracle-check: {len(names) - n_fail}/{len(names)} OK")
+    if args.json_out:
+        records["__meta__"] = {
+            "sf_dir": args.sf_dir,
+            "n_ok": len(names) - n_fail,
+            "n_total": len(names),
+            "hashed_gates": sorted(
+                k for k in names if k in registry.HASHED_AT_SCALE
+            ),
+            "skipped_heavy_oracle": skipped,
+            "note": "hashed gates compared via in-engine count+md5 "
+            "hash-sum (testing.compare_hashed); heavy skips are "
+            "oracle-side cost only — see registry.HEAVY_ORACLE_SF1",
+        }
+        with open(args.json_out, "w") as f:
+            json.dump(records, f, indent=1)
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -110,3 +110,68 @@ def test_topk_accepts_external_queries(spark, ann):
     }
     # rank-1 neighbor of a copied vector is the original (cosine 1.0)
     assert top == {r["vec_id"] + 1000000: r["vec_id"] for r in q.collect()}
+
+
+def test_delete_keys_equals_rebuild_without_keys(
+    spark, sf_dir, tmp_path_factory
+):
+    """The takedown contract (VERDICT r6 #7): delete + re-query must
+    equal an index whose lists never contained the keys — same frozen
+    centroids, same probe — and a replayed delete is a no-op.  Built
+    over a staged corpus so the 'rebuild without keys' twin shares the
+    exact quantizer (delete must never retrain)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from python_sql_datawarehouse_project_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = AnnIndex(Warehouse(spark, str(tmp_path_factory.mktemp("ann_del"))))
+    idx.build(spark, sf_dir)
+    n_total = idx.lists(spark).count()
+
+    doomed = emb.select("vec_id").orderBy("vec_id").limit(7)
+    doomed_ids = {r["vec_id"] for r in doomed.collect()}
+
+    n_del = idx.delete_keys(spark, doomed)
+    assert n_del == len(doomed_ids)
+    assert idx.lists(spark).count() == n_total - n_del
+    assert (
+        idx.lists(spark)
+        .join(F.broadcast(doomed), "vec_id", "left_semi")
+        .count()
+        == 0
+    )
+
+    # twin: same centroids, lists re-assigned from the surviving
+    # vectors only — topk over shared external queries must agree
+    twin = AnnIndex(
+        Warehouse(spark, str(tmp_path_factory.mktemp("ann_del_twin")))
+    )
+    twin_dir = str(tmp_path_factory.mktemp("ann_del_sf"))
+    emb.join(F.broadcast(doomed), "vec_id", "left_anti").write.parquet(
+        os.path.join(twin_dir, "embeddings.parquet")
+    )
+    twin.wh.write_batch(
+        spark.createDataFrame(
+            [(cid, c) for cid, c in enumerate(idx.centroids(spark))],
+            "cid int, c array<double>",
+        ),
+        "index",
+        "ann_centroids",
+        "full",
+    )
+    survivors = idx.lists(spark).select("vec_id", "vn")
+    twin.append_vectors(
+        spark,
+        load_table(spark, twin_dir, "embeddings"),
+        "full",
+    )
+    q = survivors.orderBy("vec_id").limit(5)
+    ext = q.selectExpr("vec_id + 1000000 AS query_id", "vn AS qv")
+    assert _rows(idx.topk(spark, ext)) == _rows(twin.topk(spark, ext))
+
+    # replay: same delete finds nothing
+    assert idx.delete_keys(spark, doomed) == 0
+    assert idx.lists(spark).count() == n_total - n_del
