@@ -68,7 +68,7 @@ from .streaming import windows as stream_windows
 #      qa20, qa21, tx17, ux2, ev18-ev21, dd13, sq1, ds7, zo1, dd11);
 #   B. the 7 round-6 additions (dd14, dd15, dd16, dd17, tx18, tx19,
 #      sj1);
-#   C. any round-7 additions (sim8 capped kNN, dd18 composed capped
+#   C. any round-7 additions (sim8 capped kNN, cs2 composed capped
 #      dedup pipeline) so never_driver_green() reaches AND STAYS
 #      empty after this round's rotation.
 # The window is padded back to 50 with the OLDEST previously-green
