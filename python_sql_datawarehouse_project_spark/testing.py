@@ -216,8 +216,16 @@ def _duck_canon_double(q: str) -> str:
         f"CASE WHEN {m0} >= {_2_53!r} THEN {m0} / 2.0 "
         f"WHEN {m0} < {_2_52!r} THEN {m0} * 2.0 ELSE {m0} END"
     )
+    # The explicit IS NULL arm is LOAD-BEARING: DuckDB's concat()
+    # SKIPS null arguments (Spark's returns NULL), so without it a
+    # NULL double falls through every WHEN (isnan(NULL) is NULL, not
+    # true) into the ELSE and renders as the literal 'p' instead of
+    # propagating NULL to the sentinel — caught by the sf1 sweep on
+    # w6's second_price (single-order customers), invisible at
+    # sf0.001 where every customer has >= 2 orders.
     return (
-        f"CASE WHEN isnan({q}) THEN 'NaN' "
+        f"CASE WHEN {q} IS NULL THEN NULL "
+        f"WHEN isnan({q}) THEN 'NaN' "
         f"WHEN isinf({q}) AND {q} > 0 THEN 'Inf' "
         f"WHEN isinf({q}) THEN '-Inf' "
         f"WHEN {q} = 0.0 THEN '0' "

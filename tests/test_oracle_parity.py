@@ -158,6 +158,11 @@ def test_canon_double_cross_engine_exact_and_injective(spark):
         for _ in range(200)
     ]
     vals = [v for v in vals if not (math.isnan(v) or math.isinf(v))]
+    # NULL must render NULL in BOTH engines so the sentinel coalesce
+    # fires — DuckDB's null-skipping concat() turned a NULL double
+    # into the literal 'p' before the explicit IS NULL arm (caught by
+    # the sf1 sweep on w6's second_price, invisible at sf0.001).
+    vals.append(None)
     con = duckdb.connect()
     try:
         con.execute("CREATE TABLE vv(i INT, x DOUBLE)")
@@ -173,5 +178,8 @@ def test_canon_double_cross_engine_exact_and_injective(spark):
     df = spark.createDataFrame(list(enumerate(vals)), "i int, x double")
     got = [r[0] for r in df.orderBy("i").select(_spark_canon_double(df.x)).collect()]
     assert got == duck
+    assert got[-1] is None  # NULL propagates to the sentinel coalesce
+    vals.pop()
+    got.pop()
     # injective up to 0.0 == -0.0 (the full compare's equality too)
     assert len(set(got)) == len({0.0 if v == 0 else v for v in vals})
