@@ -419,7 +419,18 @@ SELECT src, dst, cosine, rank FROM ranked WHERE rank <= {SIM7_K}
 # candidate set is EXACTLY dd14's auto-sized band candidates
 # (pytest-pinned), and the scoring/ranking composition is pinned
 # bit-identical to sim7's over any shared candidate set.
-SIM8_OCC_CAP = 64  # = dedup.AUTO_OCC, asserted below at import
+# The cap sits a 4x MARGIN above dd14's occupancy TARGET (AUTO_OCC),
+# not at it: _auto_bits sizes buckets so the AVERAGE occupancy lands
+# near AUTO_OCC, so a cap equal to the target bites half the ordinary
+# buckets instead of the dense tail.  Measured by the sim9 recall
+# audit at sf0.1 (2k vectors, avg occupancy 62 vs the original
+# cap 64): graph recall 0.178 capped-at-target vs 0.577 with the
+# margin — while the margin still bounds a dense cluster's pair mass
+# at m*ring beyond 4*AUTO_OCC members (the dd14 sf10 failure mode was
+# 742M candidates from unbounded true-dup cliques, orders past the
+# margin).  Asserted against dedup.AUTO_OCC below so the two
+# constants cannot drift apart silently.
+SIM8_OCC_CAP = 256
 SIM8_RING = 2 * SIM7_K
 
 
@@ -508,7 +519,7 @@ def sim8_knn_graph_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery plus the shared scoring/ranking composition."""
     from .dedup import AUTO_OCC, _auto_bands, _auto_bits, _load_normalized
 
-    assert SIM8_OCC_CAP == AUTO_OCC  # one occupancy rule family-wide
+    assert SIM8_OCC_CAP == 4 * AUTO_OCC  # margin above the sizing target
     n = _load_normalized(spark, sf_dir).localCheckpoint(eager=True)
     bits = _auto_bits(n.count())
     cand = _sim8_capped_ring_candidates(_auto_bands(n, bits))
@@ -574,6 +585,96 @@ SELECT src, dst, cosine, rank FROM ranked WHERE rank <= {SIM7_K}
     )
 
 
+# -- sim9: measured recall of the capped kNN graph --------------------
+SIM9_SAMPLE = 500  # bounded source sample (qa18's audit pattern)
+
+
+def sim9_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source recall of sim8's capped-ring kNN edges against the
+    EXACT top-K — the quantified approximation contract for the ring
+    trade (sim6 plays this role for the IVF path, qa18 for fuzzy-ER
+    blocking): a banding/cap change that silently tanks graph recall
+    now fails a correctness gate instead of a prose promise.
+
+    Truth side is LINEAR in the corpus at any scale: SIM9_SAMPLE
+    broadcast query vectors x one corpus map pass (sim1's shape — no
+    pair matrix, no shuffle before the top-K window); found = sim8's
+    edges restricted to the sampled sources (edge membership is
+    per-source, so the restriction is exact)."""
+    from .dedup import _load_normalized
+
+    n = _load_normalized(spark, sf_dir).localCheckpoint(eager=True)
+    q = n.filter(F.col("vec_id") < SIM9_SAMPLE).select(
+        F.col("vec_id").alias("src"), F.col("vn").alias("qv")
+    )
+    pairs = (
+        n.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("src"))
+        .select(
+            "src",
+            F.col("vec_id").alias("dst"),
+            H.dot_fold(F.col("qv"), F.col("vn")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    exact_topk = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SIM7_K)
+        .select("src", "dst")
+    )
+    approx = (
+        sim8_knn_graph_capped(spark, sf_dir)
+        .filter(F.col("src") < SIM9_SAMPLE)
+        .select(F.col("src").alias("a_src"), F.col("dst").alias("a_dst"))
+    )
+    return (
+        exact_topk.join(
+            approx,
+            (exact_topk.src == approx.a_src)
+            & (F.col("dst") == F.col("a_dst")),
+            "left",
+        )
+        .groupBy("src")
+        .agg(F.count("a_dst").alias("n_hits"))
+        .select(
+            "src",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.lit(float(SIM7_K))).alias(
+                "recall_at_k"
+            ),
+        )
+    )
+
+
+def _sim9_oracle() -> str:
+    from .dedup import _SQL_NORMALIZED
+
+    exact_sql = f"""
+WITH {_SQL_NORMALIZED},
+q AS (SELECT vec_id AS src, vn AS qv FROM normalized
+      WHERE vec_id < {SIM9_SAMPLE}),
+pairs AS (
+    SELECT q.src, n.vec_id AS dst, {H.sql_dot('q.qv', 'n.vn')} AS cosine
+    FROM normalized n, q WHERE n.vec_id <> q.src
+),
+ranked AS (
+    SELECT src, dst, ROW_NUMBER() OVER (
+        PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rank
+    FROM pairs
+)
+SELECT src, dst FROM ranked WHERE rank <= {SIM7_K}
+"""
+    return f"""
+SELECT e.src, CAST(COUNT(a.dst) AS BIGINT) AS n_hits,
+       CAST(COUNT(a.dst) AS DOUBLE) / {float(SIM7_K)!r} AS recall_at_k
+FROM ({exact_sql}) e
+LEFT JOIN (
+    SELECT src, dst FROM ({_sim8_oracle()}) s WHERE src < {SIM9_SAMPLE}
+) a ON e.src = a.src AND e.dst = a.dst
+GROUP BY e.src
+"""
+
+
 QUERIES = {
     "sim1_topk_bruteforce": sim1_topk_bruteforce,
     "sim5_radius_search": sim5_radius_search,
@@ -581,6 +682,7 @@ QUERIES = {
     "sim3_ivf_topk": sim3_ivf_topk,
     "sim7_knn_graph": sim7_knn_graph,
     "sim8_knn_graph_capped": sim8_knn_graph_capped,
+    "sim9_knn_recall": sim9_knn_recall,
 }
 ORACLES = {
     "sim1_topk_bruteforce": SIM1_ORACLE,
@@ -589,4 +691,5 @@ ORACLES = {
     "sim3_ivf_topk": SIM3_ORACLE,
     "sim7_knn_graph": _sim7_oracle(),
     "sim8_knn_graph_capped": _sim8_oracle(),
+    "sim9_knn_recall": _sim9_oracle(),
 }

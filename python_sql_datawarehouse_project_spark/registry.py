@@ -155,6 +155,7 @@ _WINDOW_PRIORITY = (
     # -- tier C: round-7 additions (new gates enter here as they land) ----
     "sim8_knn_graph_capped",
     "cs2_capped_canonical_pipeline",
+    "sim9_knn_recall",
     # -- tier D: padding — oldest previously-green keys, re-confirmation --
     "w1_dedup_keep_latest",
     "w2_lead_end_dating",
@@ -273,4 +274,5 @@ HEAVY_ORACLE_SF1 = frozenset({
     "qa15_lsh_recall",
     "sim7_knn_graph",
     "sim8_knn_graph_capped",
+    "sim9_knn_recall",
 })

@@ -1510,3 +1510,60 @@ def test_dd17_dense_bucket_emits_star_not_clique(spark):
     assert len(cand) == 69
     assert all(r["doc_a"] == 0 and r["doc_b"] > 0 for r in cand)
     assert {r["doc_b"] for r in cand} == set(range(1, 70))
+
+
+def test_sim9_recall_pins_the_ring_trade(spark, sf_dir):
+    # The approximation contract, MEASURED not promised: sim8's graph
+    # recall vs exact top-K must not fall below the frozen-banding
+    # sim7 baseline, and must clear an absolute floor.  This is the
+    # gate that caught the original cap==sizing-target flaw (recall
+    # 0.178 at sf0.1 because _auto_bits TARGETS occupancy at AUTO_OCC
+    # and a cap at the target guts the average bucket, not the dense
+    # tail — hence SIM8_OCC_CAP = 4 * AUTO_OCC).
+    from pyspark.sql import functions as F
+
+    from python_sql_datawarehouse_project_spark.operators import similarity
+
+    mean8 = (
+        similarity.sim9_knn_recall(spark, sf_dir)
+        .agg(F.avg("recall_at_k"))
+        .first()[0]
+    )
+    # sim7 baseline through the same audit join
+    from python_sql_datawarehouse_project_spark.functions import hashing as H
+    from python_sql_datawarehouse_project_spark.operators.dedup import (
+        _load_normalized,
+    )
+    from pyspark.sql import Window
+
+    n = _load_normalized(spark, sf_dir).localCheckpoint(eager=True)
+    q = n.filter(F.col("vec_id") < similarity.SIM9_SAMPLE).select(
+        F.col("vec_id").alias("src"), F.col("vn").alias("qv")
+    )
+    pairs = (
+        n.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("src"))
+        .select(
+            "src",
+            F.col("vec_id").alias("dst"),
+            H.dot_fold(F.col("qv"), F.col("vn")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    exact = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= similarity.SIM7_K)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    a7 = (
+        similarity.sim7_knn_graph(spark, sf_dir)
+        .filter(F.col("src") < similarity.SIM9_SAMPLE)
+        .select(F.col("src").alias("a_src"), F.col("dst").alias("a_dst"))
+    )
+    hits7 = exact.join(
+        a7, (exact.src == a7.a_src) & (exact.dst == a7.a_dst), "left_semi"
+    ).count()
+    mean7 = hits7 / exact.count()
+    assert mean8 >= mean7, (mean8, mean7)
+    assert mean8 >= 0.5, mean8
