@@ -627,8 +627,23 @@ def qa12_corr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).alias("syy"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
     )
-    n, sx, sy = [F.col(c).cast("double") for c in ("n", "sx", "sy")]
-    sxx, syy, sxy = [F.col(c).cast("double") for c in ("sxx", "syy", "sxy")]
+    # DECIMAL sums -> double through an exact scale-0 extraction, the
+    # q13 fix (tpch._dec2dbl) widened to DECIMAL(38,0): syy's scaled
+    # units (~1.2e22 at sf10) overflow int64, and a DIRECT decimal
+    # cast diverges 1 ulp between engines at sf10 magnitudes (DuckDB
+    # divides a separately-rounded int128->double by 10^scale; the
+    # sf10 sweep caught corr_r at ...883 vs ...887).  Measured: both
+    # engines' scale-0 DECIMAL(38,0)->double IS correctly rounded, so
+    # the shared two-step (int conversion, then one double division)
+    # is bit-identical.
+    def dec2dbl(c: str, scale: int):
+        return (F.col(c) * F.lit(10**scale)).cast("decimal(38,0)").cast(
+            "double"
+        ) / F.lit(float(10**scale))
+
+    n, sx = F.col("n").cast("double"), F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy, syy, sxy = dec2dbl("sy", 2), dec2dbl("syy", 4), dec2dbl("sxy", 2)
     num = n * sxy - sx * sy
     vx = n * sxx - sx * sx
     vy = n * syy - sy * sy
@@ -656,20 +671,27 @@ stats AS (
            SUM(x) AS sx, SUM(y) AS sy,
            SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
     FROM j
+),
+-- decimal sums -> double via the exact scale-0 extraction (wide
+-- _dec2dbl): a direct decimal cast double-rounds differently per
+-- engine at sf10 magnitudes (caught by the sf10 sweep, 1 ulp in
+-- corr_r)
+d AS (
+    SELECT CAST(n AS DOUBLE) AS n, CAST(sx AS DOUBLE) AS sx,
+           CAST(sxx AS DOUBLE) AS sxx,
+           CAST(CAST(sy * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0 AS sy,
+           CAST(CAST(syy * 10000 AS DECIMAL(38,0)) AS DOUBLE) / 10000.0
+               AS syy,
+           CAST(CAST(sxy * 100 AS DECIMAL(38,0)) AS DOUBLE) / 100.0 AS sxy,
+           n AS n_raw
+    FROM stats
 )
-SELECT n AS n_orders,
-       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-       / nullif(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0.0)
+SELECT n_raw AS n_orders,
+       (n * sxy - sx * sy)
+           / nullif(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0.0)
            AS corr_r,
-       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-       / nullif((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 0.0) AS slope
-FROM stats
+       (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0) AS slope
+FROM d
 """
 
 
