@@ -123,6 +123,11 @@ def main() -> None:
         rec["sec"] = round(time.perf_counter() - t0, 1)
         records[name] = rec
         n_fail += 0 if ok else 1
+        if args.json_out:
+            # checkpoint after every gate: a killed run (wedged gate,
+            # host reboot) keeps its completed records
+            with open(args.json_out, "w") as f:
+                json.dump(records, f, indent=1)
         tag = " [hashed]" if hashed else ""
         print(
             ("OK  " if ok else "FAIL")
