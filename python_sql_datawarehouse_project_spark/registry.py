@@ -156,6 +156,7 @@ _WINDOW_PRIORITY = (
     "sim8_knn_graph_capped",
     "cs2_capped_canonical_pipeline",
     "sim9_knn_recall",
+    "stream_sessions_custom",
     # -- tier D: padding — oldest previously-green keys, re-confirmation --
     "w1_dedup_keep_latest",
     "w2_lead_end_dating",

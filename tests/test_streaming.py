@@ -432,3 +432,38 @@ def test_stream_enrich_segments_equals_batch_join(spark, sf_dir):
         )
     )
     assert _rows(got) == _rows(want)
+
+
+def test_sessions_custom_pins_builtin_on_closed_region(spark, sf_dir):
+    """The custom per-user-state sessionizer must equal the built-in
+    session_window gate on the closed region (session_end < the
+    cutoff) — same sessions, same counts, same money.  The custom
+    operator is the sf10 scale path (PERF.md r7: the built-in's
+    per-session state wedges at 9.5M sessions/batch; this one keys
+    state per USER and completes in 324 s)."""
+    from pyspark.sql import functions as F
+
+    from python_sql_datawarehouse_project_spark.streaming.stateful import (
+        SESS_CUTOFF,
+        stream_sessions_custom,
+    )
+    from python_sql_datawarehouse_project_spark.streaming.windows import (
+        session_windows,
+    )
+    from python_sql_datawarehouse_project_spark.streaming import windows as W
+    from python_sql_datawarehouse_project_spark.catalog import table_path
+
+    got = stream_sessions_custom(spark, sf_dir)
+    src = table_path(sf_dir, "events")
+    with W.stream_run_scope(spark, src) as stage:
+        builtin = W.run_available_now(
+            spark,
+            session_windows(W.events_stream(spark, sf_dir, stage)),
+            output_mode="complete",
+        )
+    want = builtin.where(
+        F.col("session_end") < F.lit(SESS_CUTOFF).cast("timestamp")
+    ).select(
+        "user_id", "session_start", "session_end", "n_events", "total_value"
+    )
+    assert _rows(got) == _rows(want)
