@@ -125,7 +125,7 @@ def ev3_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # previous event exceeds 30 min; Spark's session end = last ts + gap.
 EV3_ORACLE = f"""
 WITH flagged AS (
-    SELECT user_id, ts, value,
+    SELECT user_id, event_id, ts, value,
            CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                      > INTERVAL '{SESSION_GAP_MIN} minutes'
                 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -135,7 +135,7 @@ WITH flagged AS (
 islands AS (
     SELECT user_id, ts, value,
            SUM(new_session) OVER (
-               PARTITION BY user_id ORDER BY ts
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
     FROM flagged
 )

@@ -65,7 +65,16 @@ def sj1_semijoin_reduced_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
                 SALES_DECIMAL
             )
-        ).alias("revenue"),
+        )
+        # Exact decimal addition inside the agg, DOUBLE at the output
+        # boundary — the registry-wide money routing (star.py, q27):
+        # Spark sum(decimal(18,4)) widens to decimal(28,4) while DuckDB
+        # widens to DECIMAL(38,4); identical values, different physical
+        # types, so the driver's schema/hash layer needs one canonical
+        # output type.  The cast is AFTER the exact sum, so no float
+        # accumulation-order sensitivity is introduced.
+        .cast("double")
+        .alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
         F.countDistinct("o_orderkey").alias("n_orders"),
     )
@@ -73,8 +82,8 @@ def sj1_semijoin_reduced_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SJ1_ORACLE = f"""
 SELECT o_orderpriority,
-       SUM(CAST(l_extendedprice * (1 - l_discount) AS {SALES_DECIMAL}))
-           AS revenue,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {SALES_DECIMAL}))
+            AS DOUBLE) AS revenue,
        COUNT(*) AS n_items,
        COUNT(DISTINCT o_orderkey) AS n_orders
 FROM lineitem

@@ -175,14 +175,32 @@ class AnnIndex:
         }
         for r in affected:
             if (r["batch"], r["cid"]) not in survivors:
+                # A takedown must fail LOUDLY if the bytes stay on
+                # disk: no ignore_errors, and the hand-built path must
+                # actually exist (if Spark's partition-dir encoding
+                # ever diverges from this f-string — escaped values —
+                # the FileNotFoundError surfaces the drift instead of
+                # silently leaving the deleted vectors behind).
                 shutil.rmtree(
                     os.path.join(
                         self._lists_path(),
                         f"batch={r['batch']}",
                         f"cid={r['cid']}",
-                    ),
-                    ignore_errors=True,
+                    )
                 )
+        # Post-delete audit: the takedown contract is "no trace of the
+        # keys remains" — verify against a fresh scan, not the plan we
+        # just wrote from.
+        leftover = (
+            self.lists(spark)
+            .join(F.broadcast(keys), "vec_id", "left_semi")
+            .count()
+        )
+        if leftover:
+            raise RuntimeError(
+                f"ann takedown incomplete: {leftover} deleted vec_ids "
+                f"still present under {self._lists_path()}"
+            )
         return n_before - kept.count()
 
     def centroids(self, spark: SparkSession) -> list[list[float]]:

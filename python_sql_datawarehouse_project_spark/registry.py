@@ -127,64 +127,68 @@ _MODULES = (
 # must exist (asserted in queries()) so a renamed gate fails loudly
 # instead of silently dropping out of the window.
 _WINDOW_PRIORITY = (
-    # -- tier A: the 16 round-5-tail/round-3-straggler never-green keys --
-    "w8_rolling_median",
-    "w9_running_distinct",
-    "rj2_interval_overlap",
-    "qa20_grouped_regression",
-    "qa21_ks_distance",
-    "tx17_char_diversity",
-    "ux2_sql_udf",
-    "ev18_ohlc_daily_cascade",
-    "ev19_decayed_engagement",
-    "ev20_growth_accounting",
-    "ev21_rolling_correlation",
-    "dd13_ensemble_agreement",
-    "sq1_event_sequences",
-    "ds7_epoch_schedule",
-    "zo1_zorder_code",
-    "dd11_incremental_lsh",
-    # -- tier B: the 7 round-6 additions, never-green ---------------------
-    "dd14_lsh_autosized",
-    "dd15_repeated_spans",
-    "dd16_lsh_capped_star",
-    "dd17_minhash_capped_pairs",
-    "tx18_bm25_scores",
-    "tx19_bpe_pair_census",
+    # Round-8 window (VERDICT r7 #1/#2): the driver checks the FIRST
+    # 50 keys each round — lead with (a) the one never-driver-green
+    # key (sj1, decimal->double routed this round), (b) gates whose
+    # ORACLE or IMPLEMENTATION changed this round and must re-prove
+    # (ev3/stream_sessions_custom tied-ts tiebreaker, sim8/sim9
+    # multi-probe banding), (c) new round-8 gates, then (d) the
+    # stalest driver-green cohort (last green r2) so driver evidence
+    # stays current with the r6/r7 refactors.
+    # -- tier A: never driver-green / changed this round ------------------
     "sj1_semijoin_reduced_join",
-    # -- tier C: round-7 additions (new gates enter here as they land) ----
-    "sim8_knn_graph_capped",
-    "cs2_capped_canonical_pipeline",
-    "sim9_knn_recall",
     "stream_sessions_custom",
-    # -- tier D: padding — oldest previously-green keys, re-confirmation --
-    "w1_dedup_keep_latest",
-    "w2_lead_end_dating",
-    "w3_surrogate_keys",
-    "q9_delayed_orders_chain",
-    "sim1_topk_bruteforce",
-    "sim2_lsh_topk",
-    "sim3_ivf_topk",
-    "tx1_token_count",
-    "tx2_quality_score",
-    "tx3_language_id",
-    "tx4_fingerprint",
-    "qa1_null_profile",
-    "qa2_dup_keys",
-    "qa3_referential",
-    "qa4_kmv_distinct",
-    "qa6_order_event_reconcile",
-    "qa7_value_histogram",
-    "ev1_tumbling_hourly",
-    "ev2_sliding_windows",
     "ev3_session_windows",
-    "ev4_props_json",
-    "ev5_funnel",
-    "ev6_cohort_retention",
+    "sim8_knn_graph_capped",
+    "sim9_knn_recall",
+    # -- tier B: new round-8 gates enter here as they land ----------------
+    # -- tier C: stalest driver-green cohort (r2 provenance) ---------------
     "ev7_transition_matrix",
     "ev9_hourly_active_users",
     "ev10_gap_histogram",
     "q1_monthly_sales_product",
+    "q2_sales_customer_country",
+    "q3_customer_lifetime_value",
+    "q4_running_sales",
+    "q5_top3_products_month_country",
+    "q6_customer_churn",
+    "q7_customer_order_gap",
+    "q8_sales_rollup_product",
+    "q10_sales_pivot_year",
+    "q11_sales_cube",
+    "u3_active_both_years",
+    "u4_lapsed_customers",
+    "aj1_asof_last_event",
+    "dd1_exact_dedup",
+    "dd2_ngram_jaccard_pairs",
+    "dd3_minhash_lsh_pairs",
+    "dd4_simhash",
+    "dd5_embedding_neardup",
+    "dd6_embedding_neardup_lsh",
+    "dd7_dup_clusters",
+    "dd8_containment_pairs",
+    "dd9_fuzzy_pairs",
+    "dd10_sorted_neighborhood",
+    "sim4_ivf_kmeans_topk",
+    "ds1_training_mix",
+    "ds2_token_budget",
+    "ds3_filter_pipeline",
+    "ds4_stratified_sample",
+    "mm1_metadata_profile",
+    "mm2_decode_features",
+    "mm3_frame_sample",
+    "mm4_phash_neardup",
+    "mm5_peak_frame",
+    # -- tier D: next-stalest (r5 provenance) fill to 50 -------------------
+    "w4_ntile_spend_quartiles",
+    "w5_spend_percentile",
+    "rj1_preorder_attribution",
+    "sim5_radius_search",
+    "sk1_salted_hot_key_agg",
+    "sk2_salted_skew_join",
+    "tx5_tfidf_top_terms",
+    "stream_session_windows",
+    "qa5_exact_percentiles",
 )
 
 

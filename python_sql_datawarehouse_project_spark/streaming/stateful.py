@@ -223,7 +223,7 @@ def stream_sessions_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STREAM_SESSIONS_CUSTOM_ORACLE = f"""
 WITH flagged AS (
-    SELECT user_id, ts, value,
+    SELECT user_id, event_id, ts, value,
            CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                      > INTERVAL '{SESSION_GAP_MIN} minutes'
                 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -233,7 +233,7 @@ WITH flagged AS (
 islands AS (
     SELECT user_id, ts, value,
            SUM(new_session) OVER (
-               PARTITION BY user_id ORDER BY ts
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
     FROM flagged
 ),

@@ -89,7 +89,18 @@ def main() -> None:
         unknown = only - set(gates)
         if unknown:
             ap.error(f"unknown gates in --only: {sorted(unknown)}")
-        names = [k for k in names if k in only]
+        # --only is an explicit operator request: it overrides the
+        # policy skip lists (HEAVY_ORACLE_SF1 / engine caps / --exclude)
+        # instead of intersecting with their survivors — otherwise
+        # `--only dd7_dup_clusters` without --include-heavy silently
+        # runs zero gates and exits 0 looking green (ADVICE r7).
+        overridden = sorted(only & set(skipped + capped + extra))
+        if overridden:
+            print(
+                f"oracle-check: --only overrides skip lists for {overridden}",
+                file=sys.stderr,
+            )
+        names = sorted(only)
 
     n_fail = 0
     records: dict[str, dict] = {}
@@ -101,7 +112,11 @@ def main() -> None:
             r = cmp_fn(name, gates[name], oracles[name], spark, args.sf_dir)
             ok = r.ok
             rec = {
-                "rows_match": r.spark_rows == r.oracle_rows,
+                # On compare_hashed's early schema-mismatch return both
+                # counts are -1 sentinels; don't record a vacuous
+                # rows_match=true for a gate whose counts were never
+                # computed (ADVICE r7).
+                "rows_match": r.spark_rows >= 0 and r.spark_rows == r.oracle_rows,
                 "schema_match": r.columns_match and r.types_match,
                 "hash_match": r.values_match,
                 "spark_rows": r.spark_rows,
