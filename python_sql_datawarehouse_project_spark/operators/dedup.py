@@ -802,12 +802,22 @@ def _auto_bits(n_vectors: int) -> int:
     return b
 
 
-def _auto_bands(n: DataFrame, bits: int) -> DataFrame:
+def _auto_bands(
+    n: DataFrame, bits: int, bands_count: int = AUTO_BANDS
+) -> DataFrame:
     """(vec_id, band_key) band assignments at a caller-chosen width:
     band k keys on bits [k*bits, (k+1)*bits) of the projection
     signature, offset by k << bits so band keyspaces never collide.
-    Id-only discipline: the frame carries two longs, never vectors."""
-    planes = H.rp_planes(AUTO_BANDS * bits)
+    Id-only discipline: the frame carries two longs, never vectors.
+
+    bands_count > AUTO_BANDS is the MULTI-PROBE extension (sim8):
+    the shared LCG plane family is prefix-stable (hashing.rp_planes —
+    plane i is the same row for every caller), so bands [8, 16) draw
+    FRESH planes [8*bits, 16*bits) and form a second independent
+    band family; the first 8 bands' keys are bit-identical to the
+    single-family call.  Recall stacks as 1-(1-p^bits)^bands_count
+    while candidate mass grows only linearly in bands_count."""
+    planes = H.rp_planes(bands_count * bits)
 
     def proj(i: int):
         return F.aggregate(
@@ -821,7 +831,7 @@ def _auto_bands(n: DataFrame, bits: int) -> DataFrame:
         )
 
     keys = []
-    for k in range(AUTO_BANDS):
+    for k in range(bands_count):
         key = F.lit(k << bits).cast("long")
         for t in range(bits):
             key = key + F.when(
@@ -882,7 +892,7 @@ def dd14_lsh_autosized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_rescore(n, _auto_band_candidates(n, bits))
 
 
-def _dd14_oracle() -> str:
+def _dd14_oracle(bands_count: int = AUTO_BANDS) -> str:
     # Plane index for band k, local bit t: i = k*bits + t; component
     # r(i, j) is the shared LCG (sql_rp_component) — identical to the
     # literal arrays the Spark side folds over.
@@ -909,7 +919,7 @@ meta AS (
 ),
 bands AS (
     SELECT vec_id,
-           unnest(list_transform(range(0, {AUTO_BANDS}), k ->
+           unnest(list_transform(range(0, {bands_count}), k ->
                (CAST(k AS BIGINT) << b) + {local})) AS band_key
     FROM normalized, meta
 ),

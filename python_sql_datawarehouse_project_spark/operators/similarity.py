@@ -432,6 +432,30 @@ SELECT src, dst, cosine, rank FROM ranked WHERE rank <= {SIM7_K}
 # constants cannot drift apart silently.
 SIM8_OCC_CAP = 256
 SIM8_RING = 2 * SIM7_K
+# Multi-probe banding (VERDICT r7 #4): SIM8_PROBES independent plane
+# FAMILIES, each AUTO_BANDS bands wide, unioned before candidate
+# generation.  The shared LCG plane family is prefix-stable (plane i
+# is the same row for every caller), so family f simply draws bands
+# [f*8, (f+1)*8) — fresh planes, zero overlap with family 0, and the
+# f=0 keys stay bit-identical to the single-family gate.  Per-family
+# miss rates are independent, so graph recall stacks as
+# 1 - miss^PROBES while candidate mass — and therefore cost — grows
+# only LINEARLY in PROBES; the occupancy cap still bounds every
+# bucket, so the scale exponents are unchanged.  This is the standard
+# LSH recall/cost dial: buy recall with bands, not with wider buckets.
+#
+# Measured by sim9 (mean recall@3 vs exact, 500-source audit):
+#   PROBES        1       2       3
+#   sf0.001     —       0.726   0.765
+#   sf0.01      —       0.740   0.798
+#   sf0.1      0.455    0.584   0.620
+# Families are not fully independent — the hard edges (moderate-
+# cosine neighbors, over-cap dense buckets where the ring samples the
+# clique) stay hard in every family — so the per-family miss ratio is
+# ~0.76-0.9, not the theoretical miss^2.  PROBES=3 clears the 0.6
+# floor at every measured SF (VERDICT r7 #4); the floor is pinned by
+# tests/test_plans.py::test_sim9_recall_pins_the_ring_trade.
+SIM8_PROBES = 3
 
 
 def _sim8_capped_ring_candidates(
@@ -517,22 +541,31 @@ def sim8_knn_graph_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximation contract).  One bounded driver action (the count)
     picks the band width; everything downstream is id-only band
     machinery plus the shared scoring/ranking composition."""
-    from .dedup import AUTO_OCC, _auto_bands, _auto_bits, _load_normalized
+    from .dedup import (
+        AUTO_BANDS,
+        AUTO_OCC,
+        _auto_bands,
+        _auto_bits,
+        _load_normalized,
+    )
 
     assert SIM8_OCC_CAP == 4 * AUTO_OCC  # margin above the sizing target
     n = _load_normalized(spark, sf_dir).localCheckpoint(eager=True)
     bits = _auto_bits(n.count())
-    cand = _sim8_capped_ring_candidates(_auto_bands(n, bits))
+    cand = _sim8_capped_ring_candidates(
+        _auto_bands(n, bits, AUTO_BANDS * SIM8_PROBES)
+    )
     return _knn_rank_pairs(n, cand)
 
 
 def _sim8_oracle() -> str:
     # Reuse dd14's oracle head (normalized + integer bit-sizing meta +
-    # auto-sized bands CTEs) exactly as dd16 does, then the capped/
-    # ring candidate stage and sim7's ranking tail.
-    from .dedup import _dd14_oracle
+    # auto-sized bands CTEs) exactly as dd16 does — widened to the
+    # multi-probe band count — then the capped/ring candidate stage
+    # and sim7's ranking tail.
+    from .dedup import AUTO_BANDS, _dd14_oracle
 
-    base = _dd14_oracle()
+    base = _dd14_oracle(AUTO_BANDS * SIM8_PROBES)
     head, _, _ = base.partition("cand AS (")
     return (
         head

@@ -1566,4 +1566,6 @@ def test_sim9_recall_pins_the_ring_trade(spark, sf_dir):
     ).count()
     mean7 = hits7 / exact.count()
     assert mean8 >= mean7, (mean8, mean7)
-    assert mean8 >= 0.5, mean8
+    # 0.6 floor (VERDICT r7 #4), cleared by multi-probe banding:
+    # measured 0.765/0.798/0.620 at sf0.001/0.01/0.1 with PROBES=3.
+    assert mean8 >= 0.6, mean8
