@@ -47,6 +47,7 @@ from .operators import (
     windows,
     windows_extra,
 )
+from .streaming import bounded as stream_bounded
 from .streaming import dedup as stream_dedup
 from .streaming import enrich as stream_enrich
 from .streaming import extras as stream_extras
@@ -119,6 +120,7 @@ _MODULES = (
     retrieval,  # tx18 BM25 scoring (round-6 addition) — tail rule
     semijoin,  # sj1 semi-join reduction (round-6 addition) — tail rule
     bpe,  # tx19 BPE pair census (round-6 addition) — tail rule
+    stream_bounded,  # round-8 bounded-arrival sessionization — window tier B
 )
 
 
@@ -142,6 +144,7 @@ _WINDOW_PRIORITY = (
     "sim8_knn_graph_capped",
     "sim9_knn_recall",
     # -- tier B: new round-8 gates enter here as they land ----------------
+    "stream_sessions_bounded",
     # -- tier C: stalest driver-green cohort (r2 provenance) ---------------
     "ev7_transition_matrix",
     "ev9_hourly_active_users",

@@ -467,3 +467,40 @@ def test_sessions_custom_pins_builtin_on_closed_region(spark, sf_dir):
         "user_id", "session_start", "session_end", "n_events", "total_value"
     )
     assert _rows(got) == _rows(want)
+
+
+def test_sessions_bounded_drain_is_incremental_and_matches(spark, sf_dir):
+    """The bounded-arrival gate must (a) actually drain MULTIPLE
+    micro-batches — per-batch live state, watermark advance and
+    cross-batch session merge are the semantics under test, a
+    single-batch drain would vacuously pass — and (b) equal the
+    one-shot complete-mode drain on the closed region.  (a) is read
+    from LAST_DRAIN_SPLIT: N_SLICES data batches + the AvailableNow
+    flush batch."""
+    from pyspark.sql import functions as F
+
+    from python_sql_datawarehouse_project_spark.streaming import windows as W
+    from python_sql_datawarehouse_project_spark.streaming.bounded import (
+        N_SLICES,
+        stream_sessions_bounded,
+    )
+    from python_sql_datawarehouse_project_spark.streaming.stateful import (
+        SESS_CUTOFF,
+    )
+    from python_sql_datawarehouse_project_spark.catalog import table_path
+
+    got = stream_sessions_bounded(spark, sf_dir)
+    assert W.LAST_DRAIN_SPLIT["n_batches"] >= N_SLICES + 1, W.LAST_DRAIN_SPLIT
+    src = table_path(sf_dir, "events")
+    with W.stream_run_scope(spark, src) as stage:
+        builtin = W.run_available_now(
+            spark,
+            W.session_windows(W.events_stream(spark, sf_dir, stage)),
+            output_mode="complete",
+        )
+    want = builtin.where(
+        F.col("session_end") < F.lit(SESS_CUTOFF).cast("timestamp")
+    ).select(
+        "user_id", "session_start", "session_end", "n_events", "total_value"
+    )
+    assert _rows(got) == _rows(want)
