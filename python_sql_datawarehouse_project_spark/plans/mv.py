@@ -186,9 +186,26 @@ def mv_delayed_orders_chain(wh, batch_id=None, max_level: int = 3) -> DataFrame:
     from functools import reduce
 
     fs, _, _ = _gold(wh, batch_id)
-    base = fs.select(
-        "order_number", "customer_key", "order_date", "shipping_date", "due_date"
-    ).persist()
+    # Exclude the unknown-member sentinel from the chain: the
+    # COALESCE(-1) fallback (load_fact_sales) makes every orphan fact
+    # row share customer_key = -1, and a self-join on customer_key
+    # turns that shared key into a SUPERHUB — measured at sf1: 6
+    # delayed -1 seeds x 30k -1 fact rows squared = 1.35B level-3
+    # rows, OOM.  Semantically the -1 member is "customer unknown";
+    # chaining orders ACROSS unknown customers asserts they belong to
+    # the same customer, which is exactly what is not known — so the
+    # filter is a correctness refinement, not just a skew guard.
+    base = (
+        fs.filter(F.col("customer_key") != -1)
+        .select(
+            "order_number",
+            "customer_key",
+            "order_date",
+            "shipping_date",
+            "due_date",
+        )
+        .persist()
+    )
     seed = base.filter(F.col("shipping_date") > F.col("due_date")).select(
         "order_number",
         "customer_key",

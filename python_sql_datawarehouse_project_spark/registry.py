@@ -234,6 +234,31 @@ def oracles() -> dict[str, str]:
 # <= sf0.1 the full row-by-row compare remains the gate.  Declared
 # here so the CLI sweep and the artifacts' __meta__ share one list.
 HASHED_AT_SCALE = frozenset({
+    # round-8 additions (VERDICT r7 #7): profiled the 32 gates the
+    # sf10 sweep excluded on the sf1 >15 s bound — for these the sf1
+    # cost is row MATERIALIZATION (output scales with the table:
+    # 0.2-10M rows at sf10), not engine compute, so the hashed path
+    # brings them into the sf10 sweep.  The compute-bound exclusions
+    # (rj2's interval join, ds2/ds5/ds6/ds7's corpus quantiles,
+    # tx10/tx14's fixed-size-but-heavy oracles, q44's basket pairs,
+    # dd14/dd16's banded-LSH oracles) stay out — hashing cannot help
+    # an oracle whose WHERE/JOIN is the expensive part.
+    "aj1_asof_last_event",
+    "ds3_filter_pipeline",
+    "dd15_repeated_spans",
+    "ev3_session_windows",
+    "mm4_phash_neardup",
+    "stream_coldstart_purchases",
+    "stream_dedup_events",
+    "stream_first_events",
+    "stream_sessions_bounded",
+    "tx12_commonness",
+    "tx16_bigram_novelty",
+    "tx2_quality_score",
+    "tx3_language_id",
+    "tx5_tfidf_top_terms",
+    "tx7_repetition",
+    # pre-round-8 members
     "dd4_simhash",
     "ev11_gap_fill",
     "pd1_window_dedup",

@@ -246,8 +246,23 @@ def _spark_row_hash(sdf: DataFrame):
         col = F.col(c)
         if t in ("double", "float"):
             v = _spark_canon_double(col.cast("double"))
-        elif t == "timestamp":
-            v = F.date_format(col, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        elif t in ("timestamp", "timestamp_ntz"):
+            # NTZ included: a bare CAST AS STRING drops trailing-zero
+            # fraction digits ('..:17' vs DuckDB strftime's
+            # '..:17.000000') — caught by aj1 when it joined the
+            # hashed cohort (its asof outputs are NTZ; the session
+            # runs UTC so date_format is wall-clock identical).
+            # Midnight renders as the bare date, mirroring the full
+            # compare's _canon_value (timestamp@00:00 == date) so a
+            # gate whose Spark side is date_trunc (timestamp) and
+            # whose oracle is DATE hashes equal — caught by
+            # stream_dedup_events' day column.
+            full = F.date_format(col, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            v = F.when(
+                F.date_format(col, "HH:mm:ss.SSSSSS")
+                == F.lit("00:00:00.000000"),
+                F.date_format(col, "yyyy-MM-dd"),
+            ).otherwise(full)
         else:
             v = col.cast("string")
         cells.append(F.coalesce(v, F.lit(_H_NULL)))
@@ -267,7 +282,13 @@ def _duck_canon_cell(c: str, t) -> str:
     if pa.types.is_floating(t):
         v = _duck_canon_double(f"CAST({q} AS DOUBLE)")
     elif pa.types.is_timestamp(t):
-        v = f"strftime({q}, '%Y-%m-%d %H:%M:%S.%f')"
+        # midnight -> bare date, mirroring _canon_value (see the
+        # Spark-side comment in _spark_row_hash)
+        v = (
+            f"CASE WHEN {q} = date_trunc('day', {q}) "
+            f"THEN strftime({q}, '%Y-%m-%d') "
+            f"ELSE strftime({q}, '%Y-%m-%d %H:%M:%S.%f') END"
+        )
     else:
         v = f"CAST({q} AS VARCHAR)"
     return f"COALESCE({v}, chr(1))"
