@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .operators import (
     analytics,
+    approx,
     asof,
     bpe,
     corpus,
@@ -121,6 +122,8 @@ _MODULES = (
     semijoin,  # sj1 semi-join reduction (round-6 addition) — tail rule
     bpe,  # tx19 BPE pair census (round-6 addition) — tail rule
     stream_bounded,  # round-8 bounded-arrival sessionization — window tier B
+    approx,  # round-8 sketch trio completion (qa22 HLL, ds9 priority
+    # sample, hh1 distributed Misra-Gries) — window tier B
 )
 
 
@@ -145,6 +148,9 @@ _WINDOW_PRIORITY = (
     "sim9_knn_recall",
     # -- tier B: new round-8 gates enter here as they land ----------------
     "stream_sessions_bounded",
+    "qa22_hll_distinct",
+    "ds9_priority_sample",
+    "hh1_frequent_items",
     # -- tier C: stalest driver-green cohort (r2 provenance) ---------------
     "ev7_transition_matrix",
     "ev9_hourly_active_users",
@@ -182,7 +188,10 @@ _WINDOW_PRIORITY = (
     "mm3_frame_sample",
     "mm4_phash_neardup",
     "mm5_peak_frame",
-    # -- tier D: next-stalest (r5 provenance) fill to 50 -------------------
+    # -- tier D: next-stalest (r5 provenance) fill to 50.  The round-8
+    # tier-B additions push the last two tier-D keys
+    # (stream_session_windows, qa5_exact_percentiles) past the 50-key
+    # window; both are driver-green (r5) and rotate back next round. --
     "w4_ntile_spend_quartiles",
     "w5_spend_percentile",
     "rj1_preorder_attribution",

@@ -65,6 +65,8 @@ _SINGLE_PARTITION_OK = {
     "ds2_token_budget",
     "ds7_epoch_schedule",
     "ds8_sequence_packing",
+    "ds9_priority_sample",  # rank/tau window over a (k+1)-row frame
+    "hh1_frequent_items",  # 1-row total-N support-threshold scalar
     "ev16_cumulative_users",
     "ev17_value_histogram",
     "ev19_decayed_engagement",  # 1-row data-derived NOW frame
@@ -91,6 +93,7 @@ _SINGLE_PARTITION_OK = {
     "qa19_ndv_profile",
     "qa1_null_profile",
     "qa21_ks_distance",
+    "qa22_hll_distinct",  # 1-row global exact-distinct exhibit branch
     "qa4_kmv_distinct",
     "qa8_chisq_drift",
     "tx18_bm25_scores",  # 4-int64 corpus-stats scalar (N, sum_dl, df_i)

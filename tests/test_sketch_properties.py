@@ -83,3 +83,124 @@ def test_hll_approx_distinct_partitioning_invariant_and_bounded(spark, sf_dir):
     assert est1 == est2, "HLL estimate changed under repartitioning"
     exact = ev.select("user_id").distinct().count()
     assert abs(est1 - exact) <= max(3, 4 * rsd * exact), (est1, exact)
+
+
+def test_hll_gate_estimate_bounded_and_merge_consistent(spark, sf_dir):
+    # qa22's explicit-register HLL: the ALL row must behave like a
+    # true sketch MERGE (its registers are the max of the per-group
+    # registers, so its scaled harmonic sum is <= every group's and
+    # its estimate >= every group's), and every estimate must sit
+    # within a generous HLL error band of the exact distinct count
+    # (sigma ~ 1.04/sqrt(64) = 13%; assert 4 sigma).
+    from python_sql_datawarehouse_project_spark.operators.approx import (
+        qa22_hll_distinct,
+    )
+
+    rows = {r.event_type: r for r in qa22_hll_distinct(spark, sf_dir).collect()}
+    assert "ALL" in rows and len(rows) >= 2
+    all_row = rows["ALL"]
+    for g, r in rows.items():
+        if g == "ALL":
+            continue
+        assert all_row.z_scaled <= r.z_scaled, (g, "merge lowers z")
+        assert all_row.est_distinct >= r.est_distinct - 1e-9, g
+    # The gate outputs the RAW estimator plus n_zero; the small-range
+    # LinearCounting correction (m * ln(m / V)) is a driver-side
+    # scalar op on the sketch row — ln is not bitwise cross-engine
+    # portable, so it stays out of the oracled columns by design.
+    # Apply it here exactly as a consumer would and assert the
+    # CORRECTED estimate is within 4 sigma (sigma ~ 1.04/sqrt(64)).
+    import math
+
+    m = 64
+    for g, r in rows.items():
+        est = r.est_distinct
+        if est <= 2.5 * m and r.n_zero > 0:
+            est = m * math.log(m / r.n_zero)
+        rel = abs(est - r.true_distinct) / max(r.true_distinct, 1)
+        assert rel <= 4 * 1.04 / 8, (g, est, r.true_distinct)
+
+
+def test_priority_sample_estimator_properties(spark, sf_dir):
+    # ds9: exactly K rows (corpus > K docs at every SF), every
+    # selected priority > tau, w_hat = max(w, tau) >= w, and the
+    # subset-sum estimate sum(w_hat) lands within a loose band of the
+    # true total weight (k=64 priority sampling is unbiased with
+    # bounded variance; the band is 2x to stay seed-robust).
+    from pyspark.sql import functions as F
+
+    from python_sql_datawarehouse_project_spark.catalog import load_table
+    from python_sql_datawarehouse_project_spark.operators.approx import (
+        PS_K,
+        ds9_priority_sample,
+    )
+
+    rows = ds9_priority_sample(spark, sf_dir).collect()
+    assert len(rows) == PS_K
+    taus = {r.tau for r in rows}
+    assert len(taus) == 1
+    tau = taus.pop()
+    assert tau > 0
+    for r in rows:
+        assert r.priority > tau - 1e-12
+        assert r.w_hat == max(r.w, tau)
+    est_total = sum(r.w_hat for r in rows)
+    true_total = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.sum(F.col("n_chars").cast("double")))
+        .first()[0]
+    )
+    assert 0.5 * true_total <= est_total <= 2.0 * true_total, (
+        est_total,
+        true_total,
+    )
+
+
+def test_mg_frequent_items_partition_invariant_and_exact(spark, sf_dir):
+    # hh1's OUTPUT is exact by the MG superset guarantee, so it must
+    # (a) equal the brute-force per-key aggregation filtered by the
+    # same integer support test, and (b) be invariant under any
+    # repartitioning of the input, even though the per-partition MG
+    # summaries themselves are order- and partitioning-dependent.
+    from pyspark.sql import functions as F
+
+    from python_sql_datawarehouse_project_spark.catalog import load_table
+    from python_sql_datawarehouse_project_spark.operators.approx import (
+        _HH_KEY_SQL,
+        HH_DEN,
+        hh1_frequent_items,
+    )
+
+    got = {
+        (r.k, r.exact_n, r.n) for r in hh1_frequent_items(spark, sf_dir).collect()
+    }
+    assert got, "support threshold selected nothing — hot keys missing"
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(_HH_KEY_SQL).cast("long").alias("k")
+    )
+    n = ev.count()
+    brute = {
+        (r.k, r.exact_n, n)
+        for r in ev.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .where(F.col("exact_n") * HH_DEN >= n)
+        .collect()
+    }
+    assert got == brute
+    # repartition upstream of the gate's mapInPandas via a shuffled
+    # temp view is not injectable here; instead run the MG stage
+    # standalone on two different partitionings and assert the
+    # candidate UNION still covers every qualifying key.
+    from python_sql_datawarehouse_project_spark.operators.approx import (
+        _mg_candidates,
+    )
+
+    qualifying = {k for (k, _, _) in brute}
+    for parts in (2, 13):
+        cands = {
+            r.k
+            for r in ev.repartition(parts)
+            .mapInPandas(_mg_candidates, "k long")
+            .collect()
+        }
+        assert qualifying <= cands, (parts, qualifying - cands)
