@@ -24,6 +24,7 @@ from .operators import (
     embquality,
     evals,
     events,
+    graph,
     incremental,
     layout,
     kmeans,
@@ -124,6 +125,7 @@ _MODULES = (
     stream_bounded,  # round-8 bounded-arrival sessionization — window tier B
     approx,  # round-8 sketch trio completion (qa22 HLL, ds9 priority
     # sample, hh1 distributed Misra-Gries) — window tier B
+    graph,  # round-8 int64 fixed-point PageRank (gr1) — window tier B
 )
 
 
@@ -151,6 +153,7 @@ _WINDOW_PRIORITY = (
     "qa22_hll_distinct",
     "ds9_priority_sample",
     "hh1_frequent_items",
+    "gr1_pagerank_fixedpoint",
     # -- tier C: stalest driver-green cohort (r2 provenance) ---------------
     "ev7_transition_matrix",
     "ev9_hourly_active_users",
@@ -188,10 +191,11 @@ _WINDOW_PRIORITY = (
     "mm3_frame_sample",
     "mm4_phash_neardup",
     "mm5_peak_frame",
-    # -- tier D: next-stalest (r5 provenance) fill to 50.  The round-8
-    # tier-B additions push the last two tier-D keys
-    # (stream_session_windows, qa5_exact_percentiles) past the 50-key
-    # window; both are driver-green (r5) and rotate back next round. --
+    # -- tier D: next-stalest (r5 provenance) fill to 50.  The five
+    # round-8 tier-B additions push the tail of this tier past the
+    # 50-key window (sk1/sk2/tx5/stream_session_windows/qa5 at five
+    # additions); all are driver-green (r5) and rotate back next
+    # round — new-gate driver evidence outranks re-confirmation. --
     "w4_ntile_spend_quartiles",
     "w5_spend_percentile",
     "rj1_preorder_attribution",

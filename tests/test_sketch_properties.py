@@ -204,3 +204,31 @@ def test_mg_frequent_items_partition_invariant_and_exact(spark, sf_dir):
             .collect()
         }
         assert qualifying <= cands, (parts, qualifying - cands)
+
+
+def test_pagerank_fixedpoint_invariants(spark, sf_dir):
+    # gr1: int64 fixed-point PageRank over the dd17 pair graph.
+    # Invariants that pin the arithmetic (not just oracle agreement):
+    #   * an isolated node (degree 0, receives nothing) holds EXACTLY
+    #     the teleport rank after every iteration;
+    #   * every rank >= teleport;
+    #   * total rank mass never exceeds the initial mass (truncating
+    #     division only leaks mass downward; dangling nodes leak
+    #     their damped mass by declared design).
+    from python_sql_datawarehouse_project_spark.operators.graph import (
+        GR1_SCALE,
+        gr1_pagerank_fixedpoint,
+    )
+
+    rows = gr1_pagerank_fixedpoint(spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    teleport = (3 * GR1_SCALE) // (20 * n)
+    isolated = [r for r in rows if r.degree == 0]
+    connected = [r for r in rows if r.degree > 0]
+    assert isolated and connected, "graph should mix both node kinds"
+    for r in isolated:
+        assert r.rank == teleport, (r.doc_id, r.rank, teleport)
+    for r in rows:
+        assert r.rank >= teleport
+    assert sum(r.rank for r in rows) <= GR1_SCALE
