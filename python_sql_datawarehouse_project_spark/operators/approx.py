@@ -309,6 +309,91 @@ FROM r, tau
 WHERE rk <= {PS_K}
 """
 
+# -- ds10: per-stratum priority sampling -------------------------------
+PS10_K = 16
+
+
+def ds10_stratified_priority_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ds9's priority sampling applied PER STRATUM (documents.source):
+    top-PS10_K docs per source by the same w*2^60/h priority, each
+    stratum carrying its own tau (the (k+1)-th priority WITHIN the
+    stratum) and w_hat = max(w, tau) estimator — the quota shape a
+    training-mix pipeline actually runs ("n docs per domain/language,
+    with per-domain size totals still estimable from the sample").
+
+    Same determinism argument as ds9 (shared hash salt, so the same
+    doc gets the same priority in both gates).  Scale: one
+    partitionBy(source) window — grouped top-k with NO global
+    exchange; stratum count grows with the corpus, parallelism
+    follows."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("double").alias("w"),
+        H.md5_long(F.concat(F.lit("ps:"), F.col("doc_id").cast("string"))).alias(
+            "h"
+        ),
+    )
+    pri = docs.select(
+        "doc_id",
+        "source",
+        "w",
+        (F.col("w") * F.lit(float(1 << 60)) / F.col("h").cast("double")).alias(
+            "priority"
+        ),
+    )
+    wnd = Window.partitionBy("source").orderBy(F.desc("priority"), "doc_id")
+    grp = Window.partitionBy("source")
+    ranked = pri.withColumn("rk", F.row_number().over(wnd)).withColumn(
+        "tau",
+        F.coalesce(
+            F.max(F.when(F.col("rk") == PS10_K + 1, F.col("priority"))).over(
+                grp
+            ),
+            F.lit(0.0),
+        ),
+    )
+    return ranked.where(F.col("rk") <= PS10_K).select(
+        "source",
+        "doc_id",
+        "w",
+        "priority",
+        "tau",
+        F.greatest(F.col("w"), F.col("tau")).alias("w_hat"),
+    )
+
+
+DS10_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS w,
+           {H.sql_md5_long("'ps:' || CAST(doc_id AS VARCHAR)")} AS h
+    FROM documents
+),
+p AS (
+    SELECT doc_id, source, w,
+           w * {float(1 << 60)!r} / CAST(h AS DOUBLE) AS priority
+    FROM d
+),
+r AS (
+    SELECT doc_id, source, w, priority,
+           ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY priority DESC, doc_id) AS rk
+    FROM p
+),
+t AS (
+    SELECT source, doc_id, w, priority, rk,
+           COALESCE(MAX(CASE WHEN rk = {PS10_K + 1} THEN priority END)
+                    OVER (PARTITION BY source), 0.0) AS tau
+    FROM r
+)
+SELECT source, doc_id, w, priority, tau,
+       GREATEST(w, tau) AS w_hat
+FROM t
+WHERE rk <= {PS10_K}
+"""
+
 # -- hh1: frequent items via distributed Misra-Gries ------------------
 # Support threshold 1/HH_DEN of the stream; MG capacity HH_CAP
 # guarantees union undercount < N/(HH_CAP+1) <= N/HH_DEN/2, so every
@@ -397,10 +482,12 @@ WHERE exact_n * {HH_DEN} >= t.n
 QUERIES = {
     "qa22_hll_distinct": qa22_hll_distinct,
     "ds9_priority_sample": ds9_priority_sample,
+    "ds10_stratified_priority_sample": ds10_stratified_priority_sample,
     "hh1_frequent_items": hh1_frequent_items,
 }
 ORACLES = {
     "qa22_hll_distinct": QA22_ORACLE,
     "ds9_priority_sample": DS9_ORACLE,
+    "ds10_stratified_priority_sample": DS10_ORACLE,
     "hh1_frequent_items": HH1_ORACLE,
 }

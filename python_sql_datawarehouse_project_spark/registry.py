@@ -154,6 +154,7 @@ _WINDOW_PRIORITY = (
     "ds9_priority_sample",
     "hh1_frequent_items",
     "gr1_pagerank_fixedpoint",
+    "ds10_stratified_priority_sample",
     # -- tier C: stalest driver-green cohort (r2 provenance) ---------------
     "ev7_transition_matrix",
     "ev9_hourly_active_users",
