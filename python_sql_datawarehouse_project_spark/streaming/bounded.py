@@ -75,10 +75,24 @@ from .windows import (
 # test) without paying 60+ fixed per-batch commit costs.  The sf10
 # probe uses 64 — the knob is arrival granularity, not correctness.
 N_SLICES = 4
+# Above bench SF the slice count must GROW with the input or the
+# per-batch session state recreates the exact wedge this gate exists
+# to avoid (caught live by the first sf10 sweep that included this
+# gate: 10M events / 4 slices = ~2.4M sessions per batch, stuck in
+# the state-store merge).  The probe measured the healthy regime at
+# ~156k rows/slice (64 slices at sf10, max live state 174.5k rows),
+# so slices scale to hold rows-per-slice at that level, floored at
+# N_SLICES so bench-SF behavior (and the incremental-drain pytest)
+# is unchanged.
+ROWS_PER_SLICE = 150_000
+
+
+def _auto_slices(n_rows: int) -> int:
+    return max(N_SLICES, -(-n_rows // ROWS_PER_SLICE))
 
 
 @contextlib.contextmanager
-def _sliced_source_dir(spark: SparkSession, src: str, n: int = N_SLICES):
+def _sliced_source_dir(spark: SparkSession, src: str, n: int | None = None):
     """Stage `src` (one parquet table) as n time-ordered parquet files
     with ascending mtimes; yields the staging dir, removed on exit.
 
@@ -93,6 +107,8 @@ def _sliced_source_dir(spark: SparkSession, src: str, n: int = N_SLICES):
     tmp = tempfile.mkdtemp(prefix="spark-graft-slicer-", dir=_fast_tmpdir())
     try:
         df = spark.read.parquet(src)
+        if n is None:
+            n = _auto_slices(df.count())
         sliced = df.withColumn(
             "_slice",
             F.ntile(n).over(Window.orderBy("ts", "event_id")),
