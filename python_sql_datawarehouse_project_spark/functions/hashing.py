@@ -67,6 +67,16 @@ def _gen_coeffs(k: int) -> tuple[list[int], list[int]]:
 
 MINHASH_A, MINHASH_B = _gen_coeffs(MINHASH_K)
 
+
+def _gen_bloom_coeffs(k: int) -> tuple[list[int], list[int]]:
+    g = _lcg_stream(20260816)
+    a = [((next(g) % (MINHASH_P - 1)) | 1) for _ in range(k)]
+    b = [next(g) % MINHASH_P for _ in range(k)]
+    return a, b
+
+
+BLOOM_A, BLOOM_B = _gen_bloom_coeffs(3)  # == BLOOM_K (defined below)
+
 # Random-hyperplane LSH for embeddings: NBITS hyperplanes of dim DIM,
 # components in [-0.5, 0.5) from the same LCG formula both engines
 # can evaluate inline: r(i,j) = lcg(i*DIM+j)/2^31 - 0.5.
@@ -80,6 +90,18 @@ _RP_MOD = 1 << 31
 # SimHash / fingerprint constants.
 FP_MOD = 1_000_000_007
 FP_MULT = 31
+
+# Bloom-filter membership sketch (qa23): K positions per key in a
+# BLOOM_BITS-bit space, packed 32 bits per int64 word so the mask and
+# every probe shift stay < 2^31 — DuckDB's `<<` range-checks BIGINT
+# overflow, so 1<<63-style masks are NOT portable; 32-bit packing is.
+# Position i = ((h mod P) * A_i + B_i) mod P mod BLOOM_BITS with the
+# same Mersenne modulus as MinHash: (h mod P) < 2^31 and A_i < 2^31
+# keep the product < 2^62 — exact int64 on both engines, no wrap
+# (Java wraps silently, DuckDB errors: portable code must OVERFLOW
+# NEVER, not overflow identically).
+BLOOM_K = 3
+BLOOM_BITS = 1 << 22
 
 
 # ---------------------------------------------------------------- Spark side
@@ -118,6 +140,20 @@ def rp_planes(count: int) -> list[list[float]]:
 
 # The frozen 16-plane signature the fixed-constant gates use.
 RP_PLANES: list[list[float]] = rp_planes(RP_BITS)
+
+
+def bloom_positions(h: Column) -> Column:
+    """array<long> of the BLOOM_K bit positions for a 60-bit key hash
+    — each an exact int64 expression (see the BLOOM_* constants note
+    on why nothing here may overflow on EITHER engine)."""
+    hp = h % F.lit(MINHASH_P)
+    return F.array(
+        *[
+            ((hp * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P))
+            % F.lit(BLOOM_BITS)
+            for a, b in zip(BLOOM_A, BLOOM_B)
+        ]
+    )
 
 
 def poly_fingerprint(chars: Column) -> Column:
@@ -164,6 +200,17 @@ def sql_rp_component(i_expr: str, j_expr: str) -> str:
         f"(CAST(mod({_RP_MULT} * {idx} + {_RP_INC}, {_RP_MOD}) AS DOUBLE)"
         f" / {float(_RP_MOD)} - 0.5)"
     )
+
+
+def sql_bloom_positions(h_expr: str) -> str:
+    """DuckDB twin of bloom_positions: a BIGINT[] literal-arithmetic
+    list over the same (A_i, B_i) coefficients."""
+    terms = ", ".join(
+        f"mod(mod(mod({h_expr}, {MINHASH_P}) * {a} + {b}, "
+        f"{MINHASH_P}), {BLOOM_BITS})"
+        for a, b in zip(BLOOM_A, BLOOM_B)
+    )
+    return f"[{terms}]"
 
 
 def sql_poly_fingerprint(chars_expr: str) -> str:

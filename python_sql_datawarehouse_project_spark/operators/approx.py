@@ -68,6 +68,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions import hashing as H
+from .text import BENCH_MOD, DECON_NGRAM, _doc_grams, _sql_tokens
 
 # -- qa22: HyperLogLog distinct sketch --------------------------------
 HLL_P = 6                      # register index bits
@@ -479,14 +480,173 @@ WHERE exact_n * {HH_DEN} >= t.n
 """
 
 
+# -- qa23: Bloom-filter membership (decontamination at scale) ---------
+def qa23_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination through a Bloom filter — the
+    constant-size twin of tx6's exact gram join, completing the
+    mergeable-sketch family with the membership sketch (KMV qa4 /
+    CMS qa9 / HLL qa22 / MG hh1 / priority ds9).
+
+    tx6 semi-joins the corpus gram stream against the benchmark gram
+    SET — a shuffle whose build side grows with the eval suite.  Here
+    the benchmark collapses into a fixed BLOOM_BITS-bit array
+    (2^22 bits = 128 Ki packed-int64 words ~ 1 MiB): per gram,
+    BLOOM_K md5-derived positions OR into 32-bit-packed words via a
+    map-side-combined bit_or aggregation (mergeable: partition /
+    day / source blooms union with OR, same contract as the HLL
+    register MAX).  The probe is then a BROADCAST join of the word
+    table against the corpus positions — no shuffle grows with the
+    benchmark, ever.  A membership FP rate rides along measurably:
+    the exact overlap count (tx6's join, broadcast-sized at these
+    SFs) is carried per doc, so n_bloom_hits - n_exact_hits IS the
+    observed false-positive mass — the gate self-audits the sketch
+    against ground truth the same way qa22 carries exact_distinct.
+
+    Cross-engine: positions and masks are exact int64 arithmetic
+    (functions/hashing.py BLOOM_* notes — 32-bit packing because
+    DuckDB range-checks BIGINT `<<`), counts are longs, the single
+    double is one division.  Scale: explode factor is BLOOM_K per
+    distinct gram; both aggregations map-side combine on compact
+    longs; the bloom table is bounded by BLOOM_BITS/32 rows at ANY
+    corpus/benchmark size."""
+    g = _doc_grams(load_table(spark, sf_dir, "documents")).localCheckpoint(
+        eager=True
+    )
+    corp = g.where(F.col("doc_id") % BENCH_MOD != 0)
+    bench = g.where(F.col("doc_id") % BENCH_MOD == 0).select("h").distinct()
+    word_of = lambda pos: F.shiftright(pos, 5)  # noqa: E731
+    # pyspark's shiftleft() takes only a LITERAL bit count, so the
+    # variable mask 1<<(pos&31) is a 32-entry literal lookup instead
+    # (constant-folded; element_at is 1-indexed).
+    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(32)])
+    mask_of = lambda pos: F.element_at(  # noqa: E731
+        masks, pos.bitwiseAND(F.lit(31)).cast("int") + F.lit(1)
+    )
+    bloom = (
+        bench.select(F.explode(H.bloom_positions(F.col("h"))).alias("pos"))
+        .select(
+            word_of(F.col("pos")).alias("w"),
+            mask_of(F.col("pos")).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("word"))
+    )
+    probe = (
+        corp.select(
+            "doc_id", "h",
+            F.explode(H.bloom_positions(F.col("h"))).alias("pos"),
+        )
+        .withColumn("w", word_of(F.col("pos")))
+        .join(F.broadcast(bloom), "w", "left")
+        .select(
+            "doc_id", "h",
+            F.when(
+                F.col("word").isNotNull()
+                & (
+                    F.col("word").bitwiseAND(mask_of(F.col("pos")))
+                    != F.lit(0)
+                ),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("hit"),
+        )
+        .groupBy("doc_id", "h")
+        .agg(F.sum("hit").alias("nset"))
+    )
+    per_doc = probe.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(
+            F.when(F.col("nset") == H.BLOOM_K, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_bloom_hits"),
+    )
+    exact = (
+        corp.join(bench, "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_exact_hits"))
+    )
+    return (
+        per_doc.join(exact, "doc_id", "left")
+        .where(F.col("n_bloom_hits") > 0)
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_bloom_hits",
+            F.coalesce(F.col("n_exact_hits"), F.lit(0).cast("long")).alias(
+                "n_exact_hits"
+            ),
+            (
+                F.col("n_bloom_hits").cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("bloom_rate"),
+        )
+    )
+
+
+QA23_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_sql_tokens('text')} AS tk FROM documents
+),
+grams AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, len(tk) - {DECON_NGRAM - 2}),
+        i -> {H.sql_md5_long(
+            f"array_to_string(list_slice(tk, i, i + {DECON_NGRAM - 1}), ' ')"
+        )}
+    ))) AS h
+    FROM toks WHERE len(tk) >= {DECON_NGRAM}
+),
+corp AS (SELECT * FROM grams WHERE doc_id % {BENCH_MOD} <> 0),
+bench AS (SELECT DISTINCT h FROM grams WHERE doc_id % {BENCH_MOD} = 0),
+bpos AS (
+    SELECT unnest({H.sql_bloom_positions('h')}) AS pos FROM bench
+),
+bloom AS (
+    SELECT pos >> 5 AS w,
+           bit_or(CAST(1 AS BIGINT) << CAST(pos & 31 AS INT)) AS word
+    FROM bpos GROUP BY 1
+),
+cpos AS (
+    SELECT doc_id, h, unnest({H.sql_bloom_positions('h')}) AS pos
+    FROM corp
+),
+hits AS (
+    SELECT doc_id, h,
+           SUM(CASE WHEN word IS NOT NULL
+                    AND ((word >> CAST(pos & 31 AS INT)) & 1) = 1
+                    THEN 1 ELSE 0 END) AS nset
+    FROM cpos LEFT JOIN bloom ON (pos >> 5) = w
+    GROUP BY 1, 2
+),
+per_doc AS (
+    SELECT doc_id, COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN nset = {H.BLOOM_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bloom_hits
+    FROM hits GROUP BY 1
+),
+exact AS (
+    SELECT doc_id, COUNT(*) AS n_exact_hits
+    FROM corp JOIN bench USING (h) GROUP BY 1
+)
+SELECT p.doc_id, n_grams, n_bloom_hits,
+       COALESCE(n_exact_hits, CAST(0 AS BIGINT)) AS n_exact_hits,
+       CAST(n_bloom_hits AS DOUBLE) / CAST(n_grams AS DOUBLE)
+           AS bloom_rate
+FROM per_doc p LEFT JOIN exact USING (doc_id)
+WHERE n_bloom_hits > 0
+"""
+
+
 QUERIES = {
     "qa22_hll_distinct": qa22_hll_distinct,
+    "qa23_bloom_decontam": qa23_bloom_decontam,
     "ds9_priority_sample": ds9_priority_sample,
     "ds10_stratified_priority_sample": ds10_stratified_priority_sample,
     "hh1_frequent_items": hh1_frequent_items,
 }
 ORACLES = {
     "qa22_hll_distinct": QA22_ORACLE,
+    "qa23_bloom_decontam": QA23_ORACLE,
     "ds9_priority_sample": DS9_ORACLE,
     "ds10_stratified_priority_sample": DS10_ORACLE,
     "hh1_frequent_items": HH1_ORACLE,

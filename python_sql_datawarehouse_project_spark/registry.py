@@ -155,6 +155,7 @@ _WINDOW_PRIORITY = (
     "hh1_frequent_items",
     "gr1_pagerank_fixedpoint",
     "ds10_stratified_priority_sample",
+    "qa23_bloom_decontam",
     # -- tier C: stalest driver-green cohort (r2 provenance) ---------------
     "ev7_transition_matrix",
     "ev9_hourly_active_users",
@@ -266,6 +267,9 @@ HASHED_AT_SCALE = frozenset({
     "stream_dedup_events",
     "stream_first_events",
     "stream_sessions_bounded",
+    # ~1M sessions at sf1 / 9.5M at sf10 — output-bound like the other
+    # session gates; the oracle's window stack itself is cheap.
+    "stream_sessions_custom",
     "tx12_commonness",
     "tx16_bigram_novelty",
     "tx2_quality_score",
@@ -311,6 +315,10 @@ HEAVY_ORACLE_SF1 = frozenset({
     "dd12_triangle_census",
     "dd13_ensemble_agreement",
     "dd17_minhash_capped_pairs",
+    # gr1's oracle embeds dd17's CTE stack (the minhash band-join is
+    # the DuckDB-side cost), so it inherits dd17's policy verbatim;
+    # the Spark side has its own decade timing in PERF.md round 8.
+    "gr1_pagerank_fixedpoint",
     "dd2_ngram_jaccard_pairs",
     "dd3_minhash_lsh_pairs",
     "dd5_embedding_neardup",

@@ -232,3 +232,69 @@ def test_pagerank_fixedpoint_invariants(spark, sf_dir):
     for r in rows:
         assert r.rank >= teleport
     assert sum(r.rank for r in rows) <= GR1_SCALE
+
+
+@settings(max_examples=200, deadline=None)
+@given(hashes, hashes)
+def test_bloom_no_false_negatives_and_merge_law(bench: set[int], probe: set[int]):
+    # qa23's two structural laws, over arbitrary 60-bit key hashes:
+    #   * membership has NO false negatives — every inserted key
+    #     probes positive (OR only sets bits);
+    #   * the sketch is mergeable — bloom(A | B) equals the word-wise
+    #     OR of bloom(A) and bloom(B) (what lets partition/day/source
+    #     blooms union without rescans, the qa22 register-MAX analogue).
+    from python_sql_datawarehouse_project_spark.functions.hashing import (
+        BLOOM_A,
+        BLOOM_B,
+        BLOOM_BITS,
+        MINHASH_P,
+    )
+
+    def positions(h: int) -> list[int]:
+        return [
+            (((h % MINHASH_P) * a + b) % MINHASH_P) % BLOOM_BITS
+            for a, b in zip(BLOOM_A, BLOOM_B)
+        ]
+
+    def build(keys: set[int]) -> dict[int, int]:
+        words: dict[int, int] = {}
+        for h in keys:
+            for pos in positions(h):
+                words[pos >> 5] = words.get(pos >> 5, 0) | (1 << (pos & 31))
+        return words
+
+    def member(words: dict[int, int], h: int) -> bool:
+        return all(
+            words.get(pos >> 5, 0) & (1 << (pos & 31)) for pos in positions(h)
+        )
+
+    bloom = build(bench)
+    for h in bench:
+        assert member(bloom, h)
+    merged = build(bench | probe)
+    a, b = build(bench), build(probe)
+    ored = {w: a.get(w, 0) | b.get(w, 0) for w in set(a) | set(b)}
+    assert merged == ored
+
+
+def test_bloom_gate_brackets_exact_overlap(spark, sf_dir):
+    # qa23 vs tx6 on the same corpus: the bloom count can only ADD
+    # false positives on top of the exact overlap — per doc,
+    # n_exact_hits <= n_bloom_hits <= n_grams, the carried exact
+    # column must equal tx6's n_overlap, and every tx6-contaminated
+    # doc must appear (no false negatives at doc grain either).
+    from python_sql_datawarehouse_project_spark.operators.approx import (
+        qa23_bloom_decontam,
+    )
+    from python_sql_datawarehouse_project_spark.operators.text import (
+        tx6_decontamination,
+    )
+
+    qa = {r.doc_id: r for r in qa23_bloom_decontam(spark, sf_dir).collect()}
+    tx = {r.doc_id: r for r in tx6_decontamination(spark, sf_dir).collect()}
+    assert set(tx) <= set(qa), sorted(set(tx) - set(qa))[:5]
+    for doc_id, r in qa.items():
+        assert 0 < r.n_bloom_hits <= r.n_grams
+        assert r.n_exact_hits <= r.n_bloom_hits
+        exact = tx[doc_id].n_overlap if doc_id in tx else 0
+        assert r.n_exact_hits == exact, (doc_id, r.n_exact_hits, exact)
