@@ -481,6 +481,71 @@ WHERE exact_n * {HH_DEN} >= t.n
 
 
 # -- qa23: Bloom-filter membership (decontamination at scale) ---------
+def _bloom_word(pos):
+    return F.shiftright(pos, 5)
+
+
+def _bloom_mask(pos):
+    # pyspark's shiftleft() takes only a LITERAL bit count, so the
+    # variable mask 1<<(pos&31) is a 32-entry literal lookup instead
+    # (constant-folded; element_at is 1-indexed).  Built per call, not
+    # at module scope: F.lit needs an active SparkContext.
+    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(32)])
+    return F.element_at(
+        masks, pos.bitwiseAND(F.lit(31)).cast("int") + F.lit(1)
+    )
+
+
+def bloom_words(keys: DataFrame) -> DataFrame:
+    """(w, word): the packed Bloom array of `keys`' column h —
+    <= BLOOM_BITS/32 rows at any input size, OR-mergeable with any
+    other bloom_words frame by groupBy(w).bit_or(word)."""
+    return (
+        keys.select(F.explode(H.bloom_positions(F.col("h"))).alias("pos"))
+        .select(
+            _bloom_word(F.col("pos")).alias("w"),
+            _bloom_mask(F.col("pos")).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("word"))
+    )
+
+
+def bloom_doc_hits(grams: DataFrame, words: DataFrame) -> DataFrame:
+    """(doc_id, n_grams, n_bloom_hits) for a (doc_id, h) gram stream
+    probed against a bloom_words frame (broadcast: the word table is
+    bounded by BLOOM_BITS/32 regardless of what built it)."""
+    probe = (
+        grams.select(
+            "doc_id", "h",
+            F.explode(H.bloom_positions(F.col("h"))).alias("pos"),
+        )
+        .withColumn("w", _bloom_word(F.col("pos")))
+        .join(F.broadcast(words), "w", "left")
+        .select(
+            "doc_id", "h",
+            F.when(
+                F.col("word").isNotNull()
+                & (
+                    F.col("word").bitwiseAND(_bloom_mask(F.col("pos")))
+                    != F.lit(0)
+                ),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("hit"),
+        )
+        .groupBy("doc_id", "h")
+        .agg(F.sum("hit").alias("nset"))
+    )
+    return probe.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(
+            F.when(F.col("nset") == H.BLOOM_K, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_bloom_hits"),
+    )
+
+
 def qa23_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination through a Bloom filter — the
     constant-size twin of tx6's exact gram join, completing the
@@ -514,52 +579,7 @@ def qa23_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corp = g.where(F.col("doc_id") % BENCH_MOD != 0)
     bench = g.where(F.col("doc_id") % BENCH_MOD == 0).select("h").distinct()
-    word_of = lambda pos: F.shiftright(pos, 5)  # noqa: E731
-    # pyspark's shiftleft() takes only a LITERAL bit count, so the
-    # variable mask 1<<(pos&31) is a 32-entry literal lookup instead
-    # (constant-folded; element_at is 1-indexed).
-    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(32)])
-    mask_of = lambda pos: F.element_at(  # noqa: E731
-        masks, pos.bitwiseAND(F.lit(31)).cast("int") + F.lit(1)
-    )
-    bloom = (
-        bench.select(F.explode(H.bloom_positions(F.col("h"))).alias("pos"))
-        .select(
-            word_of(F.col("pos")).alias("w"),
-            mask_of(F.col("pos")).alias("m"),
-        )
-        .groupBy("w")
-        .agg(F.bit_or("m").alias("word"))
-    )
-    probe = (
-        corp.select(
-            "doc_id", "h",
-            F.explode(H.bloom_positions(F.col("h"))).alias("pos"),
-        )
-        .withColumn("w", word_of(F.col("pos")))
-        .join(F.broadcast(bloom), "w", "left")
-        .select(
-            "doc_id", "h",
-            F.when(
-                F.col("word").isNotNull()
-                & (
-                    F.col("word").bitwiseAND(mask_of(F.col("pos")))
-                    != F.lit(0)
-                ),
-                F.lit(1),
-            )
-            .otherwise(F.lit(0))
-            .alias("hit"),
-        )
-        .groupBy("doc_id", "h")
-        .agg(F.sum("hit").alias("nset"))
-    )
-    per_doc = probe.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_grams"),
-        F.sum(
-            F.when(F.col("nset") == H.BLOOM_K, F.lit(1)).otherwise(F.lit(0))
-        ).alias("n_bloom_hits"),
-    )
+    per_doc = bloom_doc_hits(corp, bloom_words(bench))
     exact = (
         corp.join(bench, "h")
         .groupBy("doc_id")
