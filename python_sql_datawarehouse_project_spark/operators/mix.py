@@ -432,6 +432,116 @@ WHERE pr >= {DS5_QUANTILE}
 """
 
 
+# -- ds11: bloom-screened clean mix (the 100 TB decontamination) ------
+def ds11_bloom_screened_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ds6's assembly with stage (d) swapped for the Bloom screen
+    (approx.qa23 / plans.bloom_index): a doc ships iff NONE of its
+    grams probe positive against the benchmark's fixed 2^22-bit
+    membership sketch.  This is the shape a 100 TB run actually
+    executes — the exact gram join ds6 performs shuffles the corpus
+    gram stream against a benchmark set that grows with every eval
+    release, while the bloom screen is a ~1 MiB broadcast at wire
+    speed whatever the suite's size.
+
+    The trade is explicit and bounded: a false-positive gram can only
+    OVER-block, never leak contamination, so the screened mix is a
+    SUBSET of ds6's exact mix (pytest-pinned, with the removed-extra
+    docs exactly the bloom's doc-level FP mass).  At qa23's measured
+    FP rate the over-blocking is a fraction of a percent of the
+    corpus — the classic sketch rent, paid in recall of CLEAN docs,
+    never in contamination precision."""
+    from .text import BENCH_MOD, _doc_grams, quality_scored
+    from pyspark.sql import Window
+
+    from .approx import bloom_doc_hits, bloom_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = _doc_grams(docs).localCheckpoint(eager=True)
+    flagged = (
+        bloom_doc_hits(
+            g.where(F.col("doc_id") % BENCH_MOD != 0),
+            bloom_words(
+                g.where(F.col("doc_id") % BENCH_MOD == 0)
+                .select("h")
+                .distinct()
+            ),
+        )
+        .where(F.col("n_bloom_hits") > 0)
+        .select("doc_id")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.asc("quality_score"), F.asc("doc_id")
+    )
+    ranked = quality_scored(docs).select(
+        "doc_id",
+        "lang",
+        "quality_score",
+        F.percent_rank().over(w).alias("_pr"),
+    )
+    return (
+        ranked.where(F.col("_pr") >= F.lit(DS5_QUANTILE))
+        .where(_hash_gate(F.col("doc_id"), F.col("lang")))
+        .where(F.col("doc_id") % BENCH_MOD != 0)
+        .join(flagged, "doc_id", "left_anti")
+        .select("doc_id", "lang", "quality_score")
+    )
+
+
+def _ds11_oracle() -> str:
+    from .text import BENCH_MOD, DECON_NGRAM, SQL_QUALITY_SCORED, _sql_tokens
+    from ..functions import hashing as H
+
+    return f"""
+WITH scored AS (SELECT * FROM {SQL_QUALITY_SCORED} s),
+r AS (
+    SELECT doc_id, lang, quality_score,
+           PERCENT_RANK() OVER (
+               PARTITION BY lang
+               ORDER BY quality_score ASC, doc_id ASC) AS pr
+    FROM scored
+),
+toks AS (SELECT doc_id, {_sql_tokens('text')} AS tk FROM documents),
+grams AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, len(tk) - {DECON_NGRAM - 2}),
+        i -> {H.sql_md5_long(
+            f"array_to_string(list_slice(tk, i, i + {DECON_NGRAM - 1}), ' ')"
+        )}
+    ))) AS h
+    FROM toks WHERE len(tk) >= {DECON_NGRAM}
+),
+bpos AS (
+    SELECT unnest({H.sql_bloom_positions('h')}) AS pos
+    FROM (SELECT DISTINCT h FROM grams WHERE doc_id % {BENCH_MOD} = 0)
+),
+bloom AS (
+    SELECT pos >> 5 AS w,
+           bit_or(CAST(1 AS BIGINT) << CAST(pos & 31 AS INT)) AS word
+    FROM bpos GROUP BY 1
+),
+cpos AS (
+    SELECT doc_id, h, unnest({H.sql_bloom_positions('h')}) AS pos
+    FROM grams WHERE doc_id % {BENCH_MOD} <> 0
+),
+hits AS (
+    SELECT doc_id, h,
+           SUM(CASE WHEN word IS NOT NULL
+                    AND ((word >> CAST(pos & 31 AS INT)) & 1) = 1
+                    THEN 1 ELSE 0 END) AS nset
+    FROM cpos LEFT JOIN bloom ON (pos >> 5) = w
+    GROUP BY 1, 2
+),
+flagged AS (
+    SELECT DISTINCT doc_id FROM hits WHERE nset = {H.BLOOM_K}
+)
+SELECT doc_id, lang, quality_score FROM r
+WHERE pr >= {DS5_QUANTILE}
+  AND {_sql_hash_gate()}
+  AND doc_id % {BENCH_MOD} <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM flagged)
+"""
+
+
 # -- ds8: sequence packing (concat-and-chunk manifest) ----------------
 DS8_BUDGET = 512  # tokens per training sequence
 DS8_BUCKET = 100  # doc_ids per prefix-sum bucket
@@ -548,6 +658,7 @@ QUERIES = {
     "ds5_quality_quantile_filter": ds5_quality_quantile_filter,
     "ds6_clean_mix": ds6_clean_mix,
     "ds8_sequence_packing": ds8_sequence_packing,
+    "ds11_bloom_screened_mix": ds11_bloom_screened_mix,
 }
 ORACLES = {
     "ds1_training_mix": DS1_ORACLE,
@@ -557,4 +668,5 @@ ORACLES = {
     "ds5_quality_quantile_filter": _ds5_oracle(),
     "ds6_clean_mix": _ds6_oracle(),
     "ds8_sequence_packing": _ds8_oracle(),
+    "ds11_bloom_screened_mix": _ds11_oracle(),
 }

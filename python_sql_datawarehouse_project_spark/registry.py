@@ -156,6 +156,7 @@ _WINDOW_PRIORITY = (
     "gr1_pagerank_fixedpoint",
     "ds10_stratified_priority_sample",
     "qa23_bloom_decontam",
+    "ds11_bloom_screened_mix",
     # -- tier C: stalest driver-green cohort (r2 provenance) ---------------
     "ev7_transition_matrix",
     "ev9_hourly_active_users",

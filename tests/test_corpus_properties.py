@@ -138,3 +138,33 @@ def test_pii_redaction_fires_on_real_pii(spark):
             params=[text, PII_EMAIL_RE, PII_PHONE_RE],
         ).fetchone()[0]
         assert duck == r.red, (duck, r.red)
+
+
+def test_bloom_screened_mix_is_conservative_subset(spark, sf_dir):
+    # ds11 may only OVER-block relative to ds6's exact decontamination
+    # (a Bloom has no false negatives): every screened doc must be in
+    # the exact mix, and the docs it additionally drops must be
+    # exactly ds6-mix docs the bloom doc-flags with zero exact overlap
+    # (the sketch's doc-level FP mass, nothing else).
+    from pyspark.sql import functions as F
+
+    from python_sql_datawarehouse_project_spark.operators.approx import (
+        qa23_bloom_decontam,
+    )
+    from python_sql_datawarehouse_project_spark.operators.mix import (
+        ds6_clean_mix,
+        ds11_bloom_screened_mix,
+    )
+
+    exact = {r.doc_id for r in ds6_clean_mix(spark, sf_dir).collect()}
+    screened = {
+        r.doc_id for r in ds11_bloom_screened_mix(spark, sf_dir).collect()
+    }
+    assert screened <= exact
+    fp_docs = {
+        r.doc_id
+        for r in qa23_bloom_decontam(spark, sf_dir)
+        .where(F.col("n_exact_hits") == 0)
+        .collect()
+    }
+    assert exact - screened == exact & fp_docs
