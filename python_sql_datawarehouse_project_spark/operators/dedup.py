@@ -1738,6 +1738,83 @@ FROM c
 """
 
 
+# -- tx20: fuzzy (MinHash) benchmark decontamination ------------------
+def tx20_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination at NEAR-DUP granularity: a corpus document is
+    flagged iff it shares an LSH band bucket with a benchmark doc
+    (doc_id % BENCH_MOD == 0, tx6/qa23's split) AND their MinHash
+    signatures agree on >= EST_T of slots — catching paraphrased /
+    lightly-edited benchmark leakage that exact-gram screens (tx6
+    exact join, qa23 bloom) structurally miss, the third rung of the
+    decontamination ladder.
+
+    Scale shape is dd11's asymmetric probe pointed at the eval suite:
+    the benchmark side's band assignments AND signatures are both
+    BROADCAST (bounded by the suite, 4 band rows + 16 longs per
+    bench doc), so the corpus never shuffles — band-bucket match and
+    slot agreement evaluate map-side over the corpus sketch pass,
+    and the only exchange is the final per-doc aggregation of the
+    (tiny) flagged set.  Per-doc output (match count + max estimate)
+    rather than pairs, so the result is the curation verdict a
+    pipeline consumes directly."""
+    from .text import BENCH_MOD
+
+    docs = load_table(spark, sf_dir, "documents")
+    sk = _doc_sketches(docs).localCheckpoint(eager=True)
+    bands = _band_assignments(sk)
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bench_bands = bands.where(is_bench).select(
+        F.col("doc_id").alias("bench_id"), "band", "band_key"
+    )
+    pairs = (
+        bands.where(~is_bench)
+        .join(F.broadcast(bench_bands), ["band", "band_key"])
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+    sig = sk.select("doc_id", "sig")
+    cand = pairs.join(
+        F.broadcast(
+            sig.select(
+                F.col("doc_id").alias("bench_id"), F.col("sig").alias("sig_b")
+            )
+        ),
+        "bench_id",
+    ).join(
+        sig.select("doc_id", F.col("sig").alias("sig_a")), "doc_id"
+    )
+    est = cand.select(
+        "doc_id", "bench_id", _sig_agreement().alias("est")
+    ).where(F.col("est") >= EST_T)
+    return est.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bench_matches"),
+        F.max("est").alias("max_jaccard_est"),
+    )
+
+
+def _tx20_oracle() -> str:
+    from .text import BENCH_MOD
+
+    return f"""
+WITH {_sql_band_ctes()},
+cand AS (
+    SELECT DISTINCT c.doc_id AS doc_id, b.doc_id AS bench_id,
+           c.sig AS sig_a, b.sig AS sig_b
+    FROM bands c JOIN bands b
+      ON c.band = b.band AND c.band_key = b.band_key
+    WHERE c.doc_id % {BENCH_MOD} <> 0 AND b.doc_id % {BENCH_MOD} = 0
+),
+est AS (
+    SELECT doc_id, bench_id,
+           CAST(len(list_filter(list_zip(sig_a, sig_b), p -> p[1] = p[2]))
+                AS DOUBLE) / {float(H.MINHASH_K)} AS est
+    FROM cand
+)
+SELECT doc_id, COUNT(*) AS n_bench_matches, MAX(est) AS max_jaccard_est
+FROM est WHERE est >= {EST_T} GROUP BY 1
+"""
+
+
 QUERIES = {
     "dd1_exact_dedup": dd1_exact_dedup,
     "dd2_ngram_jaccard_pairs": dd2_ngram_jaccard_pairs,
@@ -1756,6 +1833,7 @@ QUERIES = {
     "dd14_lsh_autosized": dd14_lsh_autosized,
     "dd16_lsh_capped_star": dd16_lsh_capped_star,
     "dd17_minhash_capped_pairs": dd17_minhash_capped_pairs,
+    "tx20_fuzzy_decontamination": tx20_fuzzy_decontamination,
 }
 ORACLES = {
     "dd1_exact_dedup": DD1_ORACLE,
@@ -1775,4 +1853,5 @@ ORACLES = {
     "dd14_lsh_autosized": DD14_ORACLE,
     "dd16_lsh_capped_star": DD16_ORACLE,
     "dd17_minhash_capped_pairs": DD17_ORACLE,
+    "tx20_fuzzy_decontamination": _tx20_oracle(),
 }

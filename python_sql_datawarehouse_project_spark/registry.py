@@ -157,6 +157,7 @@ _WINDOW_PRIORITY = (
     "ds10_stratified_priority_sample",
     "qa23_bloom_decontam",
     "ds11_bloom_screened_mix",
+    "tx20_fuzzy_decontamination",
     # -- tier C: stalest driver-green cohort (r2 provenance) ---------------
     "ev7_transition_matrix",
     "ev9_hourly_active_users",
@@ -322,6 +323,10 @@ HEAVY_ORACLE_SF1 = frozenset({
     "gr1_pagerank_fixedpoint",
     "dd2_ngram_jaccard_pairs",
     "dd3_minhash_lsh_pairs",
+    # tx20's oracle is dd3's band self-join plus a mod-split WHERE —
+    # same DuckDB cost class; the Spark side (broadcast asymmetric
+    # probe) has its own decade timing in PERF.md round 8.
+    "tx20_fuzzy_decontamination",
     "dd5_embedding_neardup",
     "dd6_embedding_neardup_lsh",
     "dd7_dup_clusters",
