@@ -75,7 +75,8 @@ def _gen_bloom_coeffs(k: int) -> tuple[list[int], list[int]]:
     return a, b
 
 
-BLOOM_A, BLOOM_B = _gen_bloom_coeffs(3)  # == BLOOM_K (defined below)
+BLOOM_K = 3  # probes per key; BLOOM_BITS + doc block below
+BLOOM_A, BLOOM_B = _gen_bloom_coeffs(BLOOM_K)
 
 # Random-hyperplane LSH for embeddings: NBITS hyperplanes of dim DIM,
 # components in [-0.5, 0.5) from the same LCG formula both engines
@@ -99,9 +100,11 @@ FP_MULT = 31
 # same Mersenne modulus as MinHash: (h mod P) < 2^31 and A_i < 2^31
 # keep the product < 2^62 — exact int64 on both engines, no wrap
 # (Java wraps silently, DuckDB errors: portable code must OVERFLOW
-# NEVER, not overflow identically).
-BLOOM_K = 3
+# NEVER, not overflow identically).  BLOOM_K itself is defined above,
+# BEFORE the coefficient streams, so the probe count and coefficient
+# count can never desynchronize (asserted below).
 BLOOM_BITS = 1 << 22
+assert len(BLOOM_A) == len(BLOOM_B) == BLOOM_K
 
 
 # ---------------------------------------------------------------- Spark side

@@ -230,12 +230,14 @@ def ds9_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a corpus such that any slice's total size can still be
     estimated unbiasedly from the sample alone.
 
-    Determinism: u_i = h_i / 2^60 folded into q_i = w_i * 2^60 / h_i —
-    two IEEE ops on exact inputs (n_chars and the 60-bit hash are
-    both exactly representable), identical expression tree both
-    engines, so ranks and tau agree bitwise.  Sample membership is
-    totally ordered by (priority DESC, doc_id) so a boundary tie is
-    deterministic.
+    Determinism: u_i = h_i / 2^60 folded into q_i = w_i * 2^60 / h_i.
+    The 60-bit hash h is NOT exactly representable as a double (53-bit
+    mantissa); parity holds because both engines perform the identical
+    IEEE round-to-nearest int64->double conversion and evaluate the
+    identical expression tree, so every intermediate double — and
+    therefore every rank and tau — is bit-equal anyway.  Sample
+    membership is totally ordered by (priority DESC, doc_id) so a
+    boundary tie is deterministic.
 
     Scale: the top-(k+1) is TakeOrdered — a k+1-row heap per
     partition, k+1 rows per partition over the wire, no full sort.
