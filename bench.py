@@ -104,6 +104,42 @@ def _over_band(calib: dict[str, float], band: dict[str, float]) -> list[str]:
     ]
 
 
+def _suspect_gates(
+    sorted_names: list[str], timeline: list[list]
+) -> list[str]:
+    """Per-gate noise attribution (VERDICT r8 #2): the run-level
+    noisy-host gate can pass while a mid-run contention window skews a
+    few heavy gates (r8's driver run: dd7 2.7x its close time under
+    `noisy_host: false`).  The timeline probes interleave the gate
+    loop, so an elevated probe brackets the gates measured near it:
+    flag every gate in the block BEFORE and the block AFTER each
+    elevated probe.  A future reader discounts `suspect_gates` instead
+    of mis-reading them as regressions — and trusts the rest.
+
+    `timeline` entries are [gate_name, probe_sec, gate_index] with a
+    final ["__end__", sec, n_gates] sentinel so the last block has a
+    trailing neighbor.  Elevated = > 2x the run's own median probe AND
+    > 0.4 s absolute (single unwarmed probes jitter 1.5-2x healthy;
+    the real catches were 3.7-24x — same calibration as the run-level
+    outlier criterion, applied locally)."""
+    import statistics
+
+    if len(timeline) < 2:
+        return []
+    vals = [p for _, p, _ in timeline]
+    med = statistics.median(vals)
+    thr = max(2 * med, 0.4)
+    bounds = [idx for _, _, idx in timeline]  # ascending gate indices
+    suspects: set[str] = set()
+    for j, (_, p, _) in enumerate(timeline):
+        if p <= thr:
+            continue
+        lo = bounds[j - 1] if j > 0 else bounds[j]
+        hi = bounds[j + 1] if j + 1 < len(bounds) else bounds[j]
+        suspects.update(sorted_names[lo:hi])
+    return sorted(suspects)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -191,9 +227,12 @@ def main() -> None:
     # gates.  The bracketing calibrations miss mid-run sick windows
     # (observed: a contiguous alphabetical span of gates 5-24x slow
     # while start/end probes both measured healthy); the timeline
-    # localizes them to a gate range so a reviewer can discount that
-    # span instead of the whole run.
-    PROBE_EVERY = 20
+    # localizes them to a gate range — and `suspect_gates` (below)
+    # names the bracketed gates — so a reviewer discounts that span
+    # instead of the whole run.  Every 10 gates ≈ 20 probes ≈ 4 s of
+    # overhead on a ~270 s run, bought back the first time a heavy
+    # gate's +170% is correctly attributed to the box.
+    PROBE_EVERY = 10
 
     def _probe() -> float:
         t0 = time.perf_counter()
@@ -204,10 +243,11 @@ def main() -> None:
 
     total = 0.0
     stream_split: dict[str, dict] = {}
-    calib_timeline: list[list] = []
-    for i, name in enumerate(sorted(queries)):
+    calib_timeline: list[list] = []  # [gate_name, probe_sec, gate_index]
+    sorted_names = sorted(queries)
+    for i, name in enumerate(sorted_names):
         if i % PROBE_EVERY == 0:
-            calib_timeline.append([name, _probe()])
+            calib_timeline.append([name, _probe(), i])
         LAST_DRAIN_SPLIT.clear()
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -216,6 +256,9 @@ def main() -> None:
         total += dt
         if name.startswith("stream_") and LAST_DRAIN_SPLIT:
             stream_split[name] = dict(LAST_DRAIN_SPLIT)
+    # trailing sentinel: the last block needs a probe on BOTH sides
+    calib_timeline.append(["__end__", _probe(), len(sorted_names)])
+    suspect_gates = _suspect_gates(sorted_names, calib_timeline)
 
     end_calib = _host_calibration(spark)
     noisy_reasons += [f"end_{k}" for k in _over_band(end_calib, band)]
@@ -228,7 +271,7 @@ def main() -> None:
     # a >3x-median outlier that is also >1 s absolute.
     import statistics
 
-    probe_vals = [p for _, p in calib_timeline]
+    probe_vals = [p for _, p, _ in calib_timeline]
     if probe_vals:
         med = statistics.median(probe_vals)
         if max(probe_vals) > 3 * med and max(probe_vals) > 1.0:
@@ -260,6 +303,7 @@ def main() -> None:
                 "noisy_host": bool(noisy_reasons),
                 "noisy_host_reasons": noisy_reasons,
                 "calib_timeline": calib_timeline,
+                "suspect_gates": suspect_gates,
                 "stream_setup_total_sec": setup_total,
                 "stream_split": stream_split,
             }

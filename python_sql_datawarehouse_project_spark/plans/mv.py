@@ -41,11 +41,44 @@ def _money_sum(col: str):
     )
 
 
+# surrogate-key columns per gold table, for history-mode re-keying
+_SURROGATES = {
+    "fact_sales": ("customer_key", "product_key"),
+    "dim_customers": ("customer_key",),
+    "dim_products": ("product_key",),
+}
+
+
 def _gold(wh: Warehouse, batch_id: str | None):
+    """Gold star for one batch (batch_id given) or ALL history
+    (batch_id=None).
+
+    History mode must respect the warehouse's per-batch dim-snapshot
+    model: surrogate keys restart at 1 in every batch (plans/gold.py
+    assigns them per batch), so a naive cross-batch join on
+    `customer_key` would pair batch 2's facts with batch 1's dim rows.
+    Each surrogate is therefore qualified with its batch ordinal
+    (batch_num * 2^32 + key — exact int64, keys are row_number-sized)
+    so every join stays inside its own snapshot, while the group-bys
+    unify history by NATURAL keys (customer_id, product_name, ...) as
+    a star schema should.  The -1 unknown-member sentinel
+    (tools.load_fact_sales_v1.sql:65-66 COALESCE) is preserved
+    globally: dims carry no -1 row, so inner joins drop those facts in
+    every mode, and mv_delayed_orders_chain's `!= -1` guard keeps
+    working."""
+
     def read(name: str) -> DataFrame:
         df = wh.read_table("gold", name)
         if batch_id is not None:
-            df = df.filter(F.col("dwh_batch_id") == batch_id)
+            return df.filter(F.col("dwh_batch_id") == batch_id).drop(
+                "dwh_batch_id"
+            )
+        bnum = F.regexp_replace(F.col("dwh_batch_id"), "[^0-9]", "").cast("long")
+        for c in _SURROGATES[name]:
+            k = F.col(c).cast("long")
+            df = df.withColumn(
+                c, F.when(k < 0, k).otherwise(bnum * F.lit(1 << 32) + k)
+            )
         return df.drop("dwh_batch_id")
 
     return read("fact_sales"), read("dim_customers"), read("dim_products")
@@ -254,10 +287,19 @@ MVS: dict[str, Callable[..., DataFrame]] = {
 }
 
 
-def refresh_mv(wh: Warehouse, name: str, batch_id: str) -> tuple[bool, str | None, int]:
-    """FULL refresh: recompute and overwrite the MV output table."""
+def refresh_mv(
+    wh: Warehouse, name: str, batch_id: str, history: bool = False
+) -> tuple[bool, str | None, int]:
+    """FULL refresh: recompute and overwrite the MV output table.
+
+    `history=False` recomputes over the named batch only (the
+    single-batch pipeline's default, where batch == history);
+    `history=True` recomputes over EVERY gold batch — the reference's
+    REFRESH MATERIALIZED VIEW semantics (MV Refresh Template.sql:33)
+    in a multi-batch warehouse, and the corpus-proportional cost the
+    incremental path (plans/mv_incremental.py) exists to avoid."""
     try:
-        df = MVS[name](wh, batch_id)
+        df = MVS[name](wh, None if history else batch_id)
         n = wh.write_batch(df, "mv", name, batch_id)
         return True, None, n
     except Exception as e:

@@ -34,6 +34,8 @@ matches the FULL-refresh output type.
 Supported MVs and their state grains:
 
   mv_sales_monthly_productline   (month, product, category, subcat)
+  mv_sales_customer_country      (country, customer, name): plain
+                                 grouped SUM — state IS the output
   mv_top3_products_month_country (month, country, product) -> rank at
                                  publish time; top-k is NOT
                                  incremental but rank-over-state is
@@ -123,6 +125,26 @@ def _publish_monthly_productline(state: DataFrame) -> DataFrame:
     return state.withColumn("total_sales", F.col("total_sales").cast("double"))
 
 
+# -- mv_sales_customer_country ----------------------------------------
+def _delta_customer_country(wh: Warehouse, batch_id: str) -> DataFrame:
+    fs, dc, _ = _gold_batch(wh, batch_id)
+    return (
+        fs.join(dc, "customer_key")
+        .groupBy(
+            "country",
+            "customer_id",
+            F.concat_ws(
+                " ", F.col("customer_firstname"), F.col("customer_lastname")
+            ).alias("customer_name"),
+        )
+        .agg(F.sum(_dec_sales()).cast(_STATE_DEC).alias("total_sales"))
+    )
+
+
+def _publish_customer_country(state: DataFrame) -> DataFrame:
+    return state.withColumn("total_sales", F.col("total_sales").cast("double"))
+
+
 # -- mv_top3_products_month_country ----------------------------------
 def _delta_top3(wh: Warehouse, batch_id: str) -> DataFrame:
     fs, dc, dp = _gold_batch(wh, batch_id)
@@ -139,9 +161,13 @@ def _delta_top3(wh: Warehouse, batch_id: str) -> DataFrame:
 
 
 def _publish_top3(state: DataFrame) -> DataFrame:
-    w = Window.partitionBy("month", "country").orderBy(
-        F.desc("total_sales"), "product_name"
-    )
+    # RANK over total_sales only — ties share a rank, exactly like the
+    # FULL path (mv.mv_top3_products_month_country) and the reference's
+    # RANK(); a product_name tiebreaker here would drop a tied row at
+    # the top-3 boundary that FULL keeps, breaking incremental==full.
+    # rank() is value-determined for ties, so no tiebreaker is needed
+    # for determinism.
+    w = Window.partitionBy("month", "country").orderBy(F.desc("total_sales"))
     return (
         state.withColumn("rank_sales", F.rank().over(w))
         .filter(F.col("rank_sales") <= 3)
@@ -223,6 +249,12 @@ INCREMENTAL: dict[str, IncSpec] = {
         partials={"total_sales": "sum"},
         delta=_delta_monthly_productline,
         publish=_publish_monthly_productline,
+    ),
+    "mv_sales_customer_country": IncSpec(
+        keys=("country", "customer_id", "customer_name"),
+        partials={"total_sales": "sum"},
+        delta=_delta_customer_country,
+        publish=_publish_customer_country,
     ),
     "mv_top3_products_month_country": IncSpec(
         keys=("month", "country", "product_name"),

@@ -8,6 +8,9 @@ Lifecycle per batch:
                  (integration_dependencies semantics; SKIPPED rows are
                  logged exactly like gold_integration.py:276-290)
   run_mvs     -> FULL refresh of each registered MV, mv_refresh_log
+                 (or mode="incremental": fold-the-batch state merge
+                 for the six maintainable MVs, history recompute for
+                 the three order-dependent ones)
 
 Batch IDs follow the reference's "BATCH" + 6-digit counter
 (batch_processing.py:49-56).
@@ -17,6 +20,7 @@ from __future__ import annotations
 
 from .gold import DEPENDENCIES, INTEGRATIONS
 from .mv import MVS, refresh_mv
+from .mv_incremental import INCREMENTAL, refresh_mv_incremental
 from .runlog import RunLog
 from .silver import TRANSFORMS
 from .warehouse import Warehouse
@@ -78,10 +82,44 @@ def run_gold(wh: Warehouse, log: RunLog, batch_id: str) -> dict[str, tuple]:
     return results
 
 
-def run_mvs(wh: Warehouse, log: RunLog, batch_id: str) -> dict[str, tuple]:
+def run_mvs(
+    wh: Warehouse,
+    log: RunLog,
+    batch_id: str,
+    mode: str = "full",
+    prev_batch_id: str | None = None,
+) -> dict[str, tuple]:
+    """Refresh all nine MVs for `batch_id`.
+
+    mode="full" (default, reference-faithful: refresh_mode='FULL' at
+    materialized_view.sql:161-169) recomputes each MV over the batch.
+
+    mode="incremental" is the scale path a 100 TB deployment runs:
+    the six incrementally-maintainable MVs fold ONLY the new gold
+    batch into their partial-aggregate state (cost proportional to the
+    batch + group cardinality, never the fact history); the three
+    order-dependent MVs (mv_incremental.FULL_ONLY) are recomputed
+    over full history, which is their only correct definition.
+    `prev_batch_id` names the state snapshot to build on (None for
+    the first batch).  Outputs are written under `batch_id` either
+    way, so downstream readers cannot tell the modes apart — the
+    parity pytest (tests/test_mv_incremental.py) pins that equality
+    bitwise.
+    """
     results = {}
     for name in MVS:
-        ok, err, n = refresh_mv(wh, name, batch_id)
+        if mode == "incremental" and name in INCREMENTAL:
+            try:
+                _, n = refresh_mv_incremental(
+                    wh, name, batch_id, prev_batch_id=prev_batch_id
+                )
+                ok, err = True, None
+            except Exception as e:  # logged like the FULL path's failures
+                ok, err, n = False, str(e), 0
+        elif mode == "incremental":
+            ok, err, n = refresh_mv(wh, name, batch_id, history=True)
+        else:
+            ok, err, n = refresh_mv(wh, name, batch_id)
         results[name] = (ok, err, n)
         log.append(
             "mv_refresh_log",
@@ -89,17 +127,24 @@ def run_mvs(wh: Warehouse, log: RunLog, batch_id: str) -> dict[str, tuple]:
             batch_id=batch_id,
             status="SUCCESS" if ok else "FAILED",
             record_count=n,
-            message=err,
+            message=err if err else f"mode={mode}",
         )
     return results
 
 
-def run_batch(wh: Warehouse, log: RunLog, batch_id: str) -> dict[str, dict]:
+def run_batch(
+    wh: Warehouse,
+    log: RunLog,
+    batch_id: str,
+    mv_mode: str = "full",
+    prev_batch_id: str | None = None,
+) -> dict[str, dict]:
     """Full silver -> gold -> MV pass for one batch (the reference's
-    three CLI entry points chained, minus the manifest file dance)."""
+    three CLI entry points chained, minus the manifest file dance).
+    `mv_mode`/`prev_batch_id` route the MV stage (see run_mvs)."""
     silver = run_silver(wh, log, batch_id)
     gold = run_gold(wh, log, batch_id)
-    mvs = run_mvs(wh, log, batch_id)
+    mvs = run_mvs(wh, log, batch_id, mode=mv_mode, prev_batch_id=prev_batch_id)
     status = (
         "SUCCESS"
         if all(ok for ok, *_ in [*silver.values(), *gold.values(), *mvs.values()])

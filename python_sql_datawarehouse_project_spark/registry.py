@@ -26,6 +26,7 @@ from .operators import (
     events,
     graph,
     incremental,
+    ingest_verdict,
     layout,
     kmeans,
     mix,
@@ -126,6 +127,7 @@ _MODULES = (
     approx,  # round-8 sketch trio completion (qa22 HLL, ds9 priority
     # sample, hh1 distributed Misra-Gries) — window tier B
     graph,  # round-8 int64 fixed-point PageRank (gr1) — window tier B
+    ingest_verdict,  # round-9 composed per-ingest verdict (ix1) — window tier A
 )
 
 
@@ -134,72 +136,22 @@ _MODULES = (
 # must exist (asserted in queries()) so a renamed gate fails loudly
 # instead of silently dropping out of the window.
 _WINDOW_PRIORITY = (
-    # Round-8 window (VERDICT r7 #1/#2): the driver checks the FIRST
-    # 50 keys each round — lead with (a) the one never-driver-green
-    # key (sj1, decimal->double routed this round), (b) gates whose
-    # ORACLE or IMPLEMENTATION changed this round and must re-prove
-    # (ev3/stream_sessions_custom tied-ts tiebreaker, sim8/sim9
-    # multi-probe banding), (c) new round-8 gates, then (d) the
-    # stalest driver-green cohort (last green r2) so driver evidence
-    # stays current with the r6/r7 refactors.
-    # -- tier A: never driver-green / changed this round ------------------
-    "sj1_semijoin_reduced_join",
-    "stream_sessions_custom",
-    "ev3_session_windows",
-    "sim8_knn_graph_capped",
-    "sim9_knn_recall",
-    # -- tier B: new round-8 gates enter here as they land ----------------
-    "stream_sessions_bounded",
-    "qa22_hll_distinct",
-    "ds9_priority_sample",
-    "hh1_frequent_items",
-    "gr1_pagerank_fixedpoint",
-    "ds10_stratified_priority_sample",
-    "qa23_bloom_decontam",
-    "ds11_bloom_screened_mix",
-    "tx20_fuzzy_decontamination",
-    # -- tier C: stalest driver-green cohort (r2 provenance) ---------------
-    "ev7_transition_matrix",
-    "ev9_hourly_active_users",
-    "ev10_gap_histogram",
-    "q1_monthly_sales_product",
-    "q2_sales_customer_country",
-    "q3_customer_lifetime_value",
-    "q4_running_sales",
-    "q5_top3_products_month_country",
-    "q6_customer_churn",
-    "q7_customer_order_gap",
-    "q8_sales_rollup_product",
-    "q10_sales_pivot_year",
-    "q11_sales_cube",
-    "u3_active_both_years",
-    "u4_lapsed_customers",
-    "aj1_asof_last_event",
-    "dd1_exact_dedup",
-    "dd2_ngram_jaccard_pairs",
-    "dd3_minhash_lsh_pairs",
-    "dd4_simhash",
-    "dd5_embedding_neardup",
-    "dd6_embedding_neardup_lsh",
-    "dd7_dup_clusters",
-    "dd8_containment_pairs",
-    "dd9_fuzzy_pairs",
-    "dd10_sorted_neighborhood",
-    "sim4_ivf_kmeans_topk",
-    "ds1_training_mix",
-    "ds2_token_budget",
-    "ds3_filter_pipeline",
-    "ds4_stratified_sample",
-    "mm1_metadata_profile",
-    "mm2_decode_features",
-    "mm3_frame_sample",
-    "mm4_phash_neardup",
-    "mm5_peak_frame",
-    # -- tier D: next-stalest (r5 provenance) fill to 50.  The five
-    # round-8 tier-B additions push the tail of this tier past the
-    # 50-key window (sk1/sk2/tx5/stream_session_windows/qa5 at five
-    # additions); all are driver-green (r5) and rotate back next
-    # round — new-gate driver evidence outranks re-confirmation. --
+    # Round-9 window (VERDICT r8 #3): the driver checks the FIRST 50
+    # keys each round.  Round 8 left exactly one stale cohort — 50
+    # gates whose latest driver-green is round 5 (three windows old
+    # against the r6-r8 refactors; all 50 are green in every full
+    # self-sweep since).  This round rotates that ENTIRE cohort
+    # through, led by the one new round-9 gate (new-gate driver
+    # evidence outranks re-confirmation, the standing policy).
+    # 1 + 50 = 51 keys: the LAST r5 key (qa18_blocking_recall) sits
+    # at position 51, just past the window — it stays r5-green one
+    # more round and leads the round-10 rotation.  (The r8 comment
+    # here undercounted its own displacement — eight tier-B
+    # additions displaced NINE keys, w4/w5/rj1/sim5 included; this
+    # rotation covers all of them.  ADVICE r8 #1.)
+    # -- tier A: new round-9 gates -----------------------------------
+    "ix1_ingest_verdict",
+    # -- tier B: the r5-stale cohort, oldest-green-first -------------
     "w4_ntile_spend_quartiles",
     "w5_spend_percentile",
     "rj1_preorder_attribution",
@@ -209,6 +161,47 @@ _WINDOW_PRIORITY = (
     "tx5_tfidf_top_terms",
     "stream_session_windows",
     "qa5_exact_percentiles",
+    "stream_tumbling_hourly",
+    "stream_first_events",
+    "stream_preorder_pairs",
+    "stream_dedup_events",
+    "ev8_rolling_7day",
+    "ev11_gap_fill",
+    "ev12_ohlc_hourly",
+    "ev13_props_variant",
+    "ev14_mode_event_type",
+    "ev15_daily_anomaly",
+    "q12_regional_revenue",
+    "q16_mixed_grain_report",
+    "aj2_asof_next_event",
+    "aj3_asof_tolerance",
+    "cs1_canonical_selection",
+    "ds5_quality_quantile_filter",
+    "ds6_clean_mix",
+    "qa13_benford_digits",
+    "tx12_commonness",
+    "qa14_kmv_set_ops",
+    "qa15_lsh_recall",
+    "qa16_mad_outliers",
+    "qa17_null_drift",
+    "stream_sliding_windows",
+    "stream_ohlc_hourly",
+    "q13_pricing_summary",
+    "q14_shipping_priority",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q21_exclusive_late_supplier",
+    "q22_dormant_high_balance",
+    "q23_unpivot_metrics",
+    "emb1_centroid_outliers",
+    "w6_first_last_nth",
+    "w7_range_frame",
+    "tx13_chunk_udtf",
+    "tx14_langid_confusion",
+    "sim6_ivf_recall",
+    "qa18_blocking_recall",
 )
 
 

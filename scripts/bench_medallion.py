@@ -16,9 +16,25 @@ Row drivers: crm_sales_details ~ |lineitem| (600k at sf0.1, 6M at
 sf1), crm_cust_info ~ |customer|, crm_prd_info ~ |part|.  Prints one
 JSON line per stage plus a total; paste into PERF.md.
 
+Round 9 adds `--mode incremental` (VERDICT r8 #1): after the corpus
+batch lands, a SECOND, fixed-absolute-size delta batch (~60k sales
+rows at every SF — the "daily ingest" whose cost must not depend on
+corpus size) flows bronze -> silver -> gold, and the MV stage is then
+timed BOTH ways on identical inputs:
+
+    mv_full_6        six maintainable MVs, reference FULL refresh over
+                     all gold history (cost grows with the corpus)
+    mv_incremental_6 the same six MVs folding ONLY the delta batch
+                     into their partial-aggregate state
+    mv_history_3     the three order-dependent MVs (FULL_ONLY), which
+                     recompute over history in either mode
+
+The decade table in PERF.md reads mv_full_6 vs mv_incremental_6.
+
 Usage:
     python scripts/bench_medallion.py [--sf-dir /root/testdata/sf0.1]
         [--root /root/repo/.scratch/bench_medallion]
+        [--mode full|incremental]
 """
 
 from __future__ import annotations
@@ -41,13 +57,22 @@ def _load(spark, sf_dir: str, name: str):
     return load_table(spark, sf_dir, name)
 
 
-def seed_bronze(spark, wh, sf_dir: str) -> dict[str, int]:
+def seed_bronze(
+    spark, wh, sf_dir: str, batch: str = BATCH, mods: dict | None = None
+) -> dict[str, int]:
     """CRM/ERP bronze from TPC-H shapes, dirt injected by key modulus
-    (deterministic — reruns produce identical bronze)."""
+    (deterministic — reruns produce identical bronze).
+
+    `mods` (incremental mode's delta batch) subsamples the base tables
+    by key modulus BEFORE the dirt expressions, so the delta batch has
+    a fixed ABSOLUTE size at every SF — the invariant the
+    cost-proportional-to-batch claim is measured against."""
     from pyspark.sql import functions as F
 
     counts = {}
     c = _load(spark, sf_dir, "customer")
+    if mods:
+        c = c.filter(F.col("c_custkey") % mods["cust"] == 0)
     key8 = F.lpad(F.col("c_custkey").cast("string"), 8, "0")
     cust = c.select(
         F.when(F.col("c_custkey") % 199 == 0, F.lit(None))
@@ -83,10 +108,12 @@ def seed_bronze(spark, wh, sf_dir: str) -> dict[str, int]:
         (F.col("cst_id").isNotNull()) & (F.col("cst_id") % 50 == 0)
     ).withColumn("cst_create_date", F.date_add(F.col("cst_create_date"), 30))
     counts["crm_cust_info"] = wh.write_batch(
-        cust.unionByName(dups), "bronze", "crm_cust_info", BATCH
+        cust.unionByName(dups), "bronze", "crm_cust_info", batch
     )
 
     p = _load(spark, sf_dir, "part")
+    if mods:
+        p = p.filter(F.col("p_partkey") % mods["part"] == 0)
     cat5 = F.element_at(
         F.array(F.lit("CO-RF"), F.lit("AC-BR"), F.lit("CL-SO"), F.lit("BI-MT")),
         (F.col("p_partkey") % 4 + 1).cast("int"),
@@ -113,7 +140,7 @@ def seed_bronze(spark, wh, sf_dir: str) -> dict[str, int]:
         "prd_start_dt", F.date_add(F.col("prd_start_dt"), 365)
     )
     counts["crm_prd_info"] = wh.write_batch(
-        prd.unionByName(vers), "bronze", "crm_prd_info", BATCH
+        prd.unionByName(vers), "bronze", "crm_prd_info", batch
     )
 
     li = _load(spark, sf_dir, "lineitem").select(
@@ -122,6 +149,9 @@ def seed_bronze(spark, wh, sf_dir: str) -> dict[str, int]:
     o = _load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate"
     )
+    if mods:
+        li = li.filter(F.col("l_orderkey") % mods["ord"] == 0)
+        o = o.filter(F.col("o_orderkey") % mods["ord"] == 0)
     def ymd(col):
         return (
             F.year(col) * 10000 + F.month(col) * 100 + F.dayofmonth(col)
@@ -171,7 +201,7 @@ def seed_bronze(spark, wh, sf_dir: str) -> dict[str, int]:
         )
     )
     counts["crm_sales_details"] = wh.write_batch(
-        sales, "bronze", "crm_sales_details", BATCH
+        sales, "bronze", "crm_sales_details", batch
     )
 
     az12 = c.select(
@@ -204,7 +234,7 @@ def seed_bronze(spark, wh, sf_dir: str) -> dict[str, int]:
             (F.col("c_custkey") % 6 + 1).cast("int"),
         ).alias("gen"),
     )
-    counts["erp_cust_az12"] = wh.write_batch(az12, "bronze", "erp_cust_az12", BATCH)
+    counts["erp_cust_az12"] = wh.write_batch(az12, "bronze", "erp_cust_az12", batch)
 
     loc = c.select(
         F.concat(F.lit("AW-"), key8).alias("cid"),
@@ -222,7 +252,7 @@ def seed_bronze(spark, wh, sf_dir: str) -> dict[str, int]:
             (F.col("c_custkey") % 8 + 1).cast("int"),
         ).alias("cntry"),
     )
-    counts["erp_loc_a101"] = wh.write_batch(loc, "bronze", "erp_loc_a101", BATCH)
+    counts["erp_loc_a101"] = wh.write_batch(loc, "bronze", "erp_loc_a101", batch)
 
     cat = spark.createDataFrame(
         [
@@ -234,9 +264,14 @@ def seed_bronze(spark, wh, sf_dir: str) -> dict[str, int]:
         "id string, cat string, subcat string, maintenance string",
     )
     counts["erp_px_cat_g1v2"] = wh.write_batch(
-        cat, "bronze", "erp_px_cat_g1v2", BATCH
+        cat, "bronze", "erp_px_cat_g1v2", batch
     )
     return counts
+
+
+DELTA = "BATCH000002"
+# fixed absolute delta-batch targets, every SF (the "daily ingest")
+DELTA_SALES, DELTA_CUST, DELTA_PART = 60_000, 1_500, 2_000
 
 
 def main() -> None:
@@ -244,8 +279,11 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--root", default="/root/repo/.scratch/bench_medallion")
     ap.add_argument("--keep", action="store_true", help="keep the warehouse dir")
+    ap.add_argument("--mode", choices=("full", "incremental"), default="full")
     args = ap.parse_args()
 
+    from python_sql_datawarehouse_project_spark.plans import mv_incremental as mi
+    from python_sql_datawarehouse_project_spark.plans.mv import refresh_mv
     from python_sql_datawarehouse_project_spark.plans.pipeline import (
         run_gold,
         run_mvs,
@@ -276,17 +314,84 @@ def main() -> None:
     stages["gold"] = round(time.perf_counter() - t, 1)
 
     t = time.perf_counter()
-    mvs = run_mvs(wh, log, BATCH)
-    stages["mv"] = round(time.perf_counter() - t, 1)
+    mvs = run_mvs(
+        wh,
+        log,
+        BATCH,
+        mode="incremental" if args.mode == "incremental" else "full",
+    )
+    stages["mv_state_init" if args.mode == "incremental" else "mv"] = round(
+        time.perf_counter() - t, 1
+    )
+
+    groups = [silver, gold, mvs]
+    extra = {}
+    if args.mode == "incremental":
+        # -- delta batch: fixed absolute size at every SF --------------
+        n_li = _load(spark, args.sf_dir, "lineitem").count()
+        n_c = _load(spark, args.sf_dir, "customer").count()
+        n_p = _load(spark, args.sf_dir, "part").count()
+        mods = {
+            "ord": max(1, round(n_li / DELTA_SALES)),
+            "cust": max(1, round(n_c / DELTA_CUST)),
+            "part": max(1, round(n_p / DELTA_PART)),
+        }
+        t = time.perf_counter()
+        delta_counts = seed_bronze(spark, wh, args.sf_dir, DELTA, mods)
+        stages["delta_bronze"] = round(time.perf_counter() - t, 1)
+        t = time.perf_counter()
+        d_silver = run_silver(wh, log, DELTA)
+        stages["delta_silver"] = round(time.perf_counter() - t, 1)
+        t = time.perf_counter()
+        d_gold = run_gold(wh, log, DELTA)
+        stages["delta_gold"] = round(time.perf_counter() - t, 1)
+        groups += [d_silver, d_gold]
+
+        # -- the measured comparison: same MVs, same inputs ------------
+        rows_full, rows_inc = {}, {}
+        t = time.perf_counter()
+        for name in mi.INCREMENTAL:
+            ok, err, n = refresh_mv(wh, name, DELTA, history=True)
+            rows_full[name] = n
+            if not ok:
+                groups.append({f"full_history:{name}": (ok, err, n)})
+        stages["mv_full_6"] = round(time.perf_counter() - t, 1)
+        t = time.perf_counter()
+        for name in mi.FULL_ONLY:
+            ok, err, n = refresh_mv(wh, name, DELTA, history=True)
+            if not ok:
+                groups.append({f"history:{name}": (ok, err, n)})
+        stages["mv_history_3"] = round(time.perf_counter() - t, 1)
+        t = time.perf_counter()
+        for name in mi.INCREMENTAL:
+            _, rows_inc[name] = mi.refresh_mv_incremental(
+                wh, name, DELTA, prev_batch_id=BATCH
+            )
+        stages["mv_incremental_6"] = round(time.perf_counter() - t, 1)
+        mismatch = {
+            n: (rows_full[n], rows_inc[n])
+            for n in rows_full
+            if rows_full[n] != rows_inc[n]
+        }
+        extra = {
+            "delta_bronze_rows": delta_counts,
+            "delta_mods": mods,
+            "mv_rowcount_mismatch": mismatch,
+        }
+        if mismatch:
+            groups.append(
+                {"mv_rowcount_parity": (False, json.dumps(mismatch), 0)}
+            )
 
     failures = {
         name: err
-        for group in (silver, gold, mvs)
+        for group in groups
         for name, (ok, err, _) in group.items()
         if not ok
     }
     out = {
         "sf_dir": args.sf_dir,
+        "mode": args.mode,
         "bronze_rows": counts,
         "stages_sec": stages,
         "total_sec": round(time.perf_counter() - t0, 1),
@@ -295,6 +400,7 @@ def main() -> None:
             **{k: n for k, (_, _, n) in gold.items()},
             **{k: n for k, (_, _, n) in mvs.items()},
         },
+        **extra,
         "failures": failures,
     }
     print(json.dumps(out))

@@ -1,0 +1,68 @@
+"""Per-gate noise attribution in bench.py (VERDICT r8 #2).
+
+The r8 driver bench self-certified `noisy_host: false` while dd7 ran
+2.7x its close time — run-level calibration cannot see a mid-run
+contention window.  `bench._suspect_gates` attributes elevated
+timeline probes to the gates they bracket; these tests replay that
+incident shape (and the boundary cases) against the pure function, so
+the attribution logic is pinned without needing a reproducibly-sick
+box.  No SparkSession involved.
+"""
+
+from __future__ import annotations
+
+import bench
+
+# a 40-gate run probed every 10 gates, plus the end sentinel
+NAMES = [f"g{i:02d}" for i in range(40)]
+
+
+def _timeline(probes: list[float]) -> list[list]:
+    """probes[j] ran before gate 10*j; last entry is the sentinel."""
+    out = [[NAMES[10 * j], p, 10 * j] for j, p in enumerate(probes[:-1])]
+    out.append(["__end__", probes[-1], len(NAMES)])
+    return out
+
+
+def test_healthy_run_flags_nothing():
+    tl = _timeline([0.21, 0.25, 0.31, 0.24, 0.28])
+    assert bench._suspect_gates(NAMES, tl) == []
+
+
+def test_healthy_jitter_under_2x_and_under_abs_floor_not_flagged():
+    # 1.8x median but tiny absolute values: single unwarmed probes
+    # jitter this much on a healthy box (PERF.md measured 0.21-0.38 s)
+    tl = _timeline([0.21, 0.38, 0.22, 0.21, 0.23])
+    assert bench._suspect_gates(NAMES, tl) == []
+
+
+def test_mid_run_sick_window_flags_both_adjacent_blocks():
+    # the r8 incident shape: probe before gate 20 elevated (box sick
+    # while gates 10..29 were measured) — both neighboring blocks are
+    # suspect, nothing else
+    tl = _timeline([0.22, 0.24, 1.9, 0.23, 0.25])
+    assert bench._suspect_gates(NAMES, tl) == NAMES[10:30]
+
+
+def test_sick_at_start_flags_first_block_only():
+    tl = _timeline([2.1, 0.24, 0.22, 0.23, 0.25])
+    assert bench._suspect_gates(NAMES, tl) == NAMES[0:10]
+
+
+def test_sick_at_end_sentinel_flags_last_block_only():
+    tl = _timeline([0.22, 0.24, 0.23, 0.25, 2.4])
+    assert bench._suspect_gates(NAMES, tl) == NAMES[30:40]
+
+
+def test_whole_run_sick_is_run_level_not_attribution():
+    # every probe elevated but none >2x the (elevated) median: the
+    # run-level noisy-host band (vs TRAILING-run history) owns this
+    # case; per-gate attribution correctly stays quiet rather than
+    # flagging all gates
+    tl = _timeline([1.9, 2.1, 2.0, 1.9, 2.2])
+    assert bench._suspect_gates(NAMES, tl) == []
+
+
+def test_two_sick_windows_union():
+    tl = _timeline([1.8, 0.24, 0.23, 1.7, 0.25])
+    assert bench._suspect_gates(NAMES, tl) == NAMES[0:10] + NAMES[20:40]

@@ -228,3 +228,85 @@ def test_delta_scan_is_partition_pruned(refreshed):
 def test_full_only_mvs_refuse_incremental(refreshed):
     with pytest.raises(KeyError, match="not incrementally maintainable"):
         mi.refresh_mv_incremental(refreshed, "mv_customer_order_gap", B2)
+
+
+# -- incremental == full-history recompute (VERDICT r8 #1) -------------
+# The wiring contract for run_mvs(mode="incremental"): for every
+# maintainable MV, publish(state after folding B1, B2) must equal the
+# reference-semantics FULL recompute over ALL gold history — bitwise,
+# because both routes sum money through the same exact-decimal policy
+# and cast to double exactly once at the end.
+
+
+def test_incremental_equals_full_history_recompute(refreshed):
+    from python_sql_datawarehouse_project_spark.plans import mv
+
+    for name in mi.INCREMENTAL:
+        kw = {"as_of": "2024-06-01"} if name == "mv_customer_churn" else {}
+        full = mv.MVS[name](refreshed, None, **kw)
+        inc = refreshed.read_batch("mv", name, B2).select(*full.columns)
+        assert {tuple(r) for r in full.collect()} == {
+            tuple(r) for r in inc.collect()
+        }, name
+
+
+def test_history_mode_rekeys_per_batch_dim_snapshots(refreshed):
+    """Surrogate keys restart per batch: B2's fact with customer_key=2
+    belongs to Cyd (B2 snapshot), not Bob (B1 snapshot, same surrogate).
+    A naive cross-batch join on the bare surrogate would credit Bob
+    with Cyd's 80.0; the batch-qualified re-key (mv._gold history mode)
+    must keep every join inside its own snapshot."""
+    from python_sql_datawarehouse_project_spark.plans import mv
+
+    got = {
+        (r["customer_id"], r["lifetime_value"])
+        for r in mv.mv_customer_lifetime_value(refreshed, None).collect()
+    }
+    assert got == {(100, 180.0), (101, 70.0), (102, 80.0)}
+
+
+def test_history_mode_running_sales_unifies_by_natural_key(refreshed):
+    """Order-dependent MVs recompute over history: Ann's (id 100)
+    running sum must CROSS the batch boundary (B1 rows 100+50, B2 row
+    30) because the partition key is the natural customer_id."""
+    from python_sql_datawarehouse_project_spark.plans import mv
+
+    d = dt.date
+    got = {tuple(r) for r in mv.mv_running_sales_customer(refreshed, None).collect()}
+    assert got == {
+        (100, d(2024, 1, 5), 50.0),
+        (100, d(2024, 1, 5), 150.0),
+        (100, d(2024, 1, 20), 180.0),
+        (101, d(2024, 2, 10), 70.0),
+        (102, d(2024, 3, 15), 80.0),
+    }
+
+
+def test_run_mvs_incremental_mode_covers_all_nine(spark, tmp_path):
+    """Pipeline wiring: mode="incremental" refreshes every registered
+    MV (six via state fold, three via history recompute), all SUCCESS,
+    outputs under the batch partition either way."""
+    from python_sql_datawarehouse_project_spark.plans import mv
+    from python_sql_datawarehouse_project_spark.plans.pipeline import run_mvs
+    from python_sql_datawarehouse_project_spark.plans.runlog import RunLog
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    _seed_gold(spark, wh)
+    log = RunLog(str(tmp_path / "log"))
+    r1 = run_mvs(wh, log, B1, mode="incremental", prev_batch_id=None)
+    r2 = run_mvs(wh, log, B2, mode="incremental", prev_batch_id=B1)
+    assert set(r1) == set(r2) == set(mv.MVS)
+    bad = {n: e for n, (ok, e, _) in {**r1, **r2}.items() if not ok}
+    assert not bad
+    for name in mv.MVS:
+        # a zero-row MV (the chain has no delayed orders here) writes
+        # no partition files under dynamic overwrite — that's the
+        # documented empty-batch behavior, not a miss
+        if r2[name][2] > 0:
+            assert wh.read_batch("mv", name, B2).count() == r2[name][2]
+    modes = {
+        row["message"]
+        for row in log.read("mv_refresh_log")
+        if row["status"] == "SUCCESS"
+    }
+    assert modes == {"mode=incremental"}
