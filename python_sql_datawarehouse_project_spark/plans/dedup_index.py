@@ -78,11 +78,31 @@ LAYER = "index"
 
 
 class DedupIndex:
-    """Persisted candidate/cluster index over a growing corpus."""
+    """Persisted candidate/cluster index over a growing corpus.
 
-    def __init__(self, warehouse: Warehouse, batch_id: str = "full"):
+    `capped=True` applies dd17's occupancy policy (operators/dedup.py
+    DD17_CAP) to the INDEX itself — the production configuration for
+    dense corpora (PERF.md rounds 6-8: uncapped pair mass goes
+    super-linear once duplicate families dominate):
+
+      * landed bands keep every member of buckets <= DD17_CAP but
+        ONLY the hub (min doc_id) of mega-buckets, so any future
+        probe fans in at most CAP+1 corpus docs per band key and
+        mega-bucket connectivity routes through the hub — the star
+        reduction applied at REST rather than per query;
+      * base/intra pairs are dd17-grade (_capped_lsh_candidates)
+        instead of dd3's full bucket self-join.
+
+    Appended batches apply the same policy per partition (a batch
+    cannot see global occupancy; periodic re-band compaction re-caps
+    globally — same trade as any LSM-shaped index)."""
+
+    def __init__(
+        self, warehouse: Warehouse, batch_id: str = "full", capped: bool = False
+    ):
         self.wh = warehouse
         self.batch_id = batch_id
+        self.capped = capped
 
     # -- building ------------------------------------------------------
 
@@ -100,8 +120,22 @@ class DedupIndex:
         )
         return counts
 
+    def build_docs(
+        self, spark: SparkSession, docs: DataFrame
+    ) -> dict[str, int]:
+        """Base snapshot over an explicit corpus frame (text tables
+        only — no embedding pairs): the ingest-loop entry
+        (scripts/bench_ingest_loop.py) where the corpus is a ROLE
+        within one documents table; `build()` is the full-table
+        convenience."""
+        return self._ingest_docs(spark, docs, self.batch_id, base=True)
+
     def append_batch(
-        self, spark: SparkSession, new_docs: DataFrame, batch_id: str
+        self,
+        spark: SparkSession,
+        new_docs: DataFrame,
+        batch_id: str,
+        refresh_clusters: bool = True,
     ) -> dict[str, int]:
         """Incremental ingest: sketch/band ONLY the new documents,
         probe the persisted corpus bands for cross pairs (asymmetric
@@ -109,11 +143,51 @@ class DedupIndex:
         batch's partitions, and re-derive cluster labels over the
         pair union.  Idempotent: a replay overwrites the same
         partitions and excludes its own prior output from the corpus
-        side of the probe."""
-        return self._ingest_docs(spark, new_docs, batch_id, base=False)
+        side of the probe.
+
+        `refresh_clusters=False` defers the label maintenance to a
+        later `refresh_clusters(spark, batch_id)` call — the
+        production split: the per-ingest VERDICT (screen + probe +
+        keep-list routing) is batch-sized work on the ingest path,
+        while label propagation is graph-sized maintenance scheduled
+        at its own cadence (scripts/bench_ingest_loop.py measures the
+        two separately)."""
+        return self._ingest_docs(
+            spark, new_docs, batch_id, base=False,
+            refresh_clusters=refresh_clusters,
+        )
+
+    def refresh_clusters(self, spark: SparkSession, bid: str) -> int:
+        """Deferred cluster/keep-list maintenance for an appended
+        batch (see append_batch(refresh_clusters=False)); idempotent
+        like every warehouse write."""
+        clusters = self._refresh_clusters_incremental(spark, bid)
+        return self.wh.write_batch(clusters, LAYER, "clusters", bid)
+
+    def _capped_bands(self, sk: DataFrame) -> DataFrame:
+        """dd17's occupancy policy applied to the landed band index:
+        members of small buckets, hubs only of mega-buckets (see the
+        class docstring)."""
+        bands = _bands(sk)
+        occ = bands.groupBy("band", "band_key").agg(
+            F.count(F.lit(1)).alias("occ"), F.min("doc_id").alias("hub")
+        )
+        return (
+            bands.join(occ, ["band", "band_key"])
+            .where(
+                (F.col("occ") <= dedup.DD17_CAP)
+                | (F.col("doc_id") == F.col("hub"))
+            )
+            .select("doc_id", "band", "band_key")
+        )
 
     def _ingest_docs(
-        self, spark: SparkSession, docs: DataFrame, bid: str, base: bool
+        self,
+        spark: SparkSession,
+        docs: DataFrame,
+        bid: str,
+        base: bool,
+        refresh_clusters: bool = True,
     ) -> dict[str, int]:
         sk = dedup._doc_sketches(docs).localCheckpoint(eager=True)
         counts = {
@@ -123,16 +197,23 @@ class DedupIndex:
             "sketches": self.wh.write_batch(
                 sk.select("doc_id", "sig"), LAYER, "sketches", bid
             ),
-            "bands": self.wh.write_batch(_bands(sk), LAYER, "bands", bid),
+            "bands": self.wh.write_batch(
+                self._capped_bands(sk) if self.capped else _bands(sk),
+                LAYER,
+                "bands",
+                bid,
+            ),
         }
-        # intra-batch pairs: dd3's own body over this batch's sketches
-        intra = (
-            dedup._lsh_candidates(sk)
-            .select(
-                "doc_a", "doc_b", dedup._sig_agreement().alias("jaccard_est")
-            )
-            .filter(F.col("jaccard_est") >= dedup.EST_T)
+        # intra-batch pairs: dd3's (or, capped, dd17's) own body over
+        # this batch's sketches
+        intra_cand = (
+            dedup._capped_lsh_candidates(sk)
+            if self.capped
+            else dedup._lsh_candidates(sk)
         )
+        intra = intra_cand.select(
+            "doc_a", "doc_b", dedup._sig_agreement().alias("jaccard_est")
+        ).filter(F.col("jaccard_est") >= dedup.EST_T)
         if base:
             pairs_new = intra
         else:
@@ -140,6 +221,8 @@ class DedupIndex:
         counts["text_pairs"] = self.wh.write_batch(
             pairs_new, LAYER, "text_pairs", bid
         )
+        if not refresh_clusters:
+            return counts
         if base:
             clusters = dedup._propagate_clusters(
                 spark,

@@ -73,7 +73,10 @@ def _gold(wh: Warehouse, batch_id: str | None):
             return df.filter(F.col("dwh_batch_id") == batch_id).drop(
                 "dwh_batch_id"
             )
-        bnum = F.regexp_replace(F.col("dwh_batch_id"), "[^0-9]", "").cast("long")
+        # batch ids are "BATCH" + 6-digit counter (pipeline.next_batch_id,
+        # reference batch_processing.py:49-56): substring beats a per-row
+        # regexp over 60M facts
+        bnum = F.substring(F.col("dwh_batch_id"), 6, 10).cast("long")
         for c in _SURROGATES[name]:
             k = F.col(c).cast("long")
             df = df.withColumn(

@@ -307,6 +307,12 @@ HEAVY_ORACLE_SF1 = frozenset({
     "cs1_canonical_selection",
     "cs2_capped_canonical_pipeline",
     "dd11_incremental_lsh",
+    # ix1's oracle embeds dd11's band CTE stack (the DuckDB-side
+    # cost) plus the bloom probe; it inherits dd11's policy verbatim.
+    # The Spark side gets its own decade timing in PERF.md round 9,
+    # and scripts/bench_ingest_loop.py measures the persisted-index
+    # form of the same loop across decades.
+    "ix1_ingest_verdict",
     "dd12_triangle_census",
     "dd13_ensemble_agreement",
     "dd17_minhash_capped_pairs",

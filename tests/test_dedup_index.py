@@ -138,3 +138,75 @@ def test_bucketed_band_probe_same_candidates_no_corpus_exchange(
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_capped_index_base_pairs_are_dd17_grade(spark, sf_dir, tmp_path_factory):
+    """capped=True (the dense-corpus production config, round 9): the
+    base snapshot's pair partition must equal dd17's occupancy-capped
+    gate output over the same documents — the policy applied at REST
+    equals the policy applied per query."""
+    from python_sql_datawarehouse_project_spark.catalog import load_table
+    from python_sql_datawarehouse_project_spark.operators.dedup import (
+        dd17_minhash_capped_pairs,
+    )
+
+    idx = DedupIndex(
+        Warehouse(spark, str(tmp_path_factory.mktemp("idx_cap"))),
+        "b000",
+        capped=True,
+    )
+    idx.build_docs(spark, load_table(spark, sf_dir, "documents"))
+    assert _rows(idx._all("text_pairs")) == _rows(
+        dd17_minhash_capped_pairs(spark, sf_dir)
+    )
+
+
+def test_capped_bands_bound_probe_fanin(spark, sf_dir, tmp_path_factory):
+    """Every (band, band_key) bucket in the capped landed index holds
+    at most DD17_CAP members-or-hub rows — the invariant that bounds
+    any future probe's per-key fan-in."""
+    from pyspark.sql import functions as F
+
+    from python_sql_datawarehouse_project_spark.catalog import load_table
+    from python_sql_datawarehouse_project_spark.operators.dedup import DD17_CAP
+
+    idx = DedupIndex(
+        Warehouse(spark, str(tmp_path_factory.mktemp("idx_cap2"))),
+        "b000",
+        capped=True,
+    )
+    idx.build_docs(spark, load_table(spark, sf_dir, "documents"))
+    over = (
+        idx._all("bands")
+        .groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > DD17_CAP)
+        .count()
+    )
+    assert over == 0
+
+
+def test_deferred_cluster_refresh_equals_inline(spark, sf_dir, tmp_path_factory):
+    """append_batch(refresh_clusters=False) + refresh_clusters() must
+    land exactly the labels the inline path writes — the verdict/
+    maintenance split cannot fork lineage."""
+    from python_sql_datawarehouse_project_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    even, odd = docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1")
+
+    a = DedupIndex(
+        Warehouse(spark, str(tmp_path_factory.mktemp("idx_def"))), "b000"
+    )
+    a._ingest_docs(spark, even, "b000", base=True)
+    a.append_batch(spark, odd, "b001", refresh_clusters=False)
+    a.refresh_clusters(spark, "b001")
+
+    b = DedupIndex(
+        Warehouse(spark, str(tmp_path_factory.mktemp("idx_inl"))), "b000"
+    )
+    b._ingest_docs(spark, even, "b000", base=True)
+    b.append_batch(spark, odd, "b001")
+
+    assert _rows(a._latest("clusters")) == _rows(b._latest("clusters"))
+    assert _rows(a._all("text_pairs")) == _rows(b._all("text_pairs"))
