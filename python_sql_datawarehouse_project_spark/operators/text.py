@@ -590,42 +590,50 @@ def tx9_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (c_xy * n_uni < 2^53 through sf1000's vocabulary) and IEEE-754
     division is deterministic given identical operand order.
 
-    Scale: one explode + groupBy for unigrams, one for bigrams (both
-    map-side combinable; output bounded by vocabulary, not corpus);
-    the lift join broadcasts the unigram table — vocab is orders of
-    magnitude smaller than the corpus.  No per-doc windows, no
-    self-joins."""
-    # The token frame feeds both the unigram and the bigram branch.
-    # Deliberately NOT checkpointed: materializing per-doc string
-    # arrays costs more than re-running the codegen'd scan+regex
-    # (measured 2.2 -> 3.2 s; the shared-subplan rule of PERF.md §4
-    # pays off only when the shared stage is expensive RELATIVE to
-    # its materialized size — sketches yes, raw token arrays no).
+    Scale (single-pass since round 9 — the r8 sf10 diagnosis): every
+    token occurrence is emitted exactly ONCE as (w1 = tk[i],
+    w2 = tk[i+1] or NULL at the doc boundary), so one tokenize scan +
+    one explode + ONE map-side-combinable groupBy(w1, w2) produce the
+    bigram-grain table from which EVERYTHING else derives —
+    unigram counts are SUM(c_xy) per w1 (each occurrence is a w1
+    exactly once), n_uni is the grand total, and the bigram counts
+    are the non-NULL rows.  The previous three-branch formulation
+    tokenized the corpus three times (unigram counts, the n_uni
+    total, and the pair branch) and paid a second corpus-scale
+    shuffle; measured at sf1: 19.3 s -> 5.9 s (3.3x), identical
+    output (exceptAll-empty both directions).  The bigram-grain
+    aggregate is vocabulary-bounded, so its eager localCheckpoint
+    is cheap to store and saves three recomputes (the PERF.md §4
+    shared-subplan rule: sketches yes, raw token arrays no — a
+    vocab-sized count table is firmly on the 'yes' side).  The lift
+    join still broadcasts the unigram table."""
     toks = load_table(spark, sf_dir, "documents").select(
         _tokens(F.col("text")).alias("tk")
     )
-    uni = toks.select(F.explode("tk").alias("w"))
-    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
-    tot = uni.agg(F.count(F.lit(1)).alias("n_uni"))
-    pairs = toks.where(F.size("tk") >= 2).select(
+    stream = toks.where(F.size("tk") >= 1).select(
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.size("tk") - 1),
+                F.sequence(F.lit(0), F.size("tk") - 1),
                 lambda i: F.struct(
-                    F.element_at("tk", i).alias("w1"),
-                    F.element_at("tk", i + 1).alias("w2"),
+                    F.get("tk", i).alias("w1"),
+                    F.get("tk", i + 1).alias("w2"),  # NULL at the boundary
                 ),
             )
         ).alias("p")
     )
-    bc = (
-        pairs.select("p.w1", "p.w2")
+    bc_all = (
+        stream.select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_xy"))
-        .where(F.col("c_xy") >= BIGRAM_MIN_COUNT)
+        .localCheckpoint(eager=True)
     )
-    u1 = uc.select(F.col("w").alias("w1"), F.col("c_w").alias("c_w1"))
-    u2 = uc.select(F.col("w").alias("w2"), F.col("c_w").alias("c_w2"))
+    uc = bc_all.groupBy("w1").agg(F.sum("c_xy").alias("c_w"))
+    tot = bc_all.agg(F.sum("c_xy").alias("n_uni"))
+    bc = bc_all.where(
+        F.col("w2").isNotNull() & (F.col("c_xy") >= BIGRAM_MIN_COUNT)
+    )
+    u1 = uc.select(F.col("w1"), F.col("c_w").alias("c_w1"))
+    u2 = uc.select(F.col("w1").alias("w2"), F.col("c_w").alias("c_w2"))
     return (
         bc.join(F.broadcast(u1), "w1")
         .join(F.broadcast(u2), "w2")

@@ -149,8 +149,14 @@ _WINDOW_PRIORITY = (
     # here undercounted its own displacement — eight tier-B
     # additions displaced NINE keys, w4/w5/rj1/sim5 included; this
     # rotation covers all of them.  ADVICE r8 #1.)
-    # -- tier A: new round-9 gates -----------------------------------
+    # -- tier A: new round-9 gates + implementation-changed gates -----
     "ix1_ingest_verdict",
+    # tx9 re-proves: its implementation changed this round (the r8
+    # sf10 diagnosis landed the single-pass bigram-grain formulation,
+    # 3.3x at sf1; output pinned identical, oracle unchanged).  It
+    # displaces one more r5 key: sim6_ivf_recall joins
+    # qa18_blocking_recall just past the window for round 10.
+    "tx9_bigram_lift",
     # -- tier B: the r5-stale cohort, oldest-green-first -------------
     "w4_ntile_spend_quartiles",
     "w5_spend_percentile",
