@@ -37,6 +37,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--root", default="warehouse_data")
     ap.add_argument(
+        "--mv-mode",
+        default="full",
+        choices=("full", "incremental"),
+        help="MV refresh strategy: 'full' recomputes every MV "
+        "(reference refresh_mode='FULL'); 'incremental' folds only "
+        "the new gold batch into each maintainable MV's state "
+        "(plans/mv_incremental.py — the at-scale path; outputs are "
+        "bitwise-identical, pytest-pinned)",
+    )
+    ap.add_argument(
         "--gate",
         help="run ONE registry gate (analytics/dedup/text/... query) "
         "against --sf-dir instead of the client pipeline",
@@ -153,9 +163,13 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     registry = ClientRegistry(args.root)
     if args.client is None:
-        results = run_all_clients(spark, registry)
+        results = run_all_clients(spark, registry, mv_mode=args.mv_mode)
     else:
-        results = [process_client(spark, registry, args.client, args.mode)]
+        results = [
+            process_client(
+                spark, registry, args.client, args.mode, mv_mode=args.mv_mode
+            )
+        ]
     for r in results:
         statuses = {
             step: {

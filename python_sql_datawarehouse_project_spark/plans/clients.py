@@ -138,6 +138,7 @@ def process_client(
     client_schema: str,
     mode: str = "start",
     sources: ClientSources | None = None,
+    mv_mode: str = "full",
 ) -> ClientRunResult:
     """One client's batch run (reference process_client,
     batch_processing.py:358-386,502,776), the three modes mapped to
@@ -174,7 +175,11 @@ def process_client(
                         incoming_dir, source_system, batch_id,
                     )
                 )
-    results = run_batch(wh, log, batch_id)
+    # mv_mode="incremental" is the scale path (plans/pipeline.run_mvs);
+    # the previous-state snapshot resolves from the state layer's own
+    # partition listing, so restart/reprocessing replays stay
+    # exactly-once with no driver memory
+    results = run_batch(wh, log, batch_id, mv_mode=mv_mode)
     registry.set_last_batch(client_schema, batch_id)
     return ClientRunResult(client_schema, batch_id, results, ingested)
 
@@ -183,6 +188,7 @@ def run_all_clients(
     spark: SparkSession,
     registry: ClientRegistry,
     sources: dict[str, ClientSources] | None = None,
+    mv_mode: str = "full",
 ) -> list[ClientRunResult]:
     """No-args driver behavior (batch_processing.py:1276-1296): run
     `start` for every registered client, in client_id order."""
@@ -193,6 +199,7 @@ def run_all_clients(
             c.client_schema,
             "start",
             (sources or {}).get(c.client_schema),
+            mv_mode=mv_mode,
         )
         for c in registry.all()
     ]

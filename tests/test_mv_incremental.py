@@ -282,6 +282,28 @@ def test_history_mode_running_sales_unifies_by_natural_key(refreshed):
     }
 
 
+def test_run_mvs_incremental_auto_resolves_prev_state(spark, tmp_path):
+    """With no explicit prev_batch_id, run_mvs resolves the previous
+    state snapshot from the state layer's partition listing — the
+    restart-safe wiring the CLI's --mv-mode incremental relies on.
+    Cross-batch proof: Ann's lifetime value at B2 must include B1."""
+    from python_sql_datawarehouse_project_spark.plans.pipeline import run_mvs
+    from python_sql_datawarehouse_project_spark.plans.runlog import RunLog
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    _seed_gold(spark, wh)
+    log = RunLog(str(tmp_path / "log"))
+    run_mvs(wh, log, B1, mode="incremental")
+    run_mvs(wh, log, B2, mode="incremental")
+    got = {
+        (r["customer_id"], r["lifetime_value"])
+        for r in wh.read_batch(
+            "mv", "mv_customer_lifetime_value", B2
+        ).collect()
+    }
+    assert got == {(100, 180.0), (101, 70.0), (102, 80.0)}
+
+
 def test_run_mvs_incremental_mode_covers_all_nine(spark, tmp_path):
     """Pipeline wiring: mode="incremental" refreshes every registered
     MV (six via state fold, three via history recompute), all SUCCESS,
