@@ -171,6 +171,9 @@ def main() -> None:
             "sf_dir": args.sf_dir,
             "n_ok": len(names) - n_fail,
             "n_total": len(names),
+            # a targeted run (--only) is NOT a full sweep — record the
+            # requested scope so the artifact self-describes
+            "only": sorted(args.only.split(",")) if args.only else None,
             "hashed_gates": sorted(
                 k for k in names if k in registry.HASHED_AT_SCALE
             ),
