@@ -689,7 +689,11 @@ DD6_BANDS = 4
 DD6_BAND_BITS = H.RP_BITS // DD6_BANDS
 
 
-def _lsh_band_candidates(n: DataFrame) -> DataFrame:
+def _rp_bands(n: DataFrame) -> DataFrame:
+    """(vec_id, band_key): dd6's banded hyperplane-LSH keys as a frame
+    — factored out so asymmetric probes (ix2's new-vs-eval and
+    new-vs-corpus joins) can band each ROLE separately instead of
+    self-joining the whole table."""
     from .similarity import _bucket_col
 
     mask = (1 << DD6_BAND_BITS) - 1
@@ -705,7 +709,11 @@ def _lsh_band_candidates(n: DataFrame) -> DataFrame:
             for i in range(DD6_BANDS)
         ]
     )
-    bands = sig.select("vec_id", F.explode(band_keys).alias("band_key"))
+    return sig.select("vec_id", F.explode(band_keys).alias("band_key"))
+
+
+def _lsh_band_candidates(n: DataFrame) -> DataFrame:
+    bands = _rp_bands(n)
     a, c = bands.alias("a"), bands.alias("c")
     return (
         a.join(
@@ -892,7 +900,12 @@ def dd14_lsh_autosized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_rescore(n, _auto_band_candidates(n, bits))
 
 
-def _dd14_oracle(bands_count: int = AUTO_BANDS) -> str:
+def _sql_auto_band_ctes(bands_count: int = AUTO_BANDS) -> str:
+    """normalized -> meta (SQL-derived bits) -> bands CTE chain for
+    the auto-sized hyperplane banding — shared by dd14's oracle and
+    the asymmetric embedding-probe oracles (ix2).  The meta CTE
+    derives bits-per-band from COUNT(*) exactly like the Spark side's
+    `_auto_bits(n.count())`."""
     # Plane index for band k, local bit t: i = k*bits + t; component
     # r(i, j) is the shared LCG (sql_rp_component) — identical to the
     # literal arrays the Spark side folds over.
@@ -909,8 +922,7 @@ def _dd14_oracle(bands_count: int = AUTO_BANDS) -> str:
         f"CASE WHEN {proj} > 0 THEN (CAST(1 AS BIGINT) << CAST(t AS INT)) "
         f"ELSE CAST(0 AS BIGINT) END))"
     )
-    return f"""
-WITH {_SQL_NORMALIZED},
+    return f"""{_SQL_NORMALIZED},
 meta AS (
     SELECT CAST(COALESCE(MIN(i), {AUTO_MAX_BITS}) AS INT) AS b
     FROM range({AUTO_MIN_BITS}, {AUTO_MAX_BITS + 1}) t(i)
@@ -922,7 +934,12 @@ bands AS (
            unnest(list_transform(range(0, {bands_count}), k ->
                (CAST(k AS BIGINT) << b) + {local})) AS band_key
     FROM normalized, meta
-),
+)"""
+
+
+def _dd14_oracle(bands_count: int = AUTO_BANDS) -> str:
+    return f"""
+WITH {_sql_auto_band_ctes(bands_count)},
 cand AS (
     SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
     FROM bands a JOIN bands c

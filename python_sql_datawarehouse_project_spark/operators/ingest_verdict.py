@@ -268,3 +268,226 @@ FROM screened s LEFT JOIN dups d ON s.doc_id = d.new_doc_id
 
 QUERIES = {"ix1_ingest_verdict": ix1_ingest_verdict}
 ORACLES = {"ix1_ingest_verdict": IX1_ORACLE}
+
+
+# -- ix2: the embedding-side ingest verdict ---------------------------
+def ix2_embedding_ingest_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ix1's composition for the EMBEDDING modality: per new vector,
+    (a) SEMANTIC decontamination — near-match against the eval-set
+    vectors (vec_id % BENCH_MOD == 0), the screen that catches
+    paraphrased/reformatted eval leakage an exact-gram check misses
+    entirely; (b) corpus near-dup probe for the survivors; (c)
+    keep/drop verdict with a canonical pointer (argmax cosine, ties
+    to the smallest corpus vec_id — total order).
+
+      ix2_embedding_ingest_verdict  one row per batch vector:
+          (vec_id, n_eval_hits, n_corpus_dups, canonical_id,
+           action in {drop_contaminated, drop_duplicate, keep})
+
+    Both probes are ASYMMETRIC banded hyperplane-LSH joins using
+    dd14's AUTO-SIZED banding (bits-per-band derived from the corpus
+    count so per-bucket occupancy stays constant as the corpus grows
+    — dd6's frozen 16-bucket bands would make the probe fan-in
+    quadratic at sf10; PERF.md round-6 Diagnosis 1), with dd16's
+    OCCUPANCY CAP on the corpus side: buckets over AUTO_OCC keep
+    only their hub (min vec_id), because in dense corpora the true
+    near-dup clusters stop splitting however many bits are added
+    (the dd14 second-decade limit — measured HERE too: the uncapped
+    auto-banded probe ran 16.5/34.0/774.7 s across the decades, the
+    sf10 wall being exactly that noise-limited fan-in; the capped
+    probe's decade rows are in PERF.md round 9).  A new vector
+    landing in a mega-bucket still pairs with the bucket's hub, so
+    dup DETECTION survives the cap; the count is over capped
+    candidates, documented.  Matches verify with the exact
+    sequential-fold cosine at COSINE_T (the repo-wide near-dup bar;
+    a deployment tunes the two thresholds independently — the screen
+    typically higher).  Vectors move only through the rescore's
+    vec_id-keyed joins; the band exchange ships (vec_id, band_key)
+    longs.
+
+    Scale: the corpus/eval bands are recomputed inline only because a
+    gate is a pure function of the input tables — the persisted form
+    is the AnnIndex/DedupIndex band layout (plans/), and
+    scripts/bench_ingest_loop.py measures the text-side twin of this
+    loop flat across decades.  Oracle embeds dd6's normalized+band
+    CTEs, so it inherits HEAVY_ORACLE_SF1 (Spark-side decade rows in
+    PERF.md round 9)."""
+    from .dedup import AUTO_OCC, COSINE_T, _auto_bands, _auto_bits, _normalized
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = _normalized(emb).localCheckpoint(eager=True)
+    is_eval = F.col("vec_id") % BENCH_MOD == 0
+    in_batch = ~is_eval & _is_new(F.col("vec_id"))
+    in_corpus = ~is_eval & ~_is_new(F.col("vec_id"))
+    # one bounded driver action picks the band width (dd14's rule);
+    # the oracle's meta CTE derives the same value from COUNT(*)
+    bands = _auto_bands(n, _auto_bits(n.count())).localCheckpoint(
+        eager=True
+    )
+    # corpus side: dd16's occupancy cap at rest — mega-buckets keep
+    # only their hub, bounding the probe fan-in at AUTO_OCC+1 per key
+    corp_bands = bands.where(in_corpus)
+    occ = corp_bands.groupBy("band_key").agg(
+        F.count(F.lit(1)).alias("occ"), F.min("vec_id").alias("hub")
+    )
+    corp_capped = (
+        corp_bands.join(occ, "band_key")
+        .where((F.col("occ") <= AUTO_OCC) | (F.col("vec_id") == F.col("hub")))
+        .select("vec_id", "band_key")
+    )
+    eval_bands = bands.where(is_eval)
+
+    def probe(new_ids: DataFrame, other_bands: DataFrame) -> DataFrame:
+        """(new_id, other_id, cosine >= COSINE_T) via the asymmetric
+        band join + exact fold rescore."""
+        cand = (
+            bands.join(new_ids, "vec_id", "left_semi")
+            .select(F.col("vec_id").alias("new_id"), "band_key")
+            .join(
+                other_bands.select(
+                    F.col("vec_id").alias("other_id"), "band_key"
+                ),
+                "band_key",
+            )
+            .select("new_id", "other_id")
+            .dropDuplicates(["new_id", "other_id"])
+        )
+        a = n.select(F.col("vec_id").alias("new_id"), F.col("vn").alias("va"))
+        b = n.select(
+            F.col("vec_id").alias("other_id"), F.col("vn").alias("vb")
+        )
+        d = H.dot_fold(F.col("va"), F.col("vb"))
+        return (
+            cand.join(a, "new_id")
+            .join(b, "other_id")
+            .filter(d >= COSINE_T)
+            .select("new_id", "other_id", d.alias("cosine"))
+        )
+
+    batch_ids = n.where(in_batch).select("vec_id")
+    eval_hits = (
+        probe(batch_ids, eval_bands)
+        .groupBy("new_id")
+        .agg(F.count(F.lit(1)).alias("n_eval_hits"))
+    )
+    screened = (
+        batch_ids.join(
+            eval_hits, batch_ids["vec_id"] == eval_hits["new_id"], "left"
+        )
+        .select(
+            "vec_id",
+            F.coalesce(F.col("n_eval_hits"), F.lit(0).cast("long")).alias(
+                "n_eval_hits"
+            ),
+        )
+        .localCheckpoint(eager=True)  # feeds survivors AND the verdict
+    )
+    survivors = screened.where(F.col("n_eval_hits") == 0).select("vec_id")
+    dups = (
+        probe(survivors, corp_capped)
+        .groupBy("new_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_corpus_dups"),
+            F.max(
+                F.struct(
+                    F.col("cosine").alias("c"),
+                    (-F.col("other_id")).alias("neg_id"),
+                )
+            ).alias("best"),
+        )
+    )
+    return (
+        screened.join(dups, screened["vec_id"] == dups["new_id"], "left")
+        .select(
+            "vec_id",
+            "n_eval_hits",
+            F.coalesce(F.col("n_corpus_dups"), F.lit(0).cast("long")).alias(
+                "n_corpus_dups"
+            ),
+            F.when(
+                F.col("n_eval_hits") == 0,
+                (-F.col("best.neg_id")).cast("long"),
+            ).alias("canonical_id"),
+            F.when(F.col("n_eval_hits") > 0, F.lit("drop_contaminated"))
+            .when(F.col("n_corpus_dups") > 0, F.lit("drop_duplicate"))
+            .otherwise(F.lit("keep"))
+            .alias("action"),
+        )
+    )
+
+
+def _ix2_oracle() -> str:
+    from .dedup import AUTO_OCC, COSINE_T, _sql_auto_band_ctes
+
+    is_new_vec = _SQL_IS_NEW.replace("doc_id", "vec_id")
+    return f"""
+WITH {_sql_auto_band_ctes()},
+batch_vecs AS (
+    SELECT vec_id FROM embeddings
+    WHERE vec_id % {BENCH_MOD} <> 0 AND ({is_new_vec})
+),
+nb AS (SELECT b.* FROM bands b JOIN batch_vecs USING (vec_id)),
+evb AS (SELECT * FROM bands WHERE vec_id % {BENCH_MOD} = 0),
+ecand AS (
+    SELECT DISTINCT n.vec_id AS new_id, e.vec_id AS other_id
+    FROM nb n JOIN evb e ON n.band_key = e.band_key
+),
+ehits AS (
+    SELECT new_id, COUNT(*) AS n_eval_hits
+    FROM ecand
+    JOIN normalized a ON ecand.new_id = a.vec_id
+    JOIN normalized b ON ecand.other_id = b.vec_id
+    WHERE {H.sql_dot('a.vn', 'b.vn')} >= {COSINE_T}
+    GROUP BY 1
+),
+screened AS (
+    SELECT d.vec_id,
+           CAST(COALESCE(e.n_eval_hits, 0) AS BIGINT) AS n_eval_hits
+    FROM batch_vecs d LEFT JOIN ehits e ON d.vec_id = e.new_id
+),
+survivors AS (SELECT vec_id FROM screened WHERE n_eval_hits = 0),
+sb AS (SELECT b.* FROM bands b JOIN survivors USING (vec_id)),
+cb AS (
+    SELECT * FROM bands
+    WHERE vec_id % {BENCH_MOD} <> 0
+      AND NOT ({is_new_vec})
+),
+cbo AS (
+    SELECT band_key, COUNT(*) AS occ, MIN(vec_id) AS hub
+    FROM cb GROUP BY 1
+),
+cbc AS (
+    SELECT cb.vec_id, cb.band_key FROM cb JOIN cbo USING (band_key)
+    WHERE cbo.occ <= {AUTO_OCC} OR cb.vec_id = cbo.hub
+),
+ccand AS (
+    SELECT DISTINCT s.vec_id AS new_id, c.vec_id AS other_id
+    FROM sb s JOIN cbc c ON s.band_key = c.band_key
+),
+cmatch AS (
+    SELECT new_id, other_id, {H.sql_dot('a.vn', 'b.vn')} AS cosine
+    FROM ccand
+    JOIN normalized a ON ccand.new_id = a.vec_id
+    JOIN normalized b ON ccand.other_id = b.vec_id
+    WHERE {H.sql_dot('a.vn', 'b.vn')} >= {COSINE_T}
+),
+dups AS (
+    SELECT new_id, COUNT(*) AS n_corpus_dups,
+           first(other_id ORDER BY cosine DESC, other_id) AS best_id
+    FROM cmatch GROUP BY 1
+)
+SELECT s.vec_id, s.n_eval_hits,
+       CAST(COALESCE(d.n_corpus_dups, 0) AS BIGINT) AS n_corpus_dups,
+       CASE WHEN s.n_eval_hits = 0 THEN CAST(d.best_id AS BIGINT) END
+           AS canonical_id,
+       CASE WHEN s.n_eval_hits > 0 THEN 'drop_contaminated'
+            WHEN d.n_corpus_dups > 0 THEN 'drop_duplicate'
+            ELSE 'keep' END AS action
+FROM screened s LEFT JOIN dups d ON s.vec_id = d.new_id
+"""
+
+
+QUERIES["ix2_embedding_ingest_verdict"] = ix2_embedding_ingest_verdict
+ORACLES["ix2_embedding_ingest_verdict"] = _ix2_oracle()

@@ -143,19 +143,22 @@ _WINDOW_PRIORITY = (
     # self-sweep since).  This round rotates that ENTIRE cohort
     # through, led by the one new round-9 gate (new-gate driver
     # evidence outranks re-confirmation, the standing policy).
-    # 1 + 50 = 51 keys: the LAST r5 key (qa18_blocking_recall) sits
-    # at position 51, just past the window — it stays r5-green one
-    # more round and leads the round-10 rotation.  (The r8 comment
-    # here undercounted its own displacement — eight tier-B
-    # additions displaced NINE keys, w4/w5/rj1/sim5 included; this
-    # rotation covers all of them.  ADVICE r8 #1.)
+    # Tier A holds THREE keys (ix1 + ix2 new, tx9 changed), so
+    # 3 + 50 = 53 listed keys and the LAST THREE r5 keys
+    # (tx14_langid_confusion, sim6_ivf_recall, qa18_blocking_recall)
+    # sit at positions 51-53, just past the window — they stay
+    # r5-driver-green one more round (all three are green in this
+    # round's full sf0.1 self-sweep, ORACLECHECK_r09) and lead the
+    # round-10 rotation.  (The r8 comment here undercounted its own
+    # displacement — eight tier-B additions displaced NINE keys,
+    # w4/w5/rj1/sim5 included; this rotation covers all of them.
+    # ADVICE r8 #1.)
     # -- tier A: new round-9 gates + implementation-changed gates -----
     "ix1_ingest_verdict",
+    "ix2_embedding_ingest_verdict",
     # tx9 re-proves: its implementation changed this round (the r8
     # sf10 diagnosis landed the single-pass bigram-grain formulation,
-    # 3.3x at sf1; output pinned identical, oracle unchanged).  It
-    # displaces one more r5 key: sim6_ivf_recall joins
-    # qa18_blocking_recall just past the window for round 10.
+    # 3.3x at sf1; output pinned identical, oracle unchanged).
     "tx9_bigram_lift",
     # -- tier B: the r5-stale cohort, oldest-green-first -------------
     "w4_ntile_spend_quartiles",
@@ -317,8 +320,11 @@ HEAVY_ORACLE_SF1 = frozenset({
     # cost) plus the bloom probe; it inherits dd11's policy verbatim.
     # The Spark side gets its own decade timing in PERF.md round 9,
     # and scripts/bench_ingest_loop.py measures the persisted-index
-    # form of the same loop across decades.
+    # form of the same loop across decades.  ix2 is the embedding
+    # modality of the same composition (dd6's band CTEs — same
+    # DuckDB-side cost class as dd6).
     "ix1_ingest_verdict",
+    "ix2_embedding_ingest_verdict",
     "dd12_triangle_census",
     "dd13_ensemble_agreement",
     "dd17_minhash_capped_pairs",

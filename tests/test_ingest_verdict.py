@@ -113,3 +113,64 @@ def test_action_partition_law(spark, verdict):
             assert action == "keep" and canonical is None
         assert n_grams >= 0 and n_hits <= n_grams
     assert "keep" in seen  # a screen that drops everything is a bug
+
+
+# -- ix2: the embedding-side verdict ----------------------------------
+@pytest.fixture(scope="module")
+def verdict2(spark):
+    from python_sql_datawarehouse_project_spark.operators.ingest_verdict import (
+        ix2_embedding_ingest_verdict,
+    )
+
+    return {tuple(r) for r in ix2_embedding_ingest_verdict(spark, SF).collect()}
+
+
+def test_ix2_dedup_stage_matches_dd14_restricted(spark, verdict2):
+    """ix2's corpus-dup counts == dd14's auto-banded pair gate output
+    restricted to ix2's roles (one side a surviving batch vector, the
+    other a corpus vector) — the same banding, the same rescore, so
+    the asymmetric probe must be exactly the role-filtered slice of
+    the symmetric gate.  (ix2 additionally occupancy-caps the corpus
+    bands — dd16's policy — but at sf0.001 no bucket exceeds AUTO_OCC,
+    so below the cap the sets are identical, the same
+    below-the-cap==uncapped convention dd17 pins at this SF.)"""
+    from python_sql_datawarehouse_project_spark.operators.dedup import (
+        dd14_lsh_autosized,
+    )
+    from python_sql_datawarehouse_project_spark.operators.incremental import (
+        NEW_MOD,
+    )
+    surviving = {v for v, eh, *_ in verdict2 if eh == 0}
+
+    def role(vec_id: int) -> str:
+        import hashlib
+
+        if vec_id % BENCH_MOD == 0:
+            return "eval"
+        h = int(hashlib.md5(str(vec_id).encode()).hexdigest()[:15], 16)
+        return "new" if h % NEW_MOD == 0 else "corpus"
+
+    counts: dict[int, int] = {}
+    best: dict[int, tuple] = {}
+    for r in dd14_lsh_autosized(spark, SF).collect():
+        for v, o in ((r["vec_a"], r["vec_b"]), (r["vec_b"], r["vec_a"])):
+            if v in surviving and role(o) == "corpus":
+                counts[v] = counts.get(v, 0) + 1
+                key = (-r["cosine"], o)
+                if v not in best or key < best[v][0]:
+                    best[v] = (key, o)
+    got = {(v, n, c) for v, eh, n, c, a in verdict2 if eh == 0 and n > 0}
+    want = {(v, n, best[v][1]) for v, n in counts.items()}
+    assert got == want
+
+
+def test_ix2_action_partition_law(spark, verdict2):
+    assert verdict2, "batch role is empty at sf0.001 — split broke"
+    for vec_id, n_eval, n_dups, canonical, action in verdict2:
+        if n_eval > 0:
+            assert action == "drop_contaminated" and n_dups == 0
+        elif n_dups > 0:
+            assert action == "drop_duplicate" and canonical is not None
+        else:
+            assert action == "keep" and canonical is None
+    assert any(a == "keep" for *_, a in verdict2)

@@ -134,9 +134,28 @@ def test_no_scale_antipatterns(name, spark, sf_dir):
     row_udf = re.search(r"BatchEvalPython(?!UDTF)", p)
     assert not row_udf, f"{name}: row-at-a-time Python UDF in plan"
     if name not in _SINGLE_PARTITION_OK:
-        assert "SinglePartition" not in p, (
+        # Catalyst's runtime bloom-filter join pushdown
+        # (spark.sql.optimizer.runtimeFilter.*) injects its OWN
+        # partial_bloom_filter_agg -> Exchange SinglePartition ->
+        # bloom_filter_agg merge: the exchanged payload is the
+        # fixed-size sketch buffer (~1 MiB), bounded regardless of
+        # data, and ANY gate can trigger it depending on stats.
+        # Strip those exchanges (each sits a few lines above its
+        # bloom_filter_agg consumer) before asserting; real global
+        # single-task stages remain caught.
+        lines = p.splitlines()
+        bad = [
+            i
+            for i, l in enumerate(lines)
+            if "SinglePartition" in l
+            and not any(
+                "bloom_filter_agg" in x for x in lines[i : i + 10]
+            )
+        ]
+        assert not bad, (
             f"{name}: unaudited Exchange SinglePartition — a global "
             "single-task stage.  Restructure (bucketed prefix sum, "
             "per-group window, map-side-combinable aggregate) or "
-            "audit and allowlist it in _SINGLE_PARTITION_OK."
+            "audit and allowlist it in _SINGLE_PARTITION_OK.\n"
+            + "\n".join(lines[bad[0] : bad[0] + 8] if bad else [])
         )
