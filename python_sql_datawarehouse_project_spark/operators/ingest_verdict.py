@@ -309,9 +309,11 @@ def ix2_embedding_ingest_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate is a pure function of the input tables — the persisted form
     is the AnnIndex/DedupIndex band layout (plans/), and
     scripts/bench_ingest_loop.py measures the text-side twin of this
-    loop flat across decades.  Oracle embeds dd6's normalized+band
-    CTEs, so it inherits HEAVY_ORACLE_SF1 (Spark-side decade rows in
-    PERF.md round 9)."""
+    loop flat across decades.  Oracle embeds dd14's auto-band CTE
+    stack (dedup._sql_auto_band_ctes — the band width derived in SQL
+    from COUNT(*)) plus the dd16 cap mirrored as occ/hub CTEs, so it
+    inherits HEAVY_ORACLE_SF1 (Spark-side decade rows in PERF.md
+    round 9)."""
     from .dedup import AUTO_OCC, COSINE_T, _auto_bands, _auto_bits, _normalized
 
     emb = load_table(spark, sf_dir, "embeddings").select(
