@@ -40,11 +40,15 @@ def main(argv: list[str] | None = None) -> int:
         "--mv-mode",
         default="full",
         choices=("full", "incremental"),
-        help="MV refresh strategy: 'full' recomputes every MV "
-        "(reference refresh_mode='FULL'); 'incremental' folds only "
-        "the new gold batch into each maintainable MV's state "
-        "(plans/mv_incremental.py — the at-scale path; outputs are "
-        "bitwise-identical, pytest-pinned)",
+        help="MV refresh strategy: 'full' recomputes every MV over "
+        "the named batch (reference refresh_mode='FULL'); "
+        "'incremental' folds the new gold batch into each "
+        "maintainable MV's state (plans/mv_incremental.py — the "
+        "at-scale path), yielding refresh_mv(history=True) "
+        "semantics: identical to 'full' on a single-batch "
+        "warehouse, full-history once more batches exist "
+        "(incremental == full-history recompute is pytest-pinned "
+        "bitwise)",
     )
     ap.add_argument(
         "--gate",

@@ -601,12 +601,21 @@ def tx9_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenized the corpus three times (unigram counts, the n_uni
     total, and the pair branch) and paid a second corpus-scale
     shuffle; measured at sf1: 19.3 s -> 5.9 s (3.3x), identical
-    output (exceptAll-empty both directions).  The bigram-grain
-    aggregate is vocabulary-bounded, so its eager localCheckpoint
-    is cheap to store and saves three recomputes (the PERF.md §4
-    shared-subplan rule: sketches yes, raw token arrays no — a
-    vocab-sized count table is firmly on the 'yes' side).  The lift
-    join still broadcasts the unigram table."""
+    output (exceptAll-empty both directions).  The checkpointed
+    table is DISTINCT-BIGRAM-TYPE grain — the unfiltered count
+    table before the BIGRAM_MIN_COUNT cut, because the unigram
+    counts must sum over ALL pair rows.  Bigram types grow with the
+    corpus under Heaps' law (sub-linearly, exponent < 1, but NOT
+    vocabulary-bounded); measured sizes are in PERF.md round 10
+    (sf0.1 / sf1 / sf10 rows).  The trade is deliberate: one
+    type-grain checkpoint (3 ints + 2 short strings per row, far
+    smaller than the token-occurrence stream it aggregates) buys
+    back two corpus-scale tokenize+shuffle passes.  If a future SF
+    shows the type table outgrowing executor storage, the
+    pre-designed fallback is two aggregations over the un-persisted
+    stream (one corpus scan each for unigrams and bigrams — still
+    one fewer than the pre-r9 form).  The lift join still
+    broadcasts the unigram table."""
     toks = load_table(spark, sf_dir, "documents").select(
         _tokens(F.col("text")).alias("tk")
     )

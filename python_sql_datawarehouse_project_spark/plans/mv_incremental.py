@@ -62,8 +62,10 @@ batches in this warehouse carry their own dim snapshots.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
+from functools import reduce
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -71,6 +73,14 @@ from pyspark.sql import functions as F
 from .warehouse import BATCH_COL, Warehouse
 
 STATE_LAYER = "mv_state"
+# Completion marker written next to the state partitions after every
+# successful snapshot write.  Needed because write_batch's dynamic
+# overwrite writes NO partition for an empty state, so "no partition
+# on disk" is ambiguous between (a) a legitimately-empty snapshot and
+# (b) a snapshot that was never written (torn run, or an MV newly
+# added to INCREMENTAL on an existing warehouse).  The marker makes
+# (a) durable and leaves (b) detectable (ADVICE r9).
+_MARKER_PREFIX = "_state_complete_"
 _DEC = "decimal(18,4)"
 # Canonical state type for money partials: Spark widens SUM(decimal)
 # precision per aggregation (18,4 -> 28,4 -> 38,4), which would drift
@@ -166,12 +176,15 @@ def _publish_top3(state: DataFrame) -> DataFrame:
     # RANK(); a product_name tiebreaker here would drop a tied row at
     # the top-3 boundary that FULL keeps, breaking incremental==full.
     # rank() is value-determined for ties, so no tiebreaker is needed
-    # for determinism.
+    # for determinism.  Cast to double BEFORE ranking: the FULL path
+    # ranks the already-cast double, so two decimal(28,4) states that
+    # collapse to the same double must tie here too (ADVICE r9 — sums
+    # above ~9e11 would otherwise rank separately only in this path).
     w = Window.partitionBy("month", "country").orderBy(F.desc("total_sales"))
     return (
-        state.withColumn("rank_sales", F.rank().over(w))
+        state.withColumn("total_sales", F.col("total_sales").cast("double"))
+        .withColumn("rank_sales", F.rank().over(w))
         .filter(F.col("rank_sales") <= 3)
-        .withColumn("total_sales", F.col("total_sales").cast("double"))
     )
 
 
@@ -290,6 +303,53 @@ FULL_ONLY = {
 }
 
 
+def _mark_state_complete(wh: Warehouse, name: str, batch_id: str) -> None:
+    root = wh.path(STATE_LAYER, name)
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, f"{_MARKER_PREFIX}{batch_id}"), "w"):
+        pass  # empty touch file; presence is the whole payload
+
+
+def state_batches(wh: Warehouse, name: str) -> list[str]:
+    """Batch ids with a COMPLETED state snapshot for `name` (marker
+    files, which survive empty snapshots).  Falls back to the raw
+    partition listing for pre-marker warehouses (round <=9 state
+    tables carry partitions but no markers)."""
+    try:
+        entries = os.listdir(wh.path(STATE_LAYER, name))
+    except OSError:
+        return []
+    marked = sorted(
+        e[len(_MARKER_PREFIX):]
+        for e in entries
+        if e.startswith(_MARKER_PREFIX)
+    )
+    return marked if marked else wh.list_batches(STATE_LAYER, name)
+
+
+def resolve_prev_state(
+    wh: Warehouse, name: str, batch_id: str
+) -> tuple[str | None, list[str]]:
+    """Per-MV previous-snapshot resolution (ADVICE r9: a global
+    intersection across MVs empties when any one MV legitimately
+    lacks a snapshot, silently dropping folded history for ALL MVs).
+
+    Returns (prev_batch_id, missing_gold_batches) where `prev` is the
+    latest completed snapshot strictly below `batch_id` (None if this
+    MV has none) and `missing` lists gold fact batches strictly
+    between `prev` and `batch_id` that no snapshot has folded — a
+    torn earlier run, or an MV added to INCREMENTAL on a warehouse
+    with existing history.  Callers fold those deltas in (state
+    rebuild-from-history degenerates to prev=None, missing=all)."""
+    below = [b for b in state_batches(wh, name) if b < batch_id]
+    prev = max(below) if below else None
+    gold = wh.list_batches("gold", "fact_sales")
+    missing = sorted(
+        b for b in gold if b < batch_id and (prev is None or b > prev)
+    )
+    return prev, missing
+
+
 def _merge(spec: IncSpec, snapshots: DataFrame) -> DataFrame:
     aggs = [
         _MERGE_FN[fn](F.col(col)).alias(col) for col, fn in spec.partials.items()
@@ -316,10 +376,18 @@ def refresh_mv_incremental(
 ) -> tuple[int, int]:
     """Fold gold batch `batch_id` into MV `name`'s state and publish.
 
-    `prev_batch_id` names the state snapshot to build on (None for
-    the first batch).  Returns (state rows, output rows).  Re-running
-    the same (batch, prev) pair rebuilds both partitions identically
-    — exactly-once semantics match `refresh_mv`.
+    `prev_batch_id` names the state snapshot to build on; None means
+    resolve it PER-MV from this MV's own completed-snapshot markers
+    (resolve_prev_state).  Either way, gold fact batches strictly
+    between the prev snapshot and `batch_id` that no snapshot folded
+    — a torn earlier run, or an MV newly added to INCREMENTAL on a
+    warehouse with history — are detected and their deltas folded in
+    (a rebuild-from-history degenerates to prev=None + all prior
+    batches), so "no snapshot but prior gold exists" can never
+    silently restart state from one batch (ADVICE r9).  Returns
+    (state rows, output rows).  Re-running the same (batch, prev)
+    pair rebuilds both partitions identically — exactly-once
+    semantics match `refresh_mv`.
 
     Raises KeyError for FULL-only MVs; callers route those through
     `mv.refresh_mv` (see FULL_ONLY for the reasons).
@@ -330,17 +398,45 @@ def refresh_mv_incremental(
             "use plans.mv.refresh_mv"
         )
     spec = INCREMENTAL[name]
-    delta = spec.delta(wh, batch_id)
-    if prev_batch_id is not None:
-        prev = wh.read_batch(STATE_LAYER, name, prev_batch_id).drop(BATCH_COL)
-        merged = _merge(spec, prev.unionByName(delta))
+    if prev_batch_id is None:
+        prev_batch_id, missing = resolve_prev_state(wh, name, batch_id)
     else:
-        merged = delta
+        # explicit prev: state(prev) covers gold <= prev by induction,
+        # so every gold batch strictly between prev and batch_id is
+        # un-folded from THIS lineage and must be folded now
+        missing = sorted(
+            b
+            for b in wh.list_batches("gold", "fact_sales")
+            if prev_batch_id < b < batch_id
+        )
+    parts = [spec.delta(wh, b) for b in [*missing, batch_id]]
+    # A marked snapshot with no partition on disk was EMPTY (markers
+    # are written only after write_batch returns; dynamic overwrite
+    # writes no files for zero rows) — it contributes nothing, so
+    # skip the read rather than fail on a data-less state dir.
+    if prev_batch_id is not None and prev_batch_id in wh.list_batches(
+        STATE_LAYER, name
+    ):
+        prev = wh.read_batch(STATE_LAYER, name, prev_batch_id).drop(BATCH_COL)
+        parts = [prev, *parts]
+    merged = (
+        _merge(spec, reduce(DataFrame.unionByName, parts))
+        if len(parts) > 1
+        else parts[0]
+    )
     n_state = wh.write_batch(merged, STATE_LAYER, name, batch_id)
+    _mark_state_complete(wh, name, batch_id)
     # publish from the snapshot just written: truncates the merge
     # lineage (state(b) never re-derives state(b-1) at read time) and
-    # is the partition-pruned small-scan path
-    state = wh.read_batch(STATE_LAYER, name, batch_id).drop(BATCH_COL)
+    # is the partition-pruned small-scan path.  When the state TABLE
+    # holds no partitions at all (every snapshot so far empty), there
+    # is no parquet to infer a schema from — publish straight from
+    # the (zero-row) merged frame instead.
+    state = (
+        wh.read_batch(STATE_LAYER, name, batch_id).drop(BATCH_COL)
+        if wh.list_batches(STATE_LAYER, name)
+        else merged
+    )
     out = spec.publish(state, **publish_kwargs)
     n_out = wh.write_batch(out, "mv", name, batch_id)
     return n_state, n_out

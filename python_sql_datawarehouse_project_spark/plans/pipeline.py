@@ -82,22 +82,6 @@ def run_gold(wh: Warehouse, log: RunLog, batch_id: str) -> dict[str, tuple]:
     return results
 
 
-def _prev_state_batch(wh: Warehouse, batch_id: str) -> str | None:
-    """Latest MV-state snapshot strictly below `batch_id` that exists
-    for EVERY incrementally-maintained MV (an id missing from any MV
-    is a torn write a replay will redo — building on it would fork
-    lineages; same rule as streaming/mv_maintenance.py).  None on the
-    first batch."""
-    from .mv_incremental import STATE_LAYER
-
-    sets = [
-        set(wh.list_batches(STATE_LAYER, name)) for name in INCREMENTAL
-    ]
-    common = set.intersection(*sets) if sets else set()
-    below = [b for b in common if b < batch_id]
-    return max(below) if below else None
-
-
 def run_mvs(
     wh: Warehouse,
     log: RunLog,
@@ -117,16 +101,22 @@ def run_mvs(
     order-dependent MVs (mv_incremental.FULL_ONLY) are recomputed
     over full history, which is their only correct definition.
     `prev_batch_id` names the state snapshot to build on; when None
-    it is resolved from the state layer's own partition listing
-    (latest consistent snapshot strictly below `batch_id` — restart-
-    safe, no driver memory), falling back to first-batch semantics
-    when no snapshot exists.  Outputs are written under `batch_id`
-    either way, so downstream readers cannot tell the modes apart —
-    the parity pytest (tests/test_mv_incremental.py) pins that
-    equality bitwise.
+    each MV resolves its OWN latest completed snapshot (marker files,
+    mv_incremental.resolve_prev_state) and folds in any gold batches
+    no snapshot has covered — so an MV with a legitimately-empty
+    first delta, or one newly added to INCREMENTAL on a warehouse
+    with history, rebuilds correctly instead of silently restarting
+    state from the current batch (ADVICE r9).
+
+    Semantics note: incremental mode produces `refresh_mv(...,
+    history=True)` semantics — each MV over FULL warehouse history as
+    of `batch_id`.  That matches mode="full" only while the warehouse
+    holds a single batch; with more batches loaded, mode="full"
+    (reference-faithful) computes each MV over the named batch alone,
+    so the two modes legitimately differ.  The parity pytest
+    (tests/test_mv_incremental.py) pins incremental == full-HISTORY
+    recompute bitwise, not == mode="full" output.
     """
-    if mode == "incremental" and prev_batch_id is None:
-        prev_batch_id = _prev_state_batch(wh, batch_id)
     results = {}
     for name in MVS:
         if mode == "incremental" and name in INCREMENTAL:

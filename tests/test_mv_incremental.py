@@ -332,3 +332,97 @@ def test_run_mvs_incremental_mode_covers_all_nine(spark, tmp_path):
         if row["status"] == "SUCCESS"
     }
     assert modes == {"mode=incremental"}
+
+
+# -- per-MV prev resolution + torn/empty-state healing (ADVICE r9) ----
+# The r9 advisor's failure scenario: write_batch writes NO partition
+# for an empty state, so "no partition" is ambiguous between an empty
+# snapshot and a never-written one.  The global-intersection resolver
+# then silently restarted EVERY MV's state from the current batch.
+# Completion markers + per-MV resolution + gold-gap healing close all
+# three paths.
+
+B3 = "BATCH000003"
+
+
+def test_empty_first_delta_does_not_drop_history(spark, tmp_path):
+    """An MV whose first delta is EMPTY (zero fact rows in B1) still
+    resolves B1 as its prev snapshot at B2 — the completion marker
+    distinguishes 'empty snapshot' from 'torn write', so B2 builds on
+    first-batch-empty state instead of erroring or forking."""
+    d = dt.date
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    _seed_gold(spark, wh)
+    # overwrite B1's facts with an empty frame: dynamic overwrite
+    # writes no partition, leaving B1's old files — drop them first
+    wh._drop_batch_partition("gold", "fact_sales", B1)
+    name = "mv_customer_lifetime_value"
+    mi.refresh_mv_incremental(wh, name, B1)
+    assert mi.state_batches(wh, name) == [B1]  # marker survives empty
+    mi.refresh_mv_incremental(wh, name, B2)
+    got = {
+        (r["customer_id"], r["lifetime_value"])
+        for r in wh.read_batch("mv", name, B2).collect()
+    }
+    # only B2's facts exist: SO1 30.0 for Ann, SO3 80.0 for Cyd
+    assert got == {(100, 30.0), (102, 80.0)}
+
+
+def test_new_mv_on_existing_warehouse_rebuilds_from_history(spark, tmp_path):
+    """An MV first refreshed at B2 on a warehouse that already holds
+    B1 gold history (the 'MV newly added to INCREMENTAL' scenario)
+    must fold B1's delta in — never first-batch semantics that would
+    permanently drop B1 while logging SUCCESS."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    _seed_gold(spark, wh)
+    name = "mv_customer_lifetime_value"
+    mi.refresh_mv_incremental(wh, name, B2)  # no B1 snapshot exists
+    got = {
+        (r["customer_id"], r["lifetime_value"], r["order_count"])
+        for r in wh.read_batch("mv", name, B2).collect()
+    }
+    # full history: Ann 100+50+30 across one order SO1, Bob 70, Cyd 80
+    assert got == {(100, 180.0, 1), (101, 70.0, 1), (102, 80.0, 1)}
+
+
+def test_explicit_prev_heals_unfolded_gold_gap(spark, tmp_path):
+    """refresh(B3, prev=B1) with gold B2 on disk folds B2's delta into
+    the merge: state(B1) covers gold <= B1 only, so skipping B2 would
+    silently lose a batch (the torn-run replay scenario)."""
+    d = dt.date
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    _seed_gold(spark, wh)
+    wh.write_batch(
+        spark.createDataFrame(
+            [(1, 100, "Ann", "A", "US")], _CUST_SCHEMA
+        ),
+        "gold",
+        "dim_customers",
+        B3,
+    )
+    wh.write_batch(
+        spark.createDataFrame(
+            [(1, "Widget", "R", "Components", "Road Frames")], _PROD_SCHEMA
+        ),
+        "gold",
+        "dim_products",
+        B3,
+    )
+    wh.write_batch(
+        spark.createDataFrame(
+            [("SO9", 1, 1, d(2024, 4, 2), d(2024, 4, 4), d(2024, 4, 6), 25.0, 1, 25.0)],
+            _FACT_SCHEMA,
+        ),
+        "gold",
+        "fact_sales",
+        B3,
+    )
+    name = "mv_customer_lifetime_value"
+    mi.refresh_mv_incremental(wh, name, B1)
+    mi.refresh_mv_incremental(wh, name, B3, prev_batch_id=B1)
+    got = {
+        (r["customer_id"], r["lifetime_value"])
+        for r in wh.read_batch("mv", name, B3).collect()
+    }
+    # B2's 30.0 (SO1) and 80.0 (SO3) folded despite prev naming B1
+    assert got == {(100, 205.0), (101, 70.0), (102, 80.0)}

@@ -140,17 +140,29 @@ def test_no_scale_antipatterns(name, spark, sf_dir):
         # bloom_filter_agg merge: the exchanged payload is the
         # fixed-size sketch buffer (~1 MiB), bounded regardless of
         # data, and ANY gate can trigger it depending on stats.
-        # Strip those exchanges (each sits a few lines above its
-        # bloom_filter_agg consumer) before asserting; real global
-        # single-task stages remain caught.
+        # Strip those exchanges before asserting; real global
+        # single-task stages remain caught.  The exemption is tied to
+        # the exchange's DIRECT consumer: in formatted-explain details
+        # the node block immediately after the Exchange's block is its
+        # parent (the merge ObjectHashAggregate), so that block — not
+        # an arbitrary 10-line window (ADVICE r9) — must carry the
+        # bloom_filter_agg merge expression.
         lines = p.splitlines()
+
+        def _consumer_block_has_bloom(i: int) -> bool:
+            hdr = re.compile(r"\(\d+\) ")
+            j = i + 1
+            while j < len(lines) and not hdr.match(lines[j].strip()):
+                j += 1
+            k = j + 1
+            while k < len(lines) and not hdr.match(lines[k].strip()):
+                k += 1
+            return any("bloom_filter_agg" in x for x in lines[j:k])
+
         bad = [
             i
             for i, l in enumerate(lines)
-            if "SinglePartition" in l
-            and not any(
-                "bloom_filter_agg" in x for x in lines[i : i + 10]
-            )
+            if "SinglePartition" in l and not _consumer_block_has_bloom(i)
         ]
         assert not bad, (
             f"{name}: unaudited Exchange SinglePartition — a global "
