@@ -63,10 +63,24 @@ class AnnIndex:
     def _lists_path(self) -> str:
         return self.wh.path(LAYER, "ann_lists")
 
-    def build(self, spark: SparkSession, sf_dir: str) -> dict[str, int]:
+    def build(
+        self,
+        spark: SparkSession,
+        sf_dir: str | None = None,
+        vecs: DataFrame | None = None,
+    ) -> dict[str, int]:
         """Train the coarse quantizer once, assign the corpus, persist
-        centroids + inverted lists; returns row counts."""
-        n = _emb_normalized(spark, sf_dir).persist()
+        centroids + inverted lists; returns row counts.  `vecs` (a
+        (vec_id, embedding) frame) indexes an explicit corpus — the
+        role-split ingest loops (plans/emb_index.py) where the corpus
+        is a subset of one embeddings table; `sf_dir` is the
+        full-table convenience."""
+        if vecs is not None:
+            from ..operators.similarity import normalize_embeddings
+
+            n = normalize_embeddings(vecs).persist()
+        else:
+            n = _emb_normalized(spark, sf_dir).persist()
         cents = train_centroids(n)
         if not cents:
             n.unpersist()
