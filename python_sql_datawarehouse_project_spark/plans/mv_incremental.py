@@ -295,6 +295,174 @@ INCREMENTAL: dict[str, IncSpec] = {
     ),
 }
 
+# -- approx CLV: HLL registers at CUSTOMER grain (VERDICT r9 #4) ------
+# The exact CLV state is (customer, order)-grain — COUNT(DISTINCT
+# order_number) forces one state row per order, 14.6M rows at sf10
+# (PERF.md r9 addendum), ~half the incremental total.  The approx
+# mode swaps that for qa22's mergeable HLL form: one row per customer
+# carrying (money partial, 64 HLL registers as an array<int>).  The
+# money sum stays EXACT (same decimal policy); only order_count is
+# estimated.  State size is |customers|, the merge is register-wise
+# MAX (distributive, replay-idempotent like every partial here), and
+# publish is a row-wise fold over each 64-element array — no
+# order-grain shuffle anywhere.  Exact mode is untouched; this is the
+# opt-in `mode="incremental_approx"` path, with the estimate error
+# pytest-bounded (tests/test_mv_incremental_approx.py).
+_HLL_STATE = "mv_customer_lifetime_value_hll"
+_CLV_KEYS = ("customer_id", "customer_name")
+
+
+def _delta_lifetime_hll(wh: Warehouse, batch_id: str) -> DataFrame:
+    from ..functions import hashing as H
+    from ..operators.approx import HLL_M, HLL_P, HLL_RMAX
+
+    fs, dc, _ = _gold_batch(wh, batch_id)
+    h = H.md5_long(F.col("order_number"))
+    rem = F.shiftright(h, HLL_P)
+    rho = F.when(rem == 0, F.lit(HLL_RMAX)).otherwise(
+        F.lit(HLL_RMAX) - F.length(F.bin(rem))
+    )
+    per_reg = (
+        fs.join(dc, "customer_key")
+        .select(
+            "customer_id",
+            F.concat_ws(
+                " ", F.col("customer_firstname"), F.col("customer_lastname")
+            ).alias("customer_name"),
+            _dec_sales().alias("sales"),
+            (h % HLL_M).cast("int").alias("reg"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(*_CLV_KEYS, "reg")
+        .agg(
+            F.sum("sales").cast(_STATE_DEC).alias("s"),
+            F.max("rho").alias("rho"),
+        )
+    )
+    # dense 64-register array per customer: registers this batch never
+    # touched are 0 (the HLL empty-register convention, qa22)
+    m = F.map_from_entries(F.collect_list(F.struct("reg", "rho")))
+    return per_reg.groupBy(*_CLV_KEYS).agg(
+        F.sum("s").cast(_STATE_DEC).alias("order_sales"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(HLL_M - 1)),
+            lambda i: F.coalesce(F.try_element_at(m, i), F.lit(0)),
+        ).alias("regs"),
+    )
+
+
+def _merge_lifetime_hll(snapshots: DataFrame) -> DataFrame:
+    """Customer-grain merge: money partials SUM, registers element-wise
+    MAX.  Arrays are dense and fixed-length, so posexplode + MAX +
+    reg-sorted re-collect is exactly the register-wise max; the
+    exploded frame is |customers| x 64 int rows, map-side combinable
+    — never order-grain."""
+    sales = snapshots.groupBy(*_CLV_KEYS).agg(
+        F.sum("order_sales").cast(_STATE_DEC).alias("order_sales")
+    )
+    regs = (
+        snapshots.select(
+            *_CLV_KEYS, F.posexplode("regs").alias("reg", "rho")
+        )
+        .groupBy(*_CLV_KEYS, "reg")
+        .agg(F.max("rho").alias("rho"))
+        .groupBy(*_CLV_KEYS)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("reg", "rho"))),
+                lambda x: x["rho"],
+            ).alias("regs")
+        )
+    )
+    return sales.join(regs, list(_CLV_KEYS))
+
+
+def _publish_lifetime_hll(state: DataFrame) -> DataFrame:
+    """CLV output shape from customer-grain HLL state: lifetime_value
+    is the EXACT decimal sum (cast to double like every publish);
+    order_count is the HLL estimate with the standard LinearCounting
+    small-range correction (est <= 2.5m and empty registers exist —
+    ln is fine here, this mode has no bitwise oracle by design).
+    Row-wise folds over 64-element arrays: zero shuffles."""
+    from ..operators.approx import HLL_ALPHA_NUM, HLL_M, HLL_RMAX
+
+    # SQL-expression folds: python F.shiftleft only takes a literal
+    # bit count, the SQL form takes a column
+    z = F.expr(
+        f"aggregate(regs, CAST(0 AS BIGINT), (acc, r) -> acc + "
+        f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_RMAX} - r AS INT)))"
+    )
+    n_zero = F.expr("size(filter(regs, r -> r = 0))")
+    raw = F.lit(HLL_ALPHA_NUM) / z.cast("double")
+    lc = F.lit(float(HLL_M)) * F.log(
+        F.lit(float(HLL_M)) / n_zero.cast("double")
+    )
+    est = F.when((raw <= 2.5 * HLL_M) & (n_zero > 0), lc).otherwise(raw)
+    return state.select(
+        "customer_id",
+        "customer_name",
+        F.col("order_sales").cast("double").alias("lifetime_value"),
+        F.round(est).cast("long").alias("order_count"),
+    )
+
+
+def refresh_mv_incremental_approx(
+    wh: Warehouse,
+    name: str,
+    batch_id: str,
+    prev_batch_id: str | None = None,
+) -> tuple[int, int]:
+    """The approx twin of refresh_mv_incremental for
+    mv_customer_lifetime_value (the only MV whose exact state is
+    forced above group grain).  Same resolution/healing/marker
+    machinery against its OWN state table (the schemas differ), same
+    replay idempotency; output lands under the same mv table name, so
+    downstream readers see the CLV shape with an estimated
+    order_count."""
+    if name not in APPROX:
+        raise KeyError(
+            f"{name} has no approx incremental form; "
+            "use refresh_mv_incremental"
+        )
+    state_table = APPROX[name]
+    if prev_batch_id is None:
+        prev_batch_id, missing = resolve_prev_state(
+            wh, state_table, batch_id
+        )
+    else:
+        missing = sorted(
+            b
+            for b in wh.list_batches("gold", "fact_sales")
+            if prev_batch_id < b < batch_id
+        )
+    parts = [_delta_lifetime_hll(wh, b) for b in [*missing, batch_id]]
+    if prev_batch_id is not None and prev_batch_id in wh.list_batches(
+        STATE_LAYER, state_table
+    ):
+        prev = wh.read_batch(STATE_LAYER, state_table, prev_batch_id).drop(
+            BATCH_COL
+        )
+        parts = [prev, *parts]
+    merged = (
+        _merge_lifetime_hll(reduce(DataFrame.unionByName, parts))
+        if len(parts) > 1
+        else parts[0]
+    )
+    n_state = wh.write_batch(merged, STATE_LAYER, state_table, batch_id)
+    _mark_state_complete(wh, state_table, batch_id)
+    state = (
+        wh.read_batch(STATE_LAYER, state_table, batch_id).drop(BATCH_COL)
+        if wh.list_batches(STATE_LAYER, state_table)
+        else merged
+    )
+    out = _publish_lifetime_hll(state)
+    n_out = wh.write_batch(out, "mv", name, batch_id)
+    return n_state, n_out
+
+
+APPROX = {"mv_customer_lifetime_value": _HLL_STATE}
+
+
 # FULL-only MVs and why (order-dependent over unbounded history)
 FULL_ONLY = {
     "mv_running_sales_customer": "running window over full history",

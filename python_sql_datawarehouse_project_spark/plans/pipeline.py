@@ -116,18 +116,34 @@ def run_mvs(
     so the two modes legitimately differ.  The parity pytest
     (tests/test_mv_incremental.py) pins incremental == full-HISTORY
     recompute bitwise, not == mode="full" output.
+
+    mode="incremental_approx" is incremental with ONE substitution:
+    mv_customer_lifetime_value maintains qa22-style HLL registers at
+    customer grain instead of exact (customer, order)-grain state
+    (mv_incremental.refresh_mv_incremental_approx) — order_count
+    becomes an estimate (error pytest-bounded), lifetime_value stays
+    exact, and the dominant incremental state cost drops from order
+    cardinality to customer cardinality.
     """
+    from .mv_incremental import APPROX, refresh_mv_incremental_approx
+
+    incremental = mode in ("incremental", "incremental_approx")
     results = {}
     for name in MVS:
-        if mode == "incremental" and name in INCREMENTAL:
+        if incremental and name in INCREMENTAL:
             try:
-                _, n = refresh_mv_incremental(
-                    wh, name, batch_id, prev_batch_id=prev_batch_id
-                )
+                if mode == "incremental_approx" and name in APPROX:
+                    _, n = refresh_mv_incremental_approx(
+                        wh, name, batch_id, prev_batch_id=prev_batch_id
+                    )
+                else:
+                    _, n = refresh_mv_incremental(
+                        wh, name, batch_id, prev_batch_id=prev_batch_id
+                    )
                 ok, err = True, None
             except Exception as e:  # logged like the FULL path's failures
                 ok, err, n = False, str(e), 0
-        elif mode == "incremental":
+        elif incremental:
             ok, err, n = refresh_mv(wh, name, batch_id, history=True)
         else:
             ok, err, n = refresh_mv(wh, name, batch_id)

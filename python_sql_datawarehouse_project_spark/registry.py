@@ -136,81 +136,72 @@ _MODULES = (
 # must exist (asserted in queries()) so a renamed gate fails loudly
 # instead of silently dropping out of the window.
 _WINDOW_PRIORITY = (
-    # Round-9 window (VERDICT r8 #3): the driver checks the FIRST 50
-    # keys each round.  Round 8 left exactly one stale cohort — 50
-    # gates whose latest driver-green is round 5 (three windows old
-    # against the r6-r8 refactors; all 50 are green in every full
-    # self-sweep since).  This round rotates that ENTIRE cohort
-    # through, led by the one new round-9 gate (new-gate driver
-    # evidence outranks re-confirmation, the standing policy).
-    # Tier A holds THREE keys (ix1 + ix2 new, tx9 changed), so
-    # 3 + 50 = 53 listed keys and the LAST THREE r5 keys
-    # (tx14_langid_confusion, sim6_ivf_recall, qa18_blocking_recall)
-    # sit at positions 51-53, just past the window — they stay
-    # r5-driver-green one more round (all three are green in this
-    # round's full sf0.1 self-sweep, ORACLECHECK_r09) and lead the
-    # round-10 rotation.  (The r8 comment here undercounted its own
-    # displacement — eight tier-B additions displaced NINE keys,
-    # w4/w5/rj1/sim5 included; this rotation covers all of them.
-    # ADVICE r8 #1.)
-    # -- tier A: new round-9 gates + implementation-changed gates -----
-    "ix1_ingest_verdict",
-    "ix2_embedding_ingest_verdict",
-    # tx9 re-proves: its implementation changed this round (the r8
-    # sf10 diagnosis landed the single-pass bigram-grain formulation,
-    # 3.3x at sf1; output pinned identical, oracle unchanged).
-    "tx9_bigram_lift",
-    # -- tier B: the r5-stale cohort, oldest-green-first -------------
-    "w4_ntile_spend_quartiles",
-    "w5_spend_percentile",
-    "rj1_preorder_attribution",
-    "sim5_radius_search",
-    "sk1_salted_hot_key_agg",
-    "sk2_salted_skew_join",
-    "tx5_tfidf_top_terms",
-    "stream_session_windows",
-    "qa5_exact_percentiles",
-    "stream_tumbling_hourly",
-    "stream_first_events",
-    "stream_preorder_pairs",
-    "stream_dedup_events",
-    "ev8_rolling_7day",
-    "ev11_gap_fill",
-    "ev12_ohlc_hourly",
-    "ev13_props_variant",
-    "ev14_mode_event_type",
-    "ev15_daily_anomaly",
-    "q12_regional_revenue",
-    "q16_mixed_grain_report",
-    "aj2_asof_next_event",
-    "aj3_asof_tolerance",
-    "cs1_canonical_selection",
-    "ds5_quality_quantile_filter",
-    "ds6_clean_mix",
-    "qa13_benford_digits",
-    "tx12_commonness",
-    "qa14_kmv_set_ops",
-    "qa15_lsh_recall",
-    "qa16_mad_outliers",
-    "qa17_null_drift",
-    "stream_sliding_windows",
-    "stream_ohlc_hourly",
-    "q13_pricing_summary",
-    "q14_shipping_priority",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q21_exclusive_late_supplier",
-    "q22_dormant_high_balance",
-    "q23_unpivot_metrics",
-    "emb1_centroid_outliers",
-    "w6_first_last_nth",
-    "w7_range_frame",
-    "tx13_chunk_udtf",
+    # Round-10 window (VERDICT r9 #5): the driver checks the FIRST 50
+    # keys each round.  After CORRECTNESS_r09 the driver-green
+    # distribution is r9:50, r8:50, r7:45, r6:49, r5:3
+    # (provenance.driver_green_rounds()); no round-10 gate additions
+    # or implementation changes touch existing gates, so tier A is
+    # EMPTY and the window is pure re-confirmation, oldest-first:
+    # the three r5 stragglers the r9 verdict named (they sat at
+    # positions 51-53 last round) lead, then 47 of the 49 r6-green
+    # keys in registry order.  The remaining two r6 keys
+    # (ev16_cumulative_users, ev17_value_histogram) sit at positions
+    # 51-52 — green in every full self-sweep — and lead the round-11
+    # rotation together with the r7 cohort.
+    # -- tier B: r5 stragglers first, then the r6 cohort --------------
     "tx14_langid_confusion",
     "sim6_ivf_recall",
     "qa18_blocking_recall",
+    "tx6_decontamination",
+    "tx7_repetition",
+    "tx8_chunks",
+    "tx10_textrank",
+    "tx11_vocab_stats",
+    "qa8_chisq_drift",
+    "qa9_cms_heavy_hitters",
+    "qa10_join_explosion",
+    "qa11_fd_profile",
+    "qa12_corr_profile",
+    "pd1_window_dedup",
+    "eq1_int8_quantize",
+    "pk1_pack_chunks",
+    "ls1_leakage_safe_split",
+    "q24_order_priority_check",
+    "q25_volume_shipping",
+    "q26_market_share",
+    "q27_returned_items",
+    "q28_latency_priority",
+    "q29_promo_revenue",
+    "q30_pivot_priority_revenue",
+    "q31_date_dim",
+    "tx15_pii_redaction",
+    "tx16_bigram_novelty",
+    "emb2_dimension_profile",
+    "stream_enrich_segments",
+    "q32_min_cost_supplier",
+    "q33_local_supplier_volume",
+    "q34_forecast_revenue",
+    "q35_product_profit",
+    "q36_important_parts",
+    "q37_order_count_distribution",
+    "q38_supplier_part_variety",
+    "q39_promotion_candidates",
+    "q40_snapshot_diff",
+    "q41_set_ops",
+    "q42_table_fingerprint",
+    "q43_recursive_sql",
+    "q44_market_basket",
+    "emb3_int8_quant",
+    "emb4_matryoshka",
+    "stream_coldstart_purchases",
+    "ux1_pandas_udaf",
+    "qa19_ndv_profile",
+    "ds8_sequence_packing",
+    "dd12_triangle_census",
+    "sim7_knn_graph",
+    # -- positions 51-52: the r6 remainder, round-11 leads ------------
+    "ev16_cumulative_users",
+    "ev17_value_histogram",
 )
 
 
