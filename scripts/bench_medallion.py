@@ -363,11 +363,38 @@ def main() -> None:
                 groups.append({f"history:{name}": (ok, err, n)})
         stages["mv_history_3"] = round(time.perf_counter() - t, 1)
         t = time.perf_counter()
+        per_mv = {}
         for name in mi.INCREMENTAL:
+            t_mv = time.perf_counter()
             _, rows_inc[name] = mi.refresh_mv_incremental(
                 wh, name, DELTA, prev_batch_id=BATCH
             )
+            per_mv[name] = round(time.perf_counter() - t_mv, 1)
         stages["mv_incremental_6"] = round(time.perf_counter() - t, 1)
+        # approx CLV (VERDICT r9 #4): the HLL customer-grain state's
+        # per-delta cost, measured on the SAME delta.  Builds its own
+        # base state first (cost reported separately, not in the
+        # per-delta number).
+        t = time.perf_counter()
+        mi.refresh_mv_incremental_approx(
+            wh, "mv_customer_lifetime_value", BATCH
+        )
+        stages["mv_clv_approx_state_init"] = round(time.perf_counter() - t, 1)
+        t = time.perf_counter()
+        _, n_approx = mi.refresh_mv_incremental_approx(
+            wh, "mv_customer_lifetime_value", DELTA, prev_batch_id=BATCH
+        )
+        stages["mv_clv_approx_delta"] = round(time.perf_counter() - t, 1)
+        per_mv["mv_customer_lifetime_value_approx"] = stages[
+            "mv_clv_approx_delta"
+        ]
+        extra_approx = {
+            "clv_rows_exact_vs_approx": (
+                rows_inc["mv_customer_lifetime_value"],
+                n_approx,
+            ),
+            "per_mv_incremental_sec": per_mv,
+        }
         mismatch = {
             n: (rows_full[n], rows_inc[n])
             for n in rows_full
@@ -377,6 +404,7 @@ def main() -> None:
             "delta_bronze_rows": delta_counts,
             "delta_mods": mods,
             "mv_rowcount_mismatch": mismatch,
+            **extra_approx,
         }
         if mismatch:
             groups.append(
