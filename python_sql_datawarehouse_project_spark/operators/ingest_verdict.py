@@ -307,9 +307,11 @@ def ix2_embedding_ingest_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the corpus/eval bands are recomputed inline only because a
     gate is a pure function of the input tables — the persisted form
-    is the AnnIndex/DedupIndex band layout (plans/), and
-    scripts/bench_ingest_loop.py measures the text-side twin of this
-    loop flat across decades.  Oracle embeds dd14's auto-band CTE
+    is plans/emb_index.EmbIngestIndex (round 10: AnnIndex vector
+    store + capped corpus bands at rest + frozen band width;
+    ingest_verdict pinned == this gate in tests/test_emb_index.py),
+    and scripts/bench_emb_ingest_loop.py measures that loop across
+    decades (PERF.md round 10).  Oracle embeds dd14's auto-band CTE
     stack (dedup._sql_auto_band_ctes — the band width derived in SQL
     from COUNT(*)) plus the dd16 cap mirrored as occ/hub CTEs, so it
     inherits HEAVY_ORACLE_SF1 (Spark-side decade rows in PERF.md
