@@ -102,19 +102,24 @@ class AnnIndex:
     ) -> int:
         """Direct partitioned write (not write_batch): (batch, cid)
         partitioning — batch for idempotent dynamic overwrite of one
-        ingest, cid for the probe's dynamic partition pruning."""
+        ingest, cid for the probe's dynamic partition pruning.  The
+        row count is observed DURING the write job (same policy as
+        warehouse.write_batch): a read-back count would re-scan the
+        whole lists table, turning every per-ingest append into an
+        O(corpus) pass — measured as the dominant land-stage term in
+        the round-10 emb ingest-loop decade bench before this fix."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
         (
             lists.withColumn("batch", F.lit(batch_id))
+            .observe(obs, F.count(F.lit(1)).alias("rows"))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch", "cid")
             .parquet(self._lists_path())
         )
-        return (
-            spark.read.parquet(self._lists_path())
-            .filter(F.col("batch") == batch_id)
-            .count()
-        )
+        return int(obs.get["rows"])
 
     def append_vectors(
         self, spark: SparkSession, new_vecs: DataFrame, batch_id: str

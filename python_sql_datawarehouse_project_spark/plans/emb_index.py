@@ -156,7 +156,13 @@ class EmbIngestIndex:
         def rescore(cand: DataFrame, other_vn: DataFrame) -> DataFrame:
             """Exact sequential-fold cosine >= COSINE_T for candidate
             (new_id, other_id) pairs; vn re-attaches by id equi-joins
-            (vectors never ride the band exchange)."""
+            (vectors never ride the band exchange).  The batch side —
+            candidates already carrying the new vectors — is
+            BROADCAST, so the persisted corpus/eval vn table streams
+            through a broadcast-hash join with ZERO corpus-side
+            shuffle: cap-bounded candidates x 64 doubles is a few MB
+            at any corpus size, while the corpus side is the thing
+            that grows."""
             a = n_new.select(
                 F.col("vec_id").alias("new_id"), F.col("vn").alias("va")
             )
@@ -165,7 +171,7 @@ class EmbIngestIndex:
             )
             d = H.dot_fold(F.col("va"), F.col("vb"))
             return (
-                cand.join(a, "new_id")
+                F.broadcast(cand.join(a, "new_id"))
                 .join(b, "other_id")
                 .filter(d >= COSINE_T)
                 .select("new_id", "other_id", d.alias("cosine"))
