@@ -351,30 +351,47 @@ def _delta_lifetime_hll(wh: Warehouse, batch_id: str) -> DataFrame:
     )
 
 
-def _merge_lifetime_hll(snapshots: DataFrame) -> DataFrame:
+def _merge_lifetime_hll(parts: list[DataFrame]) -> DataFrame:
     """Customer-grain merge: money partials SUM, registers element-wise
-    MAX.  Arrays are dense and fixed-length, so posexplode + MAX +
-    reg-sorted re-collect is exactly the register-wise max; the
-    exploded frame is |customers| x 64 int rows, map-side combinable
-    — never order-grain."""
-    sales = snapshots.groupBy(*_CLV_KEYS).agg(
-        F.sum("order_sales").cast(_STATE_DEC).alias("order_sales")
-    )
-    regs = (
-        snapshots.select(
-            *_CLV_KEYS, F.posexplode("regs").alias("reg", "rho")
+    MAX — as a pairwise FULL OUTER join + zip_with(greatest) fold.
+    No explode anywhere: the first cut posexploded every snapshot to
+    (customer, reg) grain and re-collected arrays, which at sf10 was
+    a 192M-row double shuffle and made the approx path SLOWER than
+    the exact one (22.3 s vs 11.1 s, bench_medallion r10).  The join
+    form ships each state row once, arrays intact, and typically
+    broadcasts the delta side (batch-sized) against the streaming
+    state."""
+
+    def merge2(a: DataFrame, b: DataFrame) -> DataFrame:
+        a2 = a.select(
+            *_CLV_KEYS,
+            F.col("order_sales").alias("s_a"),
+            F.col("regs").alias("r_a"),
         )
-        .groupBy(*_CLV_KEYS, "reg")
-        .agg(F.max("rho").alias("rho"))
-        .groupBy(*_CLV_KEYS)
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("reg", "rho"))),
-                lambda x: x["rho"],
-            ).alias("regs")
+        b2 = b.select(
+            *_CLV_KEYS,
+            F.col("order_sales").alias("s_b"),
+            F.col("regs").alias("r_b"),
         )
-    )
-    return sales.join(regs, list(_CLV_KEYS))
+        return a2.join(b2, list(_CLV_KEYS), "full_outer").select(
+            *_CLV_KEYS,
+            (
+                F.coalesce(F.col("s_a"), F.lit(0))
+                + F.coalesce(F.col("s_b"), F.lit(0))
+            )
+            .cast(_STATE_DEC)
+            .alias("order_sales"),
+            F.when(F.col("r_a").isNull(), F.col("r_b"))
+            .when(F.col("r_b").isNull(), F.col("r_a"))
+            .otherwise(
+                F.zip_with(
+                    F.col("r_a"), F.col("r_b"), lambda x, y: F.greatest(x, y)
+                )
+            )
+            .alias("regs"),
+        )
+
+    return reduce(merge2, parts)
 
 
 def _publish_lifetime_hll(state: DataFrame) -> DataFrame:
@@ -443,11 +460,7 @@ def refresh_mv_incremental_approx(
             BATCH_COL
         )
         parts = [prev, *parts]
-    merged = (
-        _merge_lifetime_hll(reduce(DataFrame.unionByName, parts))
-        if len(parts) > 1
-        else parts[0]
-    )
+    merged = _merge_lifetime_hll(parts) if len(parts) > 1 else parts[0]
     n_state = wh.write_batch(merged, STATE_LAYER, state_table, batch_id)
     _mark_state_complete(wh, state_table, batch_id)
     state = (
