@@ -257,6 +257,37 @@ class EmbIngestIndex:
             )
         )
 
+    def delete_keys(self, spark: SparkSession, keys: DataFrame) -> dict[str, int]:
+        """Takedown path (right-to-be-forgotten), completing the
+        curation story the text index (DedupIndex/warehouse
+        delete_keys) and AnnIndex already have: hard-delete corpus
+        vectors by vec_id from BOTH halves of this index — the
+        AnnIndex inverted lists (its audited delete, which rewrites
+        only the (batch, cid) partitions touched and verifies no
+        trace remains) and the persisted band rows (warehouse
+        delete_keys, which rewrites only the batch partitions a key
+        landed in).  After this, a future ingest can neither match
+        nor point at the deleted vectors: no band row means no
+        candidate, and the rescore's inner join against the lists
+        drops any stale candidate whose vn is gone.
+
+        Honest cap interaction: if a deleted vector was a mega-bucket
+        HUB, that bucket keeps its (capped-away) members but loses
+        its only at-rest representative, so probes miss dups in that
+        bucket until a re-band compaction re-elects a hub — the same
+        LSM-shaped trade the per-batch append cap documents.  The
+        eval release is a managed dataset, not user data; it is
+        deliberately untouched here.
+
+        Returns per-table deleted-row counts; replay-idempotent
+        (deleting the same keys again deletes zero rows)."""
+        return {
+            "ann_lists": self.ann.delete_keys(spark, keys),
+            "emb_corpus_bands": self.wh.delete_keys(
+                LAYER, "emb_corpus_bands", "vec_id", keys
+            ),
+        }
+
     def land_batch(
         self, spark: SparkSession, new_vecs: DataFrame, batch_id: str
     ) -> dict[str, int]:

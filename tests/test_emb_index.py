@@ -118,3 +118,31 @@ def test_frozen_width_survives_reopen(spark, built):
     idx, _, _ = built
     reopened = EmbIngestIndex(idx.wh)
     assert reopened.bits() == idx.bits()
+
+
+def test_delete_keys_removes_vector_from_future_verdicts(
+    spark, sf_dir, built
+):
+    """Takedown: after delete_keys, a clone of the deleted vector no
+    longer matches it (no band row -> no candidate; no vn row -> no
+    rescore), and the delete is replay-idempotent."""
+    idx, batch, _ = built
+    rows = idx.ingest_verdict(spark, batch, BID).collect()
+    survivor_ids = [r["vec_id"] for r in rows if r["n_eval_hits"] == 0]
+    keepers = batch.where(F.col("vec_id").isin(survivor_ids))
+    idx.land_batch(spark, keepers, BID)  # idempotent if already landed
+    kept_id = min(r["vec_id"] for r in rows if r["action"] == "keep")
+    clone = batch.where(F.col("vec_id") == kept_id).select(
+        (F.col("vec_id") + 20_000_000).alias("vec_id"), "embedding"
+    )
+    before = idx.ingest_verdict(spark, clone, "batch000004").collect()[0]
+    assert before["canonical_id"] == kept_id  # sanity: twin found
+    keys = spark.createDataFrame([(kept_id,)], "vec_id long")
+    deleted = idx.delete_keys(spark, keys)
+    assert deleted["ann_lists"] == 1
+    assert deleted["emb_corpus_bands"] >= 1
+    after = idx.ingest_verdict(spark, clone, "batch000004").collect()[0]
+    assert after["canonical_id"] != kept_id
+    assert (
+        idx.delete_keys(spark, keys)["ann_lists"] == 0
+    )  # replay deletes nothing
