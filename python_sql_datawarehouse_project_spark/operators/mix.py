@@ -650,6 +650,150 @@ GROUP BY 1
 """
 
 
+# -- ds12: temperature-scaled mixture allocation ----------------------
+# The standard multilingual sampling recipe (alpha-temperature,
+# p_l ∝ n_l^alpha): alpha = 0.5 so the weight is sqrt(n_l) — chosen
+# over an arbitrary alpha precisely because IEEE-754 sqrt is
+# CORRECTLY ROUNDED on every engine (pow() is not), so the flattened
+# weights are bitwise portable.  ds1/ds4 fix per-language rates/sizes
+# by hand; ds12 DERIVES the per-language quota from corpus counts the
+# way a multilingual pretraining mix actually does, then allocates an
+# exact global budget with largest-remainder rounding (sum(alloc) ==
+# BUDGET exactly, no float drift) and pins the selected sample's
+# membership via an exact int64 doc_id sum.
+DS12_BUDGET = 200
+DS12_SQRT_SCALE = 1_000_000_000_000  # weight = floor(sqrt(n * 1e12))
+
+
+def ds12_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sqrt-temperature quota + deterministic sample.
+
+    Exactness: weight_scaled = floor(sqrt(CAST(n AS DOUBLE) * 1e12))
+    is one double multiply + one correctly-rounded sqrt + floor —
+    identical on both engines; alloc0 = (BUDGET * w) div sum(w) and
+    the largest-remainder top-up are pure int64; the winners rank by
+    (remainder DESC, lang) over |langs| rows.  The sample is ds4's
+    md5-rank order truncated at the DERIVED quota, and its exact
+    int64 doc_id sum pins membership without materializing doc rows.
+
+    Scale: two lang-grain aggregates (map-side combinable) feed a
+    |langs|-row allocation frame (the global window is bounded by
+    language count, never data — allowlisted like ds9's tau frame);
+    the quota join back to documents is a broadcast of |langs| rows;
+    the per-language rank window shuffles once on lang.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    weights = counts.select(
+        "lang",
+        "n_docs",
+        F.floor(
+            F.sqrt(F.col("n_docs").cast("double") * F.lit(float(DS12_SQRT_SCALE)))
+        )
+        .cast("long")
+        .alias("weight_scaled"),
+    )
+    tot = weights.agg(F.sum("weight_scaled").alias("tw"))
+    base = weights.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "weight_scaled",
+        F.expr(f"({DS12_BUDGET} * weight_scaled) div tw").alias("alloc0"),
+        F.expr(f"({DS12_BUDGET} * weight_scaled) % tw").alias("rem"),
+    )
+    leftover = base.agg(
+        (F.lit(DS12_BUDGET) - F.sum("alloc0")).alias("leftover")
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.col("rem").desc(), F.col("lang").asc())
+    )
+    alloc = (
+        base.withColumn("rk", rk)
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            "lang",
+            "n_docs",
+            "weight_scaled",
+            (
+                F.col("alloc0")
+                + F.when(F.col("rk") <= F.col("leftover"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+    )
+    h = H.md5_long(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    ranked = docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+    sel = (
+        ranked.join(F.broadcast(alloc.select("lang", "alloc")), "lang")
+        .where(F.col("rk") <= F.col("alloc"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sample"),
+            F.sum("doc_id").alias("sample_doc_id_sum"),
+        )
+    )
+    return alloc.join(sel, "lang").select(
+        "lang",
+        "n_docs",
+        "weight_scaled",
+        "alloc",
+        "n_sample",
+        "sample_doc_id_sum",
+    )
+
+
+DS12_ORACLE = f"""
+WITH counts AS (
+    SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+),
+weights AS (
+    SELECT lang, n_docs,
+           CAST(floor(sqrt(CAST(n_docs AS DOUBLE) * {float(DS12_SQRT_SCALE)}))
+                AS BIGINT) AS weight_scaled
+    FROM counts
+),
+tot AS (SELECT sum(weight_scaled) AS tw FROM weights),
+base AS (
+    SELECT lang, n_docs, weight_scaled,
+           ({DS12_BUDGET} * weight_scaled) // tw AS alloc0,
+           ({DS12_BUDGET} * weight_scaled) % tw AS rem
+    FROM weights, tot
+),
+alloc AS (
+    SELECT lang, n_docs, weight_scaled,
+           CAST(alloc0 + CASE WHEN row_number() OVER (
+                    ORDER BY rem DESC, lang ASC)
+                <= (SELECT {DS12_BUDGET} - sum(alloc0) FROM base)
+                THEN 1 ELSE 0 END AS BIGINT) AS alloc
+    FROM base
+),
+ranked AS (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {H.sql_md5_long("CAST(doc_id AS VARCHAR)")}, doc_id
+           ) AS rk
+    FROM documents
+),
+sel AS (
+    SELECT r.lang, count(*) AS n_sample,
+           CAST(sum(r.doc_id) AS BIGINT) AS sample_doc_id_sum
+    FROM ranked r JOIN alloc a USING (lang)
+    WHERE r.rk <= a.alloc
+    GROUP BY 1
+)
+SELECT a.lang, a.n_docs, a.weight_scaled, a.alloc,
+       s.n_sample, s.sample_doc_id_sum
+FROM alloc a JOIN sel s USING (lang)
+"""
+
+
 QUERIES = {
     "ds1_training_mix": ds1_training_mix,
     "ds2_token_budget": ds2_token_budget,
@@ -659,6 +803,7 @@ QUERIES = {
     "ds6_clean_mix": ds6_clean_mix,
     "ds8_sequence_packing": ds8_sequence_packing,
     "ds11_bloom_screened_mix": ds11_bloom_screened_mix,
+    "ds12_temperature_mix": ds12_temperature_mix,
 }
 ORACLES = {
     "ds1_training_mix": DS1_ORACLE,
@@ -669,4 +814,5 @@ ORACLES = {
     "ds6_clean_mix": _ds6_oracle(),
     "ds8_sequence_packing": _ds8_oracle(),
     "ds11_bloom_screened_mix": _ds11_oracle(),
+    "ds12_temperature_mix": DS12_ORACLE,
 }

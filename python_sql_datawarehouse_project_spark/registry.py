@@ -37,6 +37,7 @@ from .operators import (
     reconcile,
     recursive,
     retrieval,
+    semdedup,
     semijoin,
     similarity,
     skew,
@@ -49,6 +50,7 @@ from .operators import (
     udtfs,
     windows,
     windows_extra,
+    winnow,
 )
 from .streaming import bounded as stream_bounded
 from .streaming import dedup as stream_dedup
@@ -128,6 +130,8 @@ _MODULES = (
     # sample, hh1 distributed Misra-Gries) — window tier B
     graph,  # round-8 int64 fixed-point PageRank (gr1) — window tier B
     ingest_verdict,  # round-9 composed per-ingest verdict (ix1) — window tier A
+    winnow,  # round-10 winnowing span-overlap family (wn1/wn2) — window tier A
+    semdedup,  # round-10 SemDeDup cluster-then-prune verdict — window tier A
 )
 
 
@@ -139,16 +143,22 @@ _WINDOW_PRIORITY = (
     # Round-10 window (VERDICT r9 #5): the driver checks the FIRST 50
     # keys each round.  After CORRECTNESS_r09 the driver-green
     # distribution is r9:50, r8:50, r7:45, r6:49, r5:3
-    # (provenance.driver_green_rounds()); no round-10 gate additions
-    # or implementation changes touch existing gates, so tier A is
-    # EMPTY and the window is pure re-confirmation, oldest-first:
-    # the three r5 stragglers the r9 verdict named (they sat at
-    # positions 51-53 last round) lead, then 47 of the 49 r6-green
-    # keys in registry order.  The remaining two r6 keys
-    # (ev16_cumulative_users, ev17_value_histogram) sit at positions
-    # 51-52 — green in every full self-sweep — and lead the round-11
-    # rotation together with the r7 cohort.
-    # -- tier B: r5 stragglers first, then the r6 cohort --------------
+    # (provenance.driver_green_rounds()).
+    # -- tier A: never-driver-checked round-10 additions --------------
+    # wn1/wn2 (winnowing span-overlap family) and ds12 (temperature
+    # mixture allocation) are new this round and MUST be in the
+    # window per the standing rule (never-green keys enter first).
+    "wn1_winnowing_overlap",
+    "wn2_containment",
+    "ds12_temperature_mix",
+    "dd19_semdedup",
+    # -- tier B: re-confirmation, oldest-first ------------------------
+    # The three r5 stragglers the r9 verdict named lead, then the
+    # r6-green keys in registry order.  The keys past position 50
+    # (ds8_sequence_packing, dd12_triangle_census, sim7_knn_graph,
+    # ev16_cumulative_users, ev17_value_histogram — all green in
+    # every full self-sweep) lead the round-11 rotation together
+    # with the r7 cohort.
     "tx14_langid_confusion",
     "sim6_ivf_recall",
     "qa18_blocking_recall",
@@ -273,6 +283,7 @@ HASHED_AT_SCALE = frozenset({
     "tx7_repetition",
     # pre-round-8 members
     "dd4_simhash",
+    "dd19_semdedup",  # round-10: per-vector verdict, output ∝ corpus
     "ev11_gap_fill",
     "pd1_window_dedup",
     "q1_monthly_sales_product",

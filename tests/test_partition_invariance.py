@@ -38,6 +38,8 @@ _FLOAT_GATES = (
     "tx2_quality_score",  # fixed per-row expression tree
     "ds1_training_mix",  # hash-gate membership
     "qa4_kmv_distinct",  # single-division estimate
+    "wn2_containment",  # exact-int64 division containment ratio
+    "dd19_semdedup",  # fixed-point centroids + fold cosines
 )
 
 _QUERIES = registry.queries()

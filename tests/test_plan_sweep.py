@@ -66,6 +66,7 @@ _SINGLE_PARTITION_OK = {
     "ds7_epoch_schedule",
     "ds8_sequence_packing",
     "ds9_priority_sample",  # rank/tau window over a (k+1)-row frame
+    "ds12_temperature_mix",  # largest-remainder rank over |langs| rows
     "hh1_frequent_items",  # 1-row total-N support-threshold scalar
     "ev16_cumulative_users",
     "ev17_value_histogram",
