@@ -160,5 +160,156 @@ FROM scored s LEFT JOIN losers l ON l.vec_id = s.vec_id
 
 DD19_ORACLE = _dd19_oracle()
 
-QUERIES = {"dd19_semdedup": dd19_semdedup}
-ORACLES = {"dd19_semdedup": DD19_ORACLE}
+
+# -- dd20: the capped production form ---------------------------------
+# dd19's intra-cluster pair stage is |cluster|^2 — correct as the
+# oracle-pure definition, quadratic when k is held fixed while the
+# corpus grows.  The paper's remedy is k ∝ n (constant cluster size);
+# this gate adds the orthogonal cap that works at ANY k: sort each
+# cluster's members by centroid similarity (a 1-D projection — true
+# near-dups have near-identical csim by continuity of the dot
+# product) and compare each member only to its SN_WINDOW successors
+# in that order — dd10's sorted-neighborhood policy applied inside
+# the semantic cluster, the same cost-bounding move dd16/dd17 make
+# for LSH buckets.  Pair-stage cost drops to n * SN_WINDOW.
+#
+# The cap PRESUMES the k ∝ n policy (bounded cluster cardinality —
+# the paper's own deployment shape): with ~60-member clusters,
+# SN_WINDOW = 25 is a measured 2.4x pair-stage reduction at 0.815
+# pair recall on the test corpus (rank-distance distribution in
+# PERF.md round 10) — and the corpus' SEM_TAU = 0.40 pairs are the
+# WEAK-signal case for csim adjacency; at the tau >= 0.9 a real
+# SemDeDup run uses, near-identical vectors have near-identical
+# csim and the window tightens.  Growing clusters under a frozen k
+# would erode recall — the remedy is raising k, not the window.
+SN_WINDOW = 25
+
+
+def dd20_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cid, csim, keep): SemDeDup verdict with the pair
+    stage capped to SN_WINDOW csim-sorted neighbors per vector.
+
+    The rank join is ONE equi-join on (cid, rank): each member
+    explodes SN_WINDOW successor offsets, so fan-out is exactly the
+    cap — never cluster cardinality.  Verdict rule identical to
+    dd19; a capped run can only MISS pairs (keep extra vectors),
+    never invent drops — the conservative direction for a pruning
+    policy (recall floor pinned in tests/test_semdedup.py)."""
+    from pyspark.sql import Window
+
+    from .recursive import finalize_recursion
+
+    n = _emb_normalized(spark, sf_dir).persist()
+    cents = train_centroids(n)
+    if not cents:
+        n.unpersist()
+        return spark.createDataFrame(
+            [], "vec_id long, cid long, csim double, keep int"
+        )
+    csim = F.element_at(
+        F.array(*[_dot_lit(F.col("vn"), c) for c in cents]),
+        F.col("cid").cast("int") + 1,
+    )
+    w = Window.partitionBy("cid").orderBy(
+        F.col("csim").asc(), F.col("vec_id").asc()
+    )
+    scored = (
+        n.select(
+            "vec_id", "vn", _best_centroid(F.col("vn"), cents).alias("cid")
+        )
+        .withColumn("csim", csim)
+        .withColumn("rk", F.row_number().over(w))
+    )
+    probe = scored.select(
+        "cid",
+        F.col("vec_id").alias("va"),
+        F.col("csim").alias("ca"),
+        F.col("vn").alias("vna"),
+        F.explode(
+            F.sequence(F.col("rk") + 1, F.col("rk") + SN_WINDOW)
+        ).alias("rk"),
+    )
+    pairs = (
+        probe.join(scored, ["cid", "rk"])
+        .where(H.dot_fold(F.col("vna"), F.col("vn")) >= SEM_TAU)
+        .select(
+            "va",
+            "ca",
+            F.col("vec_id").alias("vb"),
+            F.col("csim").alias("cb"),
+        )
+    )
+    losers = pairs.select(
+        F.when(F.col("ca") > F.col("cb"), F.col("va"))
+        .when(F.col("cb") > F.col("ca"), F.col("vb"))
+        .otherwise(F.greatest("va", "vb"))
+        .alias("vec_id")
+    ).distinct()
+    verdict = (
+        scored.join(
+            losers.withColumn("is_loser", F.lit(1)), "vec_id", "left"
+        )
+        .select(
+            "vec_id",
+            F.col("cid").cast("long").alias("cid"),
+            "csim",
+            F.when(F.col("is_loser").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("keep"),
+        )
+    )
+    return finalize_recursion(verdict, [n])
+
+
+def _dd20_oracle() -> str:
+    iter_ctes = []
+    prev = "c0"
+    for i in range(1, KM_ITERS + 1):
+        iter_ctes.append(f"a{i} AS ({_sql_assign(prev)})")
+        iter_ctes.append(f"c{i} AS ({_sql_update(f'a{i}', prev)})")
+        prev = f"c{i}"
+    chain = ",\n".join(iter_ctes)
+    return f"""
+WITH {_SQL_NORM_CTE},
+dims AS (SELECT unnest(range(0, {DIM})) AS j),
+c0 AS (SELECT vec_id AS cid, vn AS cv FROM e WHERE vec_id < {KM_K}),
+{chain},
+lists AS ({_sql_assign(prev)}),
+scored AS (
+    SELECT l.vec_id, l.cid, l.vn, {H.sql_dot('l.vn', 'c.cv')} AS csim,
+           ROW_NUMBER() OVER (
+               PARTITION BY l.cid
+               ORDER BY {H.sql_dot('l.vn', 'c.cv')} ASC, l.vec_id ASC
+           ) AS rk
+    FROM lists l JOIN {prev} c ON c.cid = l.cid
+),
+pairs AS (
+    SELECT a.vec_id AS va, a.csim AS ca, b.vec_id AS vb, b.csim AS cb
+    FROM scored a
+    JOIN scored b
+      ON b.cid = a.cid
+     AND b.rk BETWEEN a.rk + 1 AND a.rk + {SN_WINDOW}
+    WHERE {H.sql_dot('a.vn', 'b.vn')} >= {SEM_TAU}
+),
+losers AS (
+    SELECT DISTINCT CASE WHEN ca > cb THEN va
+                         WHEN cb > ca THEN vb
+                         ELSE greatest(va, vb) END AS vec_id
+    FROM pairs
+)
+SELECT s.vec_id, s.cid, s.csim,
+       CAST(CASE WHEN l.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM scored s LEFT JOIN losers l ON l.vec_id = s.vec_id
+"""
+
+
+DD20_ORACLE = _dd20_oracle()
+
+QUERIES = {
+    "dd19_semdedup": dd19_semdedup,
+    "dd20_semdedup_capped": dd20_semdedup_capped,
+}
+ORACLES = {
+    "dd19_semdedup": DD19_ORACLE,
+    "dd20_semdedup_capped": DD20_ORACLE,
+}

@@ -152,6 +152,7 @@ _WINDOW_PRIORITY = (
     "wn2_containment",
     "ds12_temperature_mix",
     "dd19_semdedup",
+    "dd20_semdedup_capped",
     # -- tier B: re-confirmation, oldest-first ------------------------
     # The three r5 stragglers the r9 verdict named lead, then the
     # r6-green keys in registry order.  The keys past position 50
@@ -284,6 +285,7 @@ HASHED_AT_SCALE = frozenset({
     # pre-round-8 members
     "dd4_simhash",
     "dd19_semdedup",  # round-10: per-vector verdict, output ∝ corpus
+    "dd20_semdedup_capped",  # round-10: same output grain as dd19
     "ev11_gap_fill",
     "pd1_window_dedup",
     "q1_monthly_sales_product",

@@ -40,6 +40,7 @@ _FLOAT_GATES = (
     "qa4_kmv_distinct",  # single-division estimate
     "wn2_containment",  # exact-int64 division containment ratio
     "dd19_semdedup",  # fixed-point centroids + fold cosines
+    "dd20_semdedup_capped",  # csim-rank window must not drift
 )
 
 _QUERIES = registry.queries()

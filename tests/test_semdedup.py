@@ -61,6 +61,31 @@ def test_drops_only_pair_participants(spark, sf_dir):
     assert dropped <= participants
 
 
+def test_capped_verdict_is_conservative_and_recalls(spark, sf_dir):
+    """dd20 can only MISS near-dup pairs (its pair set is a subset of
+    dd19's), so its drop set must be a subset of dd19's drops — and
+    on the seeded test corpus the csim-sorted window must recover a
+    meaningful fraction of them (the sorted-neighborhood premise:
+    true near-dups have near-identical centroid similarity)."""
+    from python_sql_datawarehouse_project_spark.operators.semdedup import (
+        dd20_semdedup_capped,
+    )
+
+    full = {
+        r["vec_id"]
+        for r in dd19_semdedup(spark, sf_dir).where("keep = 0").collect()
+    }
+    capped = {
+        r["vec_id"]
+        for r in dd20_semdedup_capped(spark, sf_dir)
+        .where("keep = 0")
+        .collect()
+    }
+    assert full, "test corpus must produce dd19 drops"
+    assert capped <= full
+    assert len(capped) / len(full) >= 0.6
+
+
 def test_paper_rule_drops_the_centroid_nearest_member(spark, sf_dir):
     verdict, pairs = _verdict_and_pairs(spark, sf_dir)
     rows = {r["vec_id"]: r for r in verdict.collect()}
