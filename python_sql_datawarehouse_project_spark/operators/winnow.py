@@ -75,39 +75,85 @@ MIN_SHARED = 2
 # wn2 reports directed containment at or above this ratio.
 CONTAIN_MIN = 0.5
 
+# Gram hashing: one md5_long per TOKEN (reduced mod the Mersenne
+# prime), then each k-gram combines its K token hashes with TWO
+# Horner rolls (multipliers A1/A2 mod P) concatenated into a 62-bit
+# value h1 * P + h2 — 5x fewer digests than hashing every gram
+# string, and no per-gram string building.  Exactness: every step is
+# int64 arithmetic below 2^62 (acc < P, acc * A2 < 2^61), identical
+# on both engines; collision space 2^62 like a direct md5 prefix.
+GRAM_A1 = 1_000_003
+GRAM_A2 = 999_999_937
+
 
 def fingerprints_of(docs: DataFrame) -> DataFrame:
     """(doc_id, fp): distinct winnowed fingerprints per document.
 
-    Entirely per-row until the final explode: tokens -> positional
-    k-gram md5_long hashes (one array) -> per-window minima ->
-    array_distinct.  Docs shorter than K_GRAM tokens produce no
-    grams; gram arrays shorter than WINNOW_W produce no windows —
-    both filtered BEFORE F.sequence so Spark's inclusive sequence()
-    never sees a descending (1, 0) range (DuckDB's range() is
-    end-exclusive; the WHERE guards keep the two engines aligned).
+    TOKEN-GRAIN formulation: posexplode tokens, hash each token ONCE
+    as a top-level codegen'd column, roll k-gram hashes with window
+    LEADs, winnow with a MIN over the ROWS frame, distinct.  The
+    first cut did all of this inside array-lambda expressions
+    (F.transform) and measured ~50 microseconds PER ELEMENT: Spark
+    evaluates higher-order-function lambdas interpreted (no
+    whole-stage codegen inside the lambda), and CollapseProject
+    re-inlines a referenced intermediate array into every consumer,
+    multiplying the md5 work by the reference count.  Moving the
+    hash to token grain puts md5/conv back inside codegen
+    (sub-microsecond) and the window pass is one exchange on doc_id
+    + one per-doc sort — the standard distributed text shape (dd2 /
+    tx-family), linear at any corpus size with compact (doc_id,
+    pos, int64) shuffle rows.  Measured: 236 s -> ~2 s for the
+    sf0.1 substrate.
+
+    Alignment with the DuckDB oracle's list formulation: gram p
+    exists iff lead(K-1) is non-null (propagated nulls drop the
+    tail positions), and winnow keeps pos <= max_pos - (W-1) so
+    every MIN frame holds exactly W grams — identical to the
+    oracle's range(1, len - W + 2) slice windows.
     """
+    from pyspark.sql import Window
+
     toks = docs.select("doc_id", _tokens(F.col("text")).alias("tk")).where(
         F.size("tk") >= K_GRAM
     )
-    grams = toks.select(
-        "doc_id",
-        F.transform(
-            F.sequence(F.lit(1), F.size("tk") - K_GRAM + 1),
-            lambda p: H.md5_long(F.array_join(F.slice("tk", p, K_GRAM), " ")),
-        ).alias("hs"),
-    ).where(F.size("hs") >= WINNOW_W)
-    fps = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size("hs") - WINNOW_W + 1),
-            lambda p: F.array_min(F.slice("hs", p, WINNOW_W)),
-        )
+    tok = toks.select("doc_id", F.posexplode("tk").alias("pos", "t"))
+    th = tok.select(
+        "doc_id", "pos", (H.md5_long(F.col("t")) % H.MINHASH_P).alias("th")
     )
-    return grams.select("doc_id", F.explode(fps).alias("fp"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    h1 = F.col("th")
+    h2 = F.col("th")
+    for i in range(1, K_GRAM):
+        t = F.lead("th", i).over(w)
+        h1 = (h1 * GRAM_A1 + t) % H.MINHASH_P
+        h2 = (h2 * GRAM_A2 + t) % H.MINHASH_P
+    grams = th.select(
+        "doc_id", "pos", (h1 * H.MINHASH_P + h2).alias("gh")
+    ).where(F.col("gh").isNotNull())
+    wmin = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, WINNOW_W - 1)
+    )
+    wdoc = Window.partitionBy("doc_id")
+    winnowed = grams.select(
+        "doc_id",
+        "pos",
+        F.min("gh").over(wmin).alias("fp"),
+        F.max("pos").over(wdoc).alias("maxp"),
+    ).where(F.col("pos") <= F.col("maxp") - (WINNOW_W - 1))
+    return winnowed.select("doc_id", "fp").distinct()
 
 
 def _fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return fingerprints_of(load_table(spark, sf_dir, "documents"))
+    """Gate-path substrate: localCheckpoint the fingerprint set so
+    the df count, band join and pair self-join reuse it instead of
+    re-running tokenize+hash+window up to four times (the tx9
+    pattern).  Parallelism comes from the window exchange on doc_id
+    — no explicit repartition needed."""
+    return fingerprints_of(
+        load_table(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=True)
 
 
 def _live(fp: DataFrame) -> DataFrame:
@@ -179,17 +225,26 @@ def wn2_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_substrate() -> str:
     """Shared oracle CTE chain (toks -> grams -> winnowed -> fp ->
     live), emitted from the SAME constants as the Spark side."""
+    h1 = "th[p]"
+    h2 = "th[p]"
+    for i in range(1, K_GRAM):
+        h1 = f"(({h1}) * {GRAM_A1} + th[p + {i}]) % {H.MINHASH_P}"
+        h2 = f"(({h2}) * {GRAM_A2} + th[p + {i}]) % {H.MINHASH_P}"
     return f"""
 toks AS (
     SELECT doc_id, {_sql_tokens('text')} AS tk FROM documents
 ),
+th AS (
+    SELECT doc_id,
+           list_transform(tk, t -> {H.sql_md5_long('t')} % {H.MINHASH_P})
+               AS th
+    FROM toks WHERE len(tk) >= {K_GRAM}
+),
 grams AS (
     SELECT doc_id,
-           list_transform(range(1, len(tk) - {K_GRAM} + 2),
-               p -> {H.sql_md5_long(
-                   f"array_to_string(list_slice(tk, p, p + {K_GRAM} - 1), ' ')"
-               )}) AS hs
-    FROM toks WHERE len(tk) >= {K_GRAM}
+           list_transform(range(1, len(th) - {K_GRAM} + 2),
+               p -> ({h1}) * {H.MINHASH_P} + ({h2})) AS hs
+    FROM th
 ),
 winnowed AS (
     SELECT doc_id,
