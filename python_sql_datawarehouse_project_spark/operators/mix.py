@@ -681,6 +681,12 @@ def ds12_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     language count, never data — allowlisted like ds9's tau frame);
     the quota join back to documents is a broadcast of |langs| rows;
     the per-language rank window shuffles once on lang.
+
+    Edge semantics (identical on both engines by construction): a
+    language allocated zero docs yields no sample row and the final
+    inner join drops it from the output — the report covers funded
+    languages; and a quota exceeding a language's corpus simply
+    takes the whole language (rank filter is <= alloc).
     """
     from pyspark.sql import Window
 
