@@ -2,12 +2,17 @@
 the position-robust span-overlap family the MinHash gates cannot
 express.
 
-  wn1_winnowing_overlap   doc pairs sharing >= MIN_SHARED winnowed
-                          k-gram fingerprints (symmetric overlap)
-  wn2_containment         directed containment verdict: the fraction
-                          of a doc's fingerprints found in another
-                          doc (the "A is substantially inside B"
-                          signal Jaccard dilutes when |B| >> |A|)
+  wn1_winnowing_overlap      doc pairs sharing >= MIN_SHARED winnowed
+                             k-gram fingerprints (symmetric overlap)
+  wn2_containment            directed containment verdict: the
+                             fraction of a doc's fingerprints found
+                             in another doc (the "A is substantially
+                             inside B" signal Jaccard dilutes when
+                             |B| >> |A|)
+  wn3_span_decontamination   per-corpus-doc verdict: benchmark items
+                             whose fingerprint mass appears inside
+                             the doc (the span rung of the tx6 ->
+                             qa23 -> tx20 decontamination ladder)
 
 Why this exists next to dd2-dd17: MinHash estimates SET Jaccard over
 all shingles — it tells you two docs are globally similar, but (a) a
@@ -34,9 +39,11 @@ Scale (the reason winnowing beats storing all grams):
     gram positions (the SIGMOD'03 density bound), and at most one
     fingerprint per window — the per-doc fingerprint set is a
     fraction of the token count BEFORE any distinct;
-  * everything up to the fingerprint explode is per-row array
-    expressions inside whole-stage codegen — token split, gram
-    hashing, window minima — zero shuffle, zero UDF, scan-speed;
+  * the substrate is TOKEN-GRAIN codegen (posexplode -> one md5 per
+    token -> window-LEAD Horner gram rolls -> ROWS-frame MIN): one
+    exchange on doc_id + one per-doc sort, compact int64 shuffle
+    rows, no UDF and no interpreted lambdas (see fingerprints_of's
+    docstring for the measured 236 s -> 2 s lesson);
   * the pair stage joins on the fingerprint value with a document-
     frequency band [2, DF_CAP]: df = 1 cannot produce a pair, and
     df > DF_CAP marks boilerplate (stop-fingerprints), so per-key
@@ -291,11 +298,106 @@ WHERE CAST(s.n_shared AS DOUBLE) / n.n_fp >= {CONTAIN_MIN}
 """
 
 
+# -- wn3: span-level benchmark decontamination ------------------------
+# Completes the decontamination ladder (tx6 exact 8-grams -> qa23
+# Bloom screen -> tx20 MinHash fuzzy): a corpus document is flagged
+# when a substantial FRACTION of some benchmark document's winnowed
+# fingerprints appear inside it — the paraphrase-robust, position-
+# robust span test.  tx6 catches verbatim 8-grams; tx20 catches
+# whole-document paraphrases; wn3 catches a benchmark ITEM pasted
+# into an otherwise-unrelated document, which is the common real
+# leak shape (few verbatim grams after light editing, near-zero
+# whole-doc Jaccard).  Role convention: doc_id % WN3_BENCH_MOD == 0
+# is the benchmark suite (a 10% eval share — tx6's 1% BENCH_MOD
+# leaves the span-leak population empty at sf0.01, which would make
+# the gate trivially green; the modulus is a test-harness role
+# choice, not an algorithm parameter).
+WN3_BENCH_MOD = 10
+
+
+def wn3_span_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-corpus-doc verdict: (doc_id, n_bench_hits,
+    max_containment, contaminated) — a hit is a benchmark doc whose
+    banded fingerprints are contained in the corpus doc at >=
+    CONTAIN_MIN.  Direction matters: the BENCHMARK doc is the src
+    (its fingerprint count is the denominator), so a short eval item
+    inside a long document still scores ~1.0.
+
+    Scale: the benchmark side is eval-suite-sized (bounded), so its
+    live fingerprint set broadcasts; the corpus side pays one
+    substrate pass + an id-grain aggregation — per-corpus-row cost
+    is flat, the tx6/qa23 shape with span semantics."""
+    fp = _fingerprints(spark, sf_dir)
+    is_bench = F.col("doc_id") % WN3_BENCH_MOD == 0
+    live = _live(fp)
+    bench = live.where(is_bench)
+    corpus = live.where(~is_bench)
+    n_bfp = bench.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    shared = (
+        bench.alias("b")
+        .join(corpus.alias("c"), F.col("b.fp") == F.col("c.fp"))
+        .groupBy(
+            F.col("b.doc_id").alias("bench_doc"),
+            F.col("c.doc_id").alias("doc_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    scored = shared.join(
+        n_bfp.withColumnRenamed("doc_id", "bench_doc"), "bench_doc"
+    ).select(
+        "doc_id",
+        (F.col("n_shared").cast("double") / F.col("n_fp")).alias("cont"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("cont") >= CONTAIN_MIN, 1).otherwise(0)
+            ).cast("long").alias("n_bench_hits"),
+            F.max("cont").alias("max_containment"),
+        )
+        .where(F.col("n_bench_hits") >= 1)
+        .withColumn("contaminated", F.lit(1))
+    )
+
+
+def _wn3_oracle() -> str:
+    return f"""
+WITH {_sql_substrate()},
+bench AS (SELECT * FROM live WHERE doc_id % {WN3_BENCH_MOD} = 0),
+corpus AS (SELECT * FROM live WHERE doc_id % {WN3_BENCH_MOD} <> 0),
+n_bfp AS (SELECT doc_id, count(*) AS n_fp FROM bench GROUP BY doc_id),
+shared AS (
+    SELECT b.doc_id AS bench_doc, c.doc_id AS doc_id,
+           count(*) AS n_shared
+    FROM bench b JOIN corpus c ON b.fp = c.fp
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT s.doc_id,
+           CAST(s.n_shared AS DOUBLE) / n.n_fp AS cont
+    FROM shared s JOIN n_bfp n ON n.doc_id = s.bench_doc
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN cont >= {CONTAIN_MIN} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_bench_hits,
+       max(cont) AS max_containment,
+       CAST(1 AS INTEGER) AS contaminated
+FROM scored
+GROUP BY doc_id
+HAVING sum(CASE WHEN cont >= {CONTAIN_MIN} THEN 1 ELSE 0 END) >= 1
+"""
+
+
+WN3_ORACLE = _wn3_oracle()
+
 QUERIES = {
     "wn1_winnowing_overlap": wn1_winnowing_overlap,
     "wn2_containment": wn2_containment,
+    "wn3_span_decontamination": wn3_span_decontamination,
 }
 ORACLES = {
     "wn1_winnowing_overlap": WN1_ORACLE,
     "wn2_containment": WN2_ORACLE,
+    "wn3_span_decontamination": WN3_ORACLE,
 }

@@ -150,17 +150,18 @@ _WINDOW_PRIORITY = (
     # window per the standing rule (never-green keys enter first).
     "wn1_winnowing_overlap",
     "wn2_containment",
+    "wn3_span_decontamination",
     "ds12_temperature_mix",
     "dd19_semdedup",
     "dd20_semdedup_capped",
     # -- tier B: re-confirmation, oldest-first ------------------------
     # The three r5 stragglers the r9 verdict named lead, then the
-    # r6-green keys in registry order.  With five tier-A inserts the
-    # keys past position 50 are ux1_pandas_udaf, qa19_ndv_profile,
-    # ds8_sequence_packing, dd12_triangle_census, sim7_knn_graph,
-    # ev16_cumulative_users, ev17_value_histogram — all green in
-    # every full self-sweep; they lead the round-11 rotation
-    # together with the r7 cohort.
+    # r6-green keys in registry order.  With six tier-A inserts the
+    # keys past position 50 are stream_coldstart_purchases,
+    # ux1_pandas_udaf, qa19_ndv_profile, ds8_sequence_packing,
+    # dd12_triangle_census, sim7_knn_graph, ev16_cumulative_users,
+    # ev17_value_histogram — all green in every full self-sweep;
+    # they lead the round-11 rotation together with the r7 cohort.
     "tx14_langid_confusion",
     "sim6_ivf_recall",
     "qa18_blocking_recall",
