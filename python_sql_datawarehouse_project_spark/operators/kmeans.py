@@ -242,14 +242,22 @@ def _sql_update(assign: str, prev_c: str) -> str:
     GROUP BY pd.cid"""
 
 
-def _sim4_oracle() -> str:
+def sql_lloyd_chain() -> tuple[str, str]:
+    """(CTE chain, final-centroid CTE name) for KM_ITERS Lloyd
+    iterations starting from c0 — the ONE builder the sim4/dd19/dd20
+    oracles all share, so a change to the chain shape cannot
+    silently diverge them."""
     iter_ctes = []
     prev = "c0"
     for i in range(1, KM_ITERS + 1):
         iter_ctes.append(f"a{i} AS ({_sql_assign(prev)})")
         iter_ctes.append(f"c{i} AS ({_sql_update(f'a{i}', prev)})")
         prev = f"c{i}"
-    chain = ",\n".join(iter_ctes)
+    return ",\n".join(iter_ctes), prev
+
+
+def _sim4_oracle() -> str:
+    chain, prev = sql_lloyd_chain()
     return f"""
 WITH {_SQL_NORM_CTE},
 dims AS (SELECT unnest(range(0, {DIM})) AS j),

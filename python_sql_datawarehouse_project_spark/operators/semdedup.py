@@ -50,12 +50,11 @@ from pyspark.sql import functions as F
 from ..functions import hashing as H
 from .kmeans import (
     DIM,
-    KM_ITERS,
     KM_K,
     _best_centroid,
     _dot_lit,
     _sql_assign,
-    _sql_update,
+    sql_lloyd_chain,
     train_centroids,
 )
 from .similarity import _SQL_NORM_CTE, _emb_normalized
@@ -65,17 +64,19 @@ from .similarity import _SQL_NORM_CTE, _emb_normalized
 SEM_TAU = 0.40
 
 
-def dd19_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, cid, csim, keep): the SemDeDup verdict per vector."""
-    from .recursive import finalize_recursion
+_EMPTY_SCHEMA = "vec_id long, cid long, csim double, keep int"
 
+
+def _scored_frame(spark: SparkSession, sf_dir: str):
+    """Shared preamble for dd19/dd20: normalized+persisted corpus,
+    trained centroids, and the (vec_id, vn, cid, csim) frame.
+    Returns (persisted_corpus, scored) or (None, None) on an empty
+    corpus (no seed vectors -> no centroids)."""
     n = _emb_normalized(spark, sf_dir).persist()
     cents = train_centroids(n)
     if not cents:
         n.unpersist()
-        return spark.createDataFrame(
-            [], "vec_id long, cid long, csim double, keep int"
-        )
+        return None, None
     csim = F.element_at(
         F.array(*[_dot_lit(F.col("vn"), c) for c in cents]),
         F.col("cid").cast("int") + 1,
@@ -83,6 +84,39 @@ def dd19_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = n.select(
         "vec_id", "vn", _best_centroid(F.col("vn"), cents).alias("cid")
     ).withColumn("csim", csim)
+    return n, scored
+
+
+def _verdict(scored: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Shared drop rule + per-vector keep flags for dd19/dd20.
+    Paper rule: drop the member nearest its centroid (highest csim);
+    exact-tie falls to the higher vec_id so exactly one of every
+    pair is always droppable.  `pairs` carries (va, ca, vb, cb)."""
+    losers = pairs.select(
+        F.when(F.col("ca") > F.col("cb"), F.col("va"))
+        .when(F.col("cb") > F.col("ca"), F.col("vb"))
+        .otherwise(F.greatest("va", "vb"))
+        .alias("vec_id")
+    ).distinct()
+    return scored.join(
+        losers.withColumn("is_loser", F.lit(1)), "vec_id", "left"
+    ).select(
+        "vec_id",
+        F.col("cid").cast("long").alias("cid"),
+        "csim",
+        F.when(F.col("is_loser").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("keep"),
+    )
+
+
+def dd19_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cid, csim, keep): the SemDeDup verdict per vector."""
+    from .recursive import finalize_recursion
+
+    n, scored = _scored_frame(spark, sf_dir)
+    if n is None:
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
     a, b = scored.alias("a"), scored.alias("b")
     pairs = (
         a.join(
@@ -98,39 +132,25 @@ def dd19_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.csim").alias("cb"),
         )
     )
-    # Paper rule: drop the member nearest its centroid (highest
-    # csim); exact-tie falls to the higher vec_id so exactly one of
-    # every pair is always droppable.
-    losers = pairs.select(
-        F.when(F.col("ca") > F.col("cb"), F.col("va"))
-        .when(F.col("cb") > F.col("ca"), F.col("vb"))
-        .otherwise(F.greatest("va", "vb"))
-        .alias("vec_id")
-    ).distinct()
-    verdict = (
-        scored.join(
-            losers.withColumn("is_loser", F.lit(1)), "vec_id", "left"
-        )
-        .select(
-            "vec_id",
-            F.col("cid").cast("long").alias("cid"),
-            "csim",
-            F.when(F.col("is_loser").isNull(), F.lit(1))
-            .otherwise(F.lit(0))
-            .alias("keep"),
-        )
+    return finalize_recursion(_verdict(scored, pairs), [n])
+
+
+def _sql_scored_prefix(with_rank: bool = False) -> str:
+    """Shared oracle prefix for dd19/dd20: norm -> Lloyd chain ->
+    assignment lists -> csim-scored members (optionally with the
+    csim-rank dd20's window join needs).  Emitted from
+    kmeans.sql_lloyd_chain so the three kmeans-family oracles share
+    ONE chain builder."""
+    chain, prev = sql_lloyd_chain()
+    rank = (
+        f""",
+           ROW_NUMBER() OVER (
+               PARTITION BY l.cid
+               ORDER BY {H.sql_dot('l.vn', 'c.cv')} ASC, l.vec_id ASC
+           ) AS rk"""
+        if with_rank
+        else ""
     )
-    return finalize_recursion(verdict, [n])
-
-
-def _dd19_oracle() -> str:
-    iter_ctes = []
-    prev = "c0"
-    for i in range(1, KM_ITERS + 1):
-        iter_ctes.append(f"a{i} AS ({_sql_assign(prev)})")
-        iter_ctes.append(f"c{i} AS ({_sql_update(f'a{i}', prev)})")
-        prev = f"c{i}"
-    chain = ",\n".join(iter_ctes)
     return f"""
 WITH {_SQL_NORM_CTE},
 dims AS (SELECT unnest(range(0, {DIM})) AS j),
@@ -138,14 +158,12 @@ c0 AS (SELECT vec_id AS cid, vn AS cv FROM e WHERE vec_id < {KM_K}),
 {chain},
 lists AS ({_sql_assign(prev)}),
 scored AS (
-    SELECT l.vec_id, l.cid, l.vn, {H.sql_dot('l.vn', 'c.cv')} AS csim
+    SELECT l.vec_id, l.cid, l.vn, {H.sql_dot('l.vn', 'c.cv')} AS csim{rank}
     FROM lists l JOIN {prev} c ON c.cid = l.cid
-),
-pairs AS (
-    SELECT a.vec_id AS va, a.csim AS ca, b.vec_id AS vb, b.csim AS cb
-    FROM scored a JOIN scored b ON a.cid = b.cid AND a.vec_id < b.vec_id
-    WHERE {H.sql_dot('a.vn', 'b.vn')} >= {SEM_TAU}
-),
+)"""
+
+
+_SQL_VERDICT_SUFFIX = """
 losers AS (
     SELECT DISTINCT CASE WHEN ca > cb THEN va
                          WHEN cb > ca THEN vb
@@ -156,6 +174,15 @@ SELECT s.vec_id, s.cid, s.csim,
        CAST(CASE WHEN l.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep
 FROM scored s LEFT JOIN losers l ON l.vec_id = s.vec_id
 """
+
+
+def _dd19_oracle() -> str:
+    return f"""{_sql_scored_prefix()},
+pairs AS (
+    SELECT a.vec_id AS va, a.csim AS ca, b.vec_id AS vb, b.csim AS cb
+    FROM scored a JOIN scored b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE {H.sql_dot('a.vn', 'b.vn')} >= {SEM_TAU}
+),{_SQL_VERDICT_SUFFIX}"""
 
 
 DD19_ORACLE = _dd19_oracle()
@@ -199,27 +226,13 @@ def dd20_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .recursive import finalize_recursion
 
-    n = _emb_normalized(spark, sf_dir).persist()
-    cents = train_centroids(n)
-    if not cents:
-        n.unpersist()
-        return spark.createDataFrame(
-            [], "vec_id long, cid long, csim double, keep int"
-        )
-    csim = F.element_at(
-        F.array(*[_dot_lit(F.col("vn"), c) for c in cents]),
-        F.col("cid").cast("int") + 1,
-    )
+    n, scored = _scored_frame(spark, sf_dir)
+    if n is None:
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
     w = Window.partitionBy("cid").orderBy(
         F.col("csim").asc(), F.col("vec_id").asc()
     )
-    scored = (
-        n.select(
-            "vec_id", "vn", _best_centroid(F.col("vn"), cents).alias("cid")
-        )
-        .withColumn("csim", csim)
-        .withColumn("rk", F.row_number().over(w))
-    )
+    scored = scored.withColumn("rk", F.row_number().over(w))
     probe = scored.select(
         "cid",
         F.col("vec_id").alias("va"),
@@ -239,50 +252,11 @@ def dd20_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("csim").alias("cb"),
         )
     )
-    losers = pairs.select(
-        F.when(F.col("ca") > F.col("cb"), F.col("va"))
-        .when(F.col("cb") > F.col("ca"), F.col("vb"))
-        .otherwise(F.greatest("va", "vb"))
-        .alias("vec_id")
-    ).distinct()
-    verdict = (
-        scored.join(
-            losers.withColumn("is_loser", F.lit(1)), "vec_id", "left"
-        )
-        .select(
-            "vec_id",
-            F.col("cid").cast("long").alias("cid"),
-            "csim",
-            F.when(F.col("is_loser").isNull(), F.lit(1))
-            .otherwise(F.lit(0))
-            .alias("keep"),
-        )
-    )
-    return finalize_recursion(verdict, [n])
+    return finalize_recursion(_verdict(scored, pairs), [n])
 
 
 def _dd20_oracle() -> str:
-    iter_ctes = []
-    prev = "c0"
-    for i in range(1, KM_ITERS + 1):
-        iter_ctes.append(f"a{i} AS ({_sql_assign(prev)})")
-        iter_ctes.append(f"c{i} AS ({_sql_update(f'a{i}', prev)})")
-        prev = f"c{i}"
-    chain = ",\n".join(iter_ctes)
-    return f"""
-WITH {_SQL_NORM_CTE},
-dims AS (SELECT unnest(range(0, {DIM})) AS j),
-c0 AS (SELECT vec_id AS cid, vn AS cv FROM e WHERE vec_id < {KM_K}),
-{chain},
-lists AS ({_sql_assign(prev)}),
-scored AS (
-    SELECT l.vec_id, l.cid, l.vn, {H.sql_dot('l.vn', 'c.cv')} AS csim,
-           ROW_NUMBER() OVER (
-               PARTITION BY l.cid
-               ORDER BY {H.sql_dot('l.vn', 'c.cv')} ASC, l.vec_id ASC
-           ) AS rk
-    FROM lists l JOIN {prev} c ON c.cid = l.cid
-),
+    return f"""{_sql_scored_prefix(with_rank=True)},
 pairs AS (
     SELECT a.vec_id AS va, a.csim AS ca, b.vec_id AS vb, b.csim AS cb
     FROM scored a
@@ -290,17 +264,7 @@ pairs AS (
       ON b.cid = a.cid
      AND b.rk BETWEEN a.rk + 1 AND a.rk + {SN_WINDOW}
     WHERE {H.sql_dot('a.vn', 'b.vn')} >= {SEM_TAU}
-),
-losers AS (
-    SELECT DISTINCT CASE WHEN ca > cb THEN va
-                         WHEN cb > ca THEN vb
-                         ELSE greatest(va, vb) END AS vec_id
-    FROM pairs
-)
-SELECT s.vec_id, s.cid, s.csim,
-       CAST(CASE WHEN l.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep
-FROM scored s LEFT JOIN losers l ON l.vec_id = s.vec_id
-"""
+),{_SQL_VERDICT_SUFFIX}"""
 
 
 DD20_ORACLE = _dd20_oracle()

@@ -49,7 +49,11 @@ def _u32(b: bytes, o: int) -> int:
 
 
 def _sector(data: bytes, sid: int, ssz: int) -> bytes:
-    off = 512 + sid * ssz
+    # [MS-CFB] 2.1: sector offset is (sid + 1) * sector_size — the
+    # header occupies the first 512 bytes AND, for the v4 4096-byte
+    # sector size, the remainder of sector -1 is padding, so the
+    # general formula (not 512 + sid*ssz) holds for v3 and v4 alike.
+    off = (sid + 1) * ssz
     return data[off : off + ssz]
 
 
@@ -83,7 +87,11 @@ def _read_cfb_stream(data: bytes, names: tuple[str, ...]) -> bytes:
         _u32(data, 76 + 4 * i) for i in range(109)
     ]
     sid = difat_first
+    seen_difat: set[int] = set()
     while sid not in (_ENDOFCHAIN, _FREESECT):
+        if sid in seen_difat or (sid + 2) * ssz > len(data):
+            raise XlsFormatError(f"corrupt DIFAT chain at sector {sid}")
+        seen_difat.add(sid)
         sec = _sector(data, sid, ssz)
         difat.extend(_u32(sec, 4 * i) for i in range((ssz // 4) - 1))
         sid = _u32(sec, ssz - 4)
@@ -190,14 +198,18 @@ def _parse_sst(payloads: list[bytes]) -> list[str]:
     pi, off = 0, 8  # skip cstTotal/cstUnique
     n_unique = _u32(payloads[0], 4)
 
-    def _ensure(nbytes: int) -> None:
+    def _advance_if_exhausted() -> None:
+        # String HEADERS are atomic per the continuation rule (only a
+        # character run may straddle records), so advancing is only
+        # needed when the previous string ended exactly at a payload
+        # boundary.
         nonlocal pi, off
         if off >= len(payloads[pi]) and pi + 1 < len(payloads):
             pi += 1
             off = 0
 
     while len(strings) < n_unique:
-        _ensure(1)
+        _advance_if_exhausted()
         buf = payloads[pi]
         cch = _u16(buf, off)
         flags = buf[off + 2]
@@ -256,6 +268,15 @@ def read_first_sheet_xls(path: str) -> tuple[list[str], list[list]]:
     with open(path, "rb") as f:
         data = f.read()
     wb = _read_cfb_stream(data, ("Workbook", "Book"))
+    try:
+        return _parse_workbook(wb)
+    except (struct.error, IndexError) as e:
+        # keep the typed contract: truncated/malformed BIFF payloads
+        # surface as XlsFormatError, not struct/index internals
+        raise XlsFormatError(f"malformed BIFF8 stream: {e}") from e
+
+
+def _parse_workbook(wb: bytes) -> tuple[list[str], list[list]]:
 
     # Workbook globals: SST (+ its CONTINUEs) and the first
     # BOUNDSHEET's substream offset.
@@ -272,6 +293,11 @@ def read_first_sheet_xls(path: str) -> tuple[list[str], list[list]]:
         else:
             in_sst = False
             if rid == _BOUNDSHEET and first_sheet_off is None:
+                # byte 5 (dt) distinguishes worksheet (0) from chart
+                # (2) / VB module (6): pd.read_excel(sheet_name=0)
+                # means the first WORKSHEET, so skip non-sheet tabs.
+                if len(payload) > 5 and payload[5] != 0:
+                    continue
                 first_sheet_off = _u32(payload, 0)
             elif rid == _EOF:
                 break
@@ -302,9 +328,18 @@ def read_first_sheet_xls(path: str) -> tuple[list[str], list[list]]:
             isst = _u32(p, 6)
             put(_u16(p, 0), _u16(p, 2), sst[isst] if isst < len(sst) else None)
         elif rid == _LABEL:
+            # The cell string is an XLUnicodeRichExtendedString
+            # ([MS-XLS] 2.4.148): honor fRichSt (2-byte cRun) and
+            # fExtSt (4-byte cbExtRst) before the character run.
             cch = _u16(p, 6)
-            wide = p[8] & 0x01
-            raw = p[9 : 9 + (cch * 2 if wide else cch)]
+            flags = p[8]
+            off = 9
+            if flags & 0x08:
+                off += 2
+            if flags & 0x04:
+                off += 4
+            wide = flags & 0x01
+            raw = p[off : off + (cch * 2 if wide else cch)]
             put(
                 _u16(p, 0),
                 _u16(p, 2),

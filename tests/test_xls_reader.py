@@ -318,3 +318,94 @@ def test_read_excel_routes_legacy_xls(spark, tmp_path):
     df = read_excel(spark, p)
     assert df.columns == _EXPECT_HEADER
     assert df.count() == 2
+
+
+def _label_rich(r: int, c: int, s: str, n_runs: int = 2) -> bytes:
+    """LABEL cell whose XLUnicodeRichExtendedString carries fRichSt
+    formatting runs — readers must skip cRun and the run array."""
+    payload = (
+        struct.pack("<HHH", r, c, 0)
+        + struct.pack("<HB", len(s), 0x08)
+        + struct.pack("<H", n_runs)
+        + s.encode("latin-1")
+        + b"\x00\x00\x00\x00" * n_runs  # FormatRun array after chars
+    )
+    return _rec(0x0204, payload)
+
+
+def write_xls_chart_first_and_rich_label(path: str) -> None:
+    """First BOUNDSHEET is a chart sheet (dt=2): the reader must skip
+    to the first real worksheet; the sheet holds a rich-text LABEL."""
+    sheet = (
+        _bof(0x0010)
+        + _labelsst(0, 0, 0)  # header: id (reuse _STRINGS[0])
+        + _label_rich(1, 0, "richtext")
+        + _rec(0x000A, b"")
+    )
+    globals_wo = _bof(0x0005) + _sst(_STRINGS)
+    bs_len = 4 + 6 + 2 + len("Chart1")
+    bs2_len = 4 + 6 + 2 + len("Sheet1")
+    sheet_off = len(globals_wo) + bs_len + bs2_len + 4
+    chart_bs = _rec(
+        0x0085,
+        struct.pack("<IBB", sheet_off, 0, 2)  # dt=2: chart sheet
+        + struct.pack("<BB", len("Chart1"), 0)
+        + b"Chart1",
+    )
+    sheet_bs = _rec(
+        0x0085,
+        struct.pack("<IBB", sheet_off, 0, 0)
+        + struct.pack("<BB", len("Sheet1"), 0)
+        + b"Sheet1",
+    )
+    wb = globals_wo + chart_bs + sheet_bs + _rec(0x000A, b"") + sheet
+    mini = _pad(wb, 64)
+    n_mini = len(mini) // 64
+    container = _pad(mini, 512)
+    n_container = len(container) // 512
+    fat = [_FATSECT, _ENDOFCHAIN, _ENDOFCHAIN]
+    for i in range(n_container):
+        fat.append(3 + i + 1 if i + 1 < n_container else _ENDOFCHAIN)
+    directory = _pad(
+        _dir_entry("Root Entry", 5, 3, len(container), child=1)
+        + _dir_entry("Workbook", 2, 0, len(wb)),
+        512,
+    )
+    minifat_entries = [
+        i + 1 if i + 1 < n_mini else _ENDOFCHAIN for i in range(n_mini)
+    ]
+    minifat = _pad(struct.pack(f"<{n_mini}I", *minifat_entries), 512)
+    with open(path, "wb") as f:
+        f.write(
+            _cfb_header(1, 1, 2, 1, [0])
+            + _fat_sector(fat)
+            + directory
+            + minifat
+            + container
+        )
+
+
+def test_skips_chart_sheet_and_reads_rich_label(tmp_path):
+    p = str(tmp_path / "chart.xls")
+    write_xls_chart_first_and_rich_label(p)
+    header, rows = read_first_sheet_xls(p)
+    assert header == ["id"]
+    assert rows == [["richtext"]]
+
+
+def test_truncated_biff_raises_typed(tmp_path):
+    p = str(tmp_path / "trunc.xls")
+    write_xls_ministream(p)
+    blob = open(p, "rb").read()
+    # keep the CFB container valid but truncate the Workbook stream's
+    # directory size so the BIFF records are cut mid-payload
+    import re as _re
+    # shrink Workbook dir-entry size field (entry 1 at offset
+    # 512 + 512(header/FAT layout: dir sector is sector 1) + 128 + 120)
+    dir_off = 512 + 512 + 128 + 120
+    cut = bytearray(blob)
+    struct.pack_into("<I", cut, dir_off, 37)  # mid-record cut
+    with open(p, "wb") as f:
+        f.write(bytes(cut))
+    with pytest.raises(XlsFormatError):
+        read_first_sheet_xls(p)
