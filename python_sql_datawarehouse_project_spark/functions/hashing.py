@@ -171,7 +171,18 @@ def poly_fingerprint(chars: Column) -> Column:
 
 def dot_fold(a: Column, b: Column) -> Column:
     """Sequential-fold dot product of two double arrays (deterministic
-    summation order — bitwise-matches the DuckDB oracle)."""
+    summation order — bitwise-matches the DuckDB oracle).
+
+    Stays the pure-JVM Catalyst fold ON PURPOSE (r10, measured): an
+    Arrow/numpy twin (foldkernels module docstring) was swapped in at
+    every call site and benched — the per-pair sites (join filters,
+    single dots) REGRESSED 3-15x at sf0.1 because each ArrowEvalPython
+    node costs a per-stage Python round-trip that a one-fold expression
+    never amortizes, and a Python UDF in a join filter forces the pair
+    frame to materialize through Arrow instead of fusing into the
+    join's generated code.  The kernels survive only where ONE node
+    replaces >100 folds per row (dedup._auto_bands banding,
+    similarity._bucket_col) — see OPTIMIZATION_r10.md."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),

@@ -526,7 +526,10 @@ WHERE bit_count(xor(sh_a, sh_b)) <= {HAMMING_T}
 def _normalized(emb: DataFrame) -> DataFrame:
     """Pre-normalize once so a pair costs a single dot product.  The
     norm is projected into a column first — referencing the dot-fold
-    inside the transform() lambda would re-run it per element (64x)."""
+    inside the transform() lambda would re-run it per element (64x).
+    Stays Catalyst (r10, measured): normalize is ~1% of the banding
+    cost, and the Arrow twin's per-stage node overhead dominated it
+    at bench scale (OPTIMIZATION_r10.md)."""
     return emb.withColumn(
         "nrm", F.sqrt(H.dot_fold(F.col("v"), F.col("v")))
     ).select(
@@ -824,29 +827,19 @@ def _auto_bands(
     FRESH planes [8*bits, 16*bits) and form a second independent
     band family; the first 8 bands' keys are bit-identical to the
     single-family call.  Recall stacks as 1-(1-p^bits)^bands_count
-    while candidate mass grows only linearly in bands_count."""
+    while candidate mass grows only linearly in bands_count.
+
+    r10: the bands_count*bits fold-order projections + bit assembly
+    run in ONE Arrow/numpy kernel per row (foldkernels.band_keys_np,
+    bit-identical to the previous interpreted per-projection Catalyst
+    folds — probe + test_foldkernels); at sf0.1's 24x5 multi-probe
+    signature that deletes ~7.7k interpreted tree-walks per row from
+    the hottest stage of every auto-banded gate (guide §4.2)."""
+    from ..functions.foldkernels import band_keys_np
+
     planes = H.rp_planes(bands_count * bits)
-
-    def proj(i: int):
-        return F.aggregate(
-            F.zip_with(
-                F.col("vn"),
-                F.array(*[F.lit(c) for c in planes[i]]),
-                lambda x, r: x * r,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    keys = []
-    for k in range(bands_count):
-        key = F.lit(k << bits).cast("long")
-        for t in range(bits):
-            key = key + F.when(
-                proj(k * bits + t) > 0, F.lit(1 << t).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-        keys.append(key)
-    return n.select("vec_id", F.explode(F.array(*keys)).alias("band_key"))
+    keys = band_keys_np(planes, bits, bands_count)(F.col("vn"))
+    return n.select("vec_id", F.explode(keys).alias("band_key"))
 
 
 def _auto_band_candidates(n: DataFrame, bits: int) -> DataFrame:
@@ -1438,8 +1431,17 @@ def dd12_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     e(a,b) ⋈ e(b,c) ⋈ e(a,c) and each wedge once as e(a,b) ⋈ e(b,c)
     — no /3 or /2 corrections, so both engines count identically in
     plain integers.  The pair frame is checkpointed once (it feeds
-    the edge count, the wedge join twice and the closing probe — the
+    the edge count, the wedge join and the closing probe — the
     _lsh_candidates shared-subplan rule again).
+
+    r10 (guide §2.4, fewer passes): wedge and triangle counts fold
+    into ONE pass — the closing probe is a LEFT join against the
+    (unique, a<c) closing edges plus count()/count(closed) in a
+    single aggregate, so the wedge join executes once instead of
+    twice (the old n_wedges/n_triangles pair of actions re-ran the
+    e1⋈e2 join).  Left-join cardinality equals the wedge count
+    because closing (a, c) keys are distinct edges; count(closed)
+    equals the old left_semi count for the same reason.
 
     Scale: the wedge join shuffles (a, b) pairs on their shared
     vertex; the closing probe is another id-only equi-join.  This is
@@ -1459,12 +1461,21 @@ def dd12_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
     wedges = e1.join(e2, F.col("b") == F.col("b2")).select("a", "b", "c")
     closing = pairs.select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("c")
+        F.col("doc_a").alias("a"),
+        F.col("doc_b").alias("c"),
+        F.lit(1).alias("closed"),
     )
-    triangles = wedges.join(closing, ["a", "c"], "left_semi")
     n_edges = pairs.count()
-    n_wedges = wedges.count()
-    n_triangles = triangles.count()
+    wedge_tri = (
+        wedges.join(closing, ["a", "c"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_wedges"),
+            F.count("closed").alias("n_triangles"),
+        )
+        .collect()[0]
+    )
+    n_wedges = wedge_tri["n_wedges"]
+    n_triangles = wedge_tri["n_triangles"]
     row = spark.createDataFrame(
         [(n_edges, n_wedges, n_triangles)],
         "n_edges long, n_wedges long, n_triangles long",

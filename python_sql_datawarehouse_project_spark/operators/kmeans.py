@@ -75,7 +75,13 @@ def _best_centroid(vn: Column, centroids: list[list[float]]) -> Column:
     """argmax_cid dot(vn, c_cid) with min-cid tie-break, as a single
     array_max over (dot, -cid) structs — struct ordering gives max
     dot first, then max(-cid) = min cid.  Equivalent to the oracle's
-    ROW_NUMBER() OVER (ORDER BY dot DESC, cid ASC) = 1."""
+    ROW_NUMBER() OVER (ORDER BY dot DESC, cid ASC) = 1.
+
+    Stays Catalyst ON PURPOSE (r10, measured): the Arrow/numpy argmax
+    twin regressed sim4 3.2x and dd19 15x at sf0.1 — the assignment
+    feeds self-joins and the Lloyd chain, where an ArrowEvalPython
+    node blocks join fusion and re-materializes per plan reuse
+    (OPTIMIZATION_r10.md)."""
     arr = F.array(
         *[
             F.struct(

@@ -130,31 +130,16 @@ pairs AS (
 # -- sim2: random-hyperplane LSH bucketed top-k ----------------------
 def _bucket_col(v: str) -> Column:
     """Sign-of-projection bucket: bit i = (v . r_i) > 0, bucket =
-    sum(bit_i * 2^i).  Hyperplane components are embedded as LITERAL
-    arrays (hashing.RP_PLANES — bitwise identical to the LCG formula
-    the oracle evaluates inline): Catalyst constant-folds them, so
-    each projection is one 64-wide fold over (x * literal) instead of
-    re-deriving the 6-node LCG tree per element inside an interpreted
-    lambda.  Fold order matches the oracle exactly — same summation,
-    same signs, same buckets."""
-    projections = [
-        F.aggregate(
-            F.zip_with(
-                F.col(v),
-                F.array(*[F.lit(c) for c in H.RP_PLANES[i]]),
-                lambda x, r: x * r,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        for i in range(H.RP_BITS)
-    ]
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(projections):
-        bucket = bucket + F.when(
-            p > 0, F.lit(1 << i).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return bucket
+    sum(bit_i * 2^i), over the RP_BITS shared LCG hyperplanes
+    (hashing.RP_PLANES — bitwise identical to the formula the oracle
+    evaluates inline).  r10: one Arrow/numpy kernel computes all
+    RP_BITS fold-order projections and assembles the bucket —
+    bit-identical to the previous per-projection interpreted Catalyst
+    folds (probe + test_foldkernels), ~100x cheaper per row
+    (guide §4.2)."""
+    from ..functions.foldkernels import bucket_np
+
+    return bucket_np(H.RP_PLANES[: H.RP_BITS])(F.col(v))
 
 
 def sim2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -630,31 +615,57 @@ def sim9_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     now fails a correctness gate instead of a prose promise.
 
     Truth side is LINEAR in the corpus at any scale: SIM9_SAMPLE
-    broadcast query vectors x one corpus map pass (sim1's shape — no
-    pair matrix, no shuffle before the top-K window); found = sim8's
+    query vectors x one corpus map pass (sim1's shape — no pair
+    matrix, no shuffle before the top-K window); found = sim8's
     edges restricted to the sampled sources (edge membership is
-    per-source, so the restriction is exact)."""
+    per-source, so the restriction is exact).
+
+    r10 (guide §4.2): the sample's vectors ride as a LITERAL panel
+    into ONE Arrow kernel (foldkernels.dots_np) that scores all
+    SIM9_SAMPLE dots per corpus row in fold order — bit-identical to
+    the previous broadcast-join + per-pair interpreted fold (oracle
+    unchanged, re-verified), but the hot stage walks 2 Arrow batches
+    instead of |corpus| x SIM9_SAMPLE interpreted 64-step tree-walks.
+    The driver-side collect is the fixed 500-vector sample (the same
+    driver-metadata scale as the k-means centroid lists; it does NOT
+    grow with the corpus)."""
+    from ..functions.foldkernels import dots_np
     from .dedup import _load_normalized
 
     n = _load_normalized(spark, sf_dir).localCheckpoint(eager=True)
-    q = n.filter(F.col("vec_id") < SIM9_SAMPLE).select(
-        F.col("vec_id").alias("src"), F.col("vn").alias("qv")
+    qrows = sorted(
+        n.filter(F.col("vec_id") < SIM9_SAMPLE)
+        .select("vec_id", "vn")
+        .collect(),
+        key=lambda r: r.vec_id,
     )
-    pairs = (
-        n.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("src"))
-        .select(
-            "src",
-            F.col("vec_id").alias("dst"),
-            H.dot_fold(F.col("qv"), F.col("vn")).alias("cosine"),
+    if not qrows:
+        # Empty corpus: no sampled sources (matches the oracle's
+        # empty q CTE -> empty result).
+        exact_topk = spark.createDataFrame([], "src long, dst long")
+    else:
+        src_ids = F.array(*[F.lit(int(r.vec_id)) for r in qrows])
+        dots = dots_np([list(map(float, r.vn)) for r in qrows])
+        pairs = (
+            n.select(
+                F.col("vec_id").alias("dst"),
+                F.posexplode(dots(F.col("vn"))).alias("qpos", "cosine"),
+            )
+            .select(
+                F.element_at(src_ids, F.col("qpos") + 1).alias("src"),
+                "dst",
+                "cosine",
+            )
+            .filter(F.col("dst") != F.col("src"))
         )
-    )
-    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
-    exact_topk = (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= SIM7_K)
-        .select("src", "dst")
-    )
+        w = Window.partitionBy("src").orderBy(
+            F.desc("cosine"), F.asc("dst")
+        )
+        exact_topk = (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= SIM7_K)
+            .select("src", "dst")
+        )
     approx = (
         sim8_knn_graph_capped(spark, sf_dir)
         .filter(F.col("src") < SIM9_SAMPLE)
