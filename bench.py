@@ -140,6 +140,35 @@ def _suspect_gates(
     return sorted(suspects)
 
 
+def _steal_suspects(
+    timings: dict[str, float],
+    gate_steal: dict[str, int],
+    cpus: int | None = None,
+) -> list[str]:
+    """Gates whose wall time overlapped a hypervisor steal storm:
+    stolen ticks during the gate exceed 20% of the gate's available
+    cpu ticks (cpus * USER_HZ(100) * wall_sec) AND the gate took >1 s.
+    Complements _suspect_gates — the interleaved probes bracket
+    *blocks*, so a storm contained within one gate's wall time is
+    invisible to them; the per-gate steal delta sees exactly that
+    case.  Thresholds calibrated on the two observed incidents (r10
+    baseline runs: sim2 66.9 s / 40,785 ticks = 19% of available,
+    cs1 41.2 s / 17,118 = 13%; every honest gate measured <10%):
+    >10% of the gate's available cpu ticks (cpus * USER_HZ(100) *
+    wall_sec) AND >500 ticks absolute AND >1 s wall.  The tick count
+    UNDERSTATES the damage — a storm also brings hypervisor-level
+    cache/membw contention the counter cannot see — so the fraction
+    bar is deliberately below the observed catastrophic range."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    out = []
+    for name, ticks in gate_steal.items():
+        wall = timings.get(name, 0.0)
+        if wall > 1.0 and ticks > 500 and ticks > 0.10 * cpus * 100 * wall:
+            out.append(name)
+    return sorted(out)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -241,24 +270,48 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)
 
+    def _steal_ticks() -> int:
+        """Cumulative hypervisor-steal ticks (field 8 of /proc/stat's
+        aggregate cpu line).  Zero-cost per-gate bracketing for the
+        noise class the interleaved probes MISS: a steal storm shorter
+        than the 10-gate probe gap inflates exactly one gate 10-45x
+        while every bracketing probe measures healthy (observed twice
+        on this box: sim7 57.7 s with a 0.203 s probe two gates later;
+        sim2 68.3 s in the very next run, both ~1.5-6 s re-measured at
+        idle).  On bare metal the field is absent -> 0 -> attribution
+        silently off."""
+        try:
+            with open("/proc/stat") as f:
+                parts = f.readline().split()
+            return int(parts[8]) if len(parts) > 8 else 0
+        except (OSError, ValueError, IndexError):
+            return 0
+
     total = 0.0
     stream_split: dict[str, dict] = {}
     calib_timeline: list[list] = []  # [gate_name, probe_sec, gate_index]
+    gate_steal: dict[str, int] = {}  # gate -> stolen ticks during it
     sorted_names = sorted(queries)
     for i, name in enumerate(sorted_names):
         if i % PROBE_EVERY == 0:
             calib_timeline.append([name, _probe(), i])
         LAST_DRAIN_SPLIT.clear()
+        s0 = _steal_ticks()
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
+        steal = _steal_ticks() - s0
+        if steal:
+            gate_steal[name] = steal
         if name.startswith("stream_") and LAST_DRAIN_SPLIT:
             stream_split[name] = dict(LAST_DRAIN_SPLIT)
     # trailing sentinel: the last block needs a probe on BOTH sides
     calib_timeline.append(["__end__", _probe(), len(sorted_names)])
     suspect_gates = _suspect_gates(sorted_names, calib_timeline)
+    steal_suspects = _steal_suspects(timings, gate_steal)
+    suspect_gates = sorted(set(suspect_gates) | set(steal_suspects))
 
     end_calib = _host_calibration(spark)
     noisy_reasons += [f"end_{k}" for k in _over_band(end_calib, band)]
@@ -304,6 +357,8 @@ def main() -> None:
                 "noisy_host_reasons": noisy_reasons,
                 "calib_timeline": calib_timeline,
                 "suspect_gates": suspect_gates,
+                "gate_steal_ticks": gate_steal,
+                "steal_suspect_gates": steal_suspects,
                 "stream_setup_total_sec": setup_total,
                 "stream_split": stream_split,
             }

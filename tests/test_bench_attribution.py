@@ -66,3 +66,50 @@ def test_whole_run_sick_is_run_level_not_attribution():
 def test_two_sick_windows_union():
     tl = _timeline([1.8, 0.24, 0.23, 1.7, 0.25])
     assert bench._suspect_gates(NAMES, tl) == NAMES[0:10] + NAMES[20:40]
+
+
+# -- steal-storm attribution (r10): per-gate /proc/stat deltas --------
+# The probes bracket BLOCKS, so a hypervisor steal storm contained
+# within one gate's wall time is invisible to them (observed twice at
+# the r10 baseline: sim7 57.7 s with a healthy 0.203 s probe two gates
+# later; sim2 68.3 s in the next run — both 1.5-6 s re-measured at
+# idle).  bench._steal_suspects flags the exact gate from its stolen
+# ticks instead.
+
+
+def test_steal_quiet_run_flags_nothing():
+    assert bench._steal_suspects({"g": 5.0}, {"g": 10}, cpus=32) == []
+
+
+def test_steal_storm_inside_one_gate_flags_exactly_it():
+    # 60 s gate on 32 cpus = 192k available ticks; 96k stolen = half
+    # the box gone — far past the 20% bar
+    t = {"fast": 0.4, "victim": 60.0, "after": 2.0}
+    s = {"victim": 96_000, "after": 100}
+    assert bench._steal_suspects(t, s, cpus=32) == ["victim"]
+
+
+def test_steal_subsecond_gate_never_flagged():
+    # one tick on a 50 ms gate is proportionally huge but meaningless
+    assert bench._steal_suspects({"g": 0.05}, {"g": 40}, cpus=32) == []
+
+
+def test_steal_threshold_is_10pct_of_available_ticks():
+    # 10 s * 32 cpus * 100 Hz = 32k ticks available; 3.2k = exactly
+    # 10% (not flagged, strict >), 3.3k over the bar (flagged)
+    assert bench._steal_suspects({"g": 10.0}, {"g": 3_200}, cpus=32) == []
+    assert bench._steal_suspects({"g": 10.0}, {"g": 3_300}, cpus=32) == ["g"]
+
+
+def test_steal_absolute_floor_keeps_tiny_tick_counts_out():
+    # 12% of a 1.5 s gate is only 576 ticks-available*0.12 = 57 ticks
+    # -> under the 500-tick floor, not flagged even over the fraction
+    assert bench._steal_suspects({"g": 1.5}, {"g": 480}, cpus=10) == []
+
+
+def test_steal_observed_incidents_flagged():
+    # the two real r10 catches, verbatim
+    t = {"sim2_lsh_topk": 66.94, "cs1_canonical_selection": 41.202}
+    s = {"sim2_lsh_topk": 40_785, "cs1_canonical_selection": 17_118}
+    assert bench._steal_suspects(t, s, cpus=32) == [
+        "cs1_canonical_selection", "sim2_lsh_topk"]
