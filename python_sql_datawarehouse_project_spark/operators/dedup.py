@@ -716,7 +716,10 @@ def _rp_bands(n: DataFrame) -> DataFrame:
 
 
 def _lsh_band_candidates(n: DataFrame) -> DataFrame:
-    bands = _rp_bands(n)
+    # r10: checkpointed for the same two-exchange duplication as
+    # _auto_band_candidates (dd6's and sim7's banding stage ran
+    # twice; see that function's comment).
+    bands = _rp_bands(n).localCheckpoint(eager=True)
     a, c = bands.alias("a"), bands.alias("c")
     return (
         a.join(
@@ -847,7 +850,16 @@ def _auto_band_candidates(n: DataFrame, bits: int) -> DataFrame:
     same-bucket pair, deduped across bands.  Same id-only exchange
     discipline as dd6: the band join ships (vec_id, band_key) longs,
     never vectors."""
-    bands = _auto_bands(n, bits)
+    # r10: the band assignment is eagerly checkpointed because the
+    # self-join references it under TWO DIFFERENT exchanges (one
+    # broadcast, one hash) — Catalyst does not share the subplan and
+    # exchange reuse cannot fire across exchange kinds, so the
+    # corpus-wide banding kernel executed twice per gate (initial
+    # plan: 2 ArrowEvalPython nodes -> 1 Scan ExistingRDD; ix1's
+    # ingest_verdict.py:330 established the same pattern).  The
+    # checkpointed frame is (vec_id, band_key) longs — the id-only
+    # discipline keeps it small at any scale.
+    bands = _auto_bands(n, bits).localCheckpoint(eager=True)
     a, c = bands.alias("a"), bands.alias("c")
     return (
         a.join(
@@ -983,7 +995,12 @@ def _capped_star_candidates(n: DataFrame, bits: int) -> DataFrame:
     Shuffle shape: one band-key aggregate (two longs per bucket) plus
     the same id-only band self-join as dd14, now bounded by CAP^2/2
     pairs per bucket."""
-    bands = _auto_bands(n, bits)
+    # r10: checkpoint the assignment — referenced by the occupancy
+    # aggregate, the banded join, and both self-join sides, the
+    # banding kernel otherwise executes SIX times per gate (initial
+    # plan had 6 ArrowEvalPython nodes; _auto_band_candidates has the
+    # full rationale).
+    bands = _auto_bands(n, bits).localCheckpoint(eager=True)
     occ = bands.groupBy("band_key").agg(
         F.count(F.lit(1)).alias("occ"), F.min("vec_id").alias("hub")
     )
@@ -1064,13 +1081,15 @@ def dd7_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Connected components run as driver-coordinated min-label
     propagation with pointer jumping: each round every doc takes the
     minimum label among itself and its neighbors, then compresses by
-    one extra hop — label(u) <- label(label(u)) — so label chains
-    halve every round and convergence is O(log diameter) rounds, not
-    O(diameter).  That matters here concretely: the sf0.1 near-dup
-    graph has long chains (plain propagation was still mutating at
-    round 6), and it is the difference between ~6 rounds and ~40 at
-    corpus scale.  Each round is two id-only shuffle joins plus a
-    map-side-partial MIN aggregate.
+    TWO extra hops — label(u) <- label(label(label(u))) — so label
+    chains shrink ~4x every round and convergence is O(log diameter)
+    rounds, not O(diameter).  That matters here concretely: the
+    sf0.1 near-dup graph has long chains (plain propagation was
+    still mutating at round 6), and it is the difference between ~4
+    rounds and ~40 at corpus scale.  Each round is one edge-sized
+    shuffle join + MIN aggregate (checkpointed, so the round's two
+    label-join references read it once — see the r10 note in
+    _propagate_clusters) plus two label-sized hop joins.
 
     Every round's labels are eagerly localCheckpoint'ed, NOT merely
     persisted: the round plan references the previous labels frame
@@ -1150,31 +1169,50 @@ def _propagate_clusters(
                 .groupBy("u")
                 .agg(F.min("cluster_id").alias("nbr_min"))
             )
-            m = labels.join(
-                nbr_min, labels["doc_id"] == nbr_min["u"], "left"
-            ).select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
-                ).alias("m"),
-            )
-            hop = m.select(F.col("doc_id").alias("h_id"), F.col("m").alias("h_m"))
-            # The convergence sum rides the checkpoint job as an
-            # observed metric (Observation fires on the eager
-            # localCheckpoint's materialization), so each round runs
-            # exactly ONE job: two joins + checkpoint + metric — no
-            # separate aggregate pass over the labels.  Locally the
-            # saving is in the noise (the agg read from in-memory
-            # checkpoint blocks); the point is one fewer
-            # driver-scheduled job per round, which is the term that
-            # dominates iterative latency on a real cluster.
-            obs = Observation(f"dd7_round_{rnd}")
-            labels = (
-                m.join(hop, m["m"] == hop["h_id"], "left")
+            # r10: `m` is eagerly checkpointed because the round
+            # references it under TWO DIFFERENT join keys (left side
+            # keyed on the label value, hop side keyed on doc_id) —
+            # exchange reuse cannot fire across keys, so the
+            # EDGE-SIZED neighbor-min join ran twice per round.  The
+            # checkpoint runs it once; the hops below are label-table
+            # joins reading the materialized blocks.
+            m = (
+                labels.join(
+                    nbr_min, labels["doc_id"] == nbr_min["u"], "left"
+                )
                 .select(
                     "doc_id",
-                    F.coalesce(F.col("h_m"), F.col("m")).alias("cluster_id"),
+                    F.least(
+                        F.col("cluster_id"),
+                        F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                    ).alias("m"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            hop = m.select(F.col("doc_id").alias("h_id"), F.col("m").alias("h_m"))
+            # r10: TWO pointer-jump hops per round instead of one —
+            # label chains shrink ~4x per round instead of ~2x, so
+            # long-diameter graphs converge in about half the rounds
+            # (each round saved is a full edge join + label shuffle at
+            # cluster scale) for the price of one extra label-sized
+            # join per round.  The fixpoint is unchanged — hops only
+            # ever decrease labels, and the stationary point of
+            # neighbor-min + any number of hops is the component
+            # minimum — so the converged output is bit-identical.
+            r1 = m.join(hop, m["m"] == hop["h_id"], "left").select(
+                "doc_id",
+                F.coalesce(F.col("h_m"), F.col("m")).alias("l1"),
+            )
+            # The convergence sum rides the checkpoint job as an
+            # observed metric (Observation fires on the eager
+            # localCheckpoint's materialization) — no separate
+            # aggregate pass over the labels.
+            obs = Observation(f"dd7_round_{rnd}")
+            labels = (
+                r1.join(hop, r1["l1"] == hop["h_id"], "left")
+                .select(
+                    "doc_id",
+                    F.coalesce(F.col("h_m"), F.col("l1")).alias("cluster_id"),
                 )
                 .observe(obs, F.sum("cluster_id").alias("label_sum"))
                 .localCheckpoint(eager=True)

@@ -100,18 +100,56 @@ def gr1_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # r10 (guide §2.4/§4, "Catalyst does not share common subplans"):
+    # the unrolled 4-iteration plan referenced `deg` (a groupBy over
+    # the edge set) once per iteration plus once in the output
+    # projection — five evaluations of the same aggregate — and paid
+    # TWO joins per iteration (edges⋈ranks, then ⋈deg on the same
+    # src key) plus a third against the FULL node table to re-attach
+    # teleport rank.  Three restructures, all bit-identical:
+    #   1. degree is iteration-invariant -> edges⋈deg attached ONCE
+    #      and checkpointed; each iteration is a single equi-join +
+    #      map-side-combinable SUM (the minimal Pregel step);
+    #   2. mid-loop ranks only matter for nodes WITH OUT-EDGES (a
+    #      dangling/isolated node's rank never feeds a contribution
+    #      by construction — the documented leak), so the loop
+    #      carries ranks at SRC-NODE grain and the full corpus node
+    #      table is joined exactly once, on the final iteration's
+    #      contributions.  At 100 TB that turns 4 corpus-sized
+    #      per-iteration joins into joins bounded by the near-dup
+    #      graph's node count (<< corpus), and the bench-scale rank
+    #      frame becomes broadcastable;
+    #   3. `deg` is checkpointed for the final projection instead of
+    #      re-aggregating the edges.
+    # Per-node values are unchanged: a src node's rank formula is
+    # teleport + coalesce(s, 0) in both forms, and non-src nodes get
+    # the same formula once at the end.  Plan: 12 joins -> 9, five
+    # edge-set re-aggregations -> 1, and every loop-side join operand
+    # drops from corpus grain to graph grain (initial plan: 36
+    # Exchange -> 28; the remaining SMJs are stats-less checkpoint
+    # inputs that AQE converts to broadcast at runtime now that the
+    # rank frames are graph-sized —
+    # plans/r10/gr1_pagerank_fixedpoint_{before,after}.txt); oracle
+    # re-verified at sf0.001/sf0.01/sf0.1 after the restructure.
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
     teleport = (3 * GR1_SCALE) // (20 * n)
     # Explicit BIGINT literals: at corpus scale the initial rank
     # (SCALE // n) can fit int32, and an IntegerType literal makes
     # rank * 17 overflow 32-bit silently (or raise under ANSI).
-    ranks = nodes.select(
-        "doc_id", F.lit(GR1_SCALE // n).cast("long").alias("rank")
+    src_nodes = deg.select("src")
+    ranks = src_nodes.select(
+        F.col("src").alias("doc_id"),
+        F.lit(GR1_SCALE // n).cast("long").alias("rank"),
     )
-    for _ in range(GR1_ITERS):
+    contrib = None
+    for it in range(GR1_ITERS):
         contrib = (
-            edges.join(ranks, edges["src"] == ranks["doc_id"])
-            .join(deg, "src")
+            edges_deg.join(ranks, edges_deg["src"] == ranks["doc_id"])
             .select(
                 "dst",
                 F.expr("(rank * 17) div (20 * d)").alias("c"),
@@ -119,17 +157,27 @@ def gr1_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = nodes.join(
-            contrib, nodes["doc_id"] == contrib["dst"], "left"
-        ).select(
-            "doc_id",
-            (
-                F.lit(teleport).cast("long")
-                + F.coalesce(F.col("s"), F.lit(0).cast("long"))
-            ).alias("rank"),
-        )
+        if it < GR1_ITERS - 1:
+            ranks = src_nodes.join(
+                contrib, src_nodes["src"] == contrib["dst"], "left"
+            ).select(
+                F.col("src").alias("doc_id"),
+                (
+                    F.lit(teleport).cast("long")
+                    + F.coalesce(F.col("s"), F.lit(0).cast("long"))
+                ).alias("rank"),
+            )
+    final = nodes.join(
+        contrib, nodes["doc_id"] == contrib["dst"], "left"
+    ).select(
+        "doc_id",
+        (
+            F.lit(teleport).cast("long")
+            + F.coalesce(F.col("s"), F.lit(0).cast("long"))
+        ).alias("rank"),
+    )
     return (
-        ranks.join(deg, ranks["doc_id"] == deg["src"], "left")
+        final.join(deg, final["doc_id"] == deg["src"], "left")
         .select(
             "doc_id",
             F.coalesce(F.col("d"), F.lit(0)).cast("long").alias("degree"),

@@ -457,12 +457,20 @@ def _sim8_capped_ring_candidates(
     share one Exchange (a groupBy-count + join-back would shuffle the
     assignment twice for the same answer)."""
     wk = Window.partitionBy("band_key")
+    # r10: the windowed assignment is referenced FOUR ways below
+    # (small a/c self-join sides, over-cap left/right) and Catalyst
+    # shares none of them — sim8's initial plan carried 8
+    # ArrowEvalPython banding-kernel executions of the full corpus
+    # plus 4 window passes.  One eager checkpoint runs the kernel and
+    # the window once; the frame is (band_key, vec_id, occ, pos)
+    # longs, id-only scale discipline unchanged
+    # (plans/r10/sim8_knn_graph_capped_{before,after}.txt).
     banded = bands.select(
         "band_key",
         "vec_id",
         F.count(F.lit(1)).over(wk).alias("occ"),
         F.row_number().over(wk.orderBy(F.asc("vec_id"))).alias("pos"),
-    )
+    ).localCheckpoint(eager=True)
     small = banded.where(F.col("occ") <= cap)
     a, c = small.alias("a"), small.alias("c")
     small_pairs = a.join(
