@@ -51,7 +51,6 @@ from ..functions import hashing as H
 from .kmeans import (
     DIM,
     KM_K,
-    _best_centroid,
     _dot_lit,
     _sql_assign,
     sql_lloyd_chain,
@@ -71,19 +70,45 @@ def _scored_frame(spark: SparkSession, sf_dir: str):
     """Shared preamble for dd19/dd20: normalized+persisted corpus,
     trained centroids, and the (vec_id, vn, cid, csim) frame.
     Returns (persisted_corpus, scored) or (None, None) on an empty
-    corpus (no seed vectors -> no centroids)."""
+    corpus (no seed vectors -> no centroids).
+
+    r10 (guide §1.2 per-task work + §2.4 shared subplans): the frame
+    previously evaluated the KM_K-dot array TWICE per row (once under
+    _best_centroid's argmax, once under the element_at that extracted
+    csim — 16 interpreted 64-wide folds/row), and the consumers
+    reference `scored` three ways (pair self-join sides + the verdict
+    join), multiplying whatever the projection costs by three.  Now:
+    ONE array_max over (dot, -cid) structs is projected into a
+    column, cid and csim are field extractions from it (the max
+    struct's dot IS the argmax centroid's dot — on a dot tie the
+    struct order picks min cid and the tied dots are equal, so both
+    fields are bit-identical to the old pair of expressions), and the
+    result is eagerly checkpointed so every downstream reference
+    reads blocks instead of re-folding the corpus."""
     n = _emb_normalized(spark, sf_dir).persist()
     cents = train_centroids(n)
     if not cents:
         n.unpersist()
         return None, None
-    csim = F.element_at(
-        F.array(*[_dot_lit(F.col("vn"), c) for c in cents]),
-        F.col("cid").cast("int") + 1,
+    arr = F.array(
+        *[
+            F.struct(
+                _dot_lit(F.col("vn"), c).alias("dot"),
+                F.lit(-cid).alias("ncid"),
+            )
+            for cid, c in enumerate(cents)
+        ]
     )
-    scored = n.select(
-        "vec_id", "vn", _best_centroid(F.col("vn"), cents).alias("cid")
-    ).withColumn("csim", csim)
+    scored = (
+        n.select("vec_id", "vn", F.array_max(arr).alias("best"))
+        .select(
+            "vec_id",
+            "vn",
+            (-F.col("best").getField("ncid")).alias("cid"),
+            F.col("best").getField("dot").alias("csim"),
+        )
+        .localCheckpoint(eager=True)
+    )
     return n, scored
 
 
@@ -232,7 +257,12 @@ def dd20_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("cid").orderBy(
         F.col("csim").asc(), F.col("vec_id").asc()
     )
-    scored = scored.withColumn("rk", F.row_number().over(w))
+    # r10: the rank-augmented frame is referenced three ways below
+    # (probe, rank join, verdict) — checkpoint so the corpus-wide
+    # window sort runs once (see _scored_frame's r10 note).
+    scored = scored.withColumn("rk", F.row_number().over(w)).localCheckpoint(
+        eager=True
+    )
     probe = scored.select(
         "cid",
         F.col("vec_id").alias("va"),

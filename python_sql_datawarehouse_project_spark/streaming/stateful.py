@@ -153,10 +153,9 @@ def _sessions_fn(
     if pdf.empty:
         return
     # r10 (guide §4.2): the session merge ran as a per-event Python
-    # loop over (Timestamp, Decimal) OBJECTS — ~60M interpreter
-    # iterations plus 60M Decimal.scaleb calls at sf10, the dominant
-    # drain cost.  The decimal->micro-units conversion moved upstream
-    # into a codegen projection (sessions_custom selects
+    # loop over (Timestamp, Decimal) OBJECTS plus a per-row
+    # Decimal.scaleb call.  The decimal->micro-units conversion moved
+    # upstream into a codegen projection (sessions_custom selects
     # CAST(value_dec * 1000000 AS BIGINT): decimal(18,6) scaled by
     # 10^6 is an exact integer on both paths), and the merge itself
     # is now numpy segment math over int64 nanosecond/micro-unit
@@ -167,6 +166,16 @@ def _sessions_fn(
     # state/emission contract, bit-identical output (re-verified vs
     # the oracle at sf0.01/sf0.1 and pinned against
     # stream_session_windows by tests/test_streaming.py).
+    #
+    # Measured honestly (same box, A/B): sf0.1 6.9 -> 5.0-5.3 s; sf10
+    # 401.4 -> 372.6 s (-7%).  The sf10 drain is dominated by
+    # PER-GROUP machinery — ~1M per-user applyInPandasWithState
+    # invocations, each with state round-trip and mini-DataFrame
+    # construction — not by the per-event term this rewrite removes,
+    # so the win is real but bounded; the per-group term is the
+    # framework's, not this function's (the bounded-arrival gate and
+    # transformWithState are the documented alternatives at that
+    # scale).
     import numpy as np  # noqa: PLC0415 — executor-side import
 
     pdf = pdf.sort_values("ts", kind="mergesort")
