@@ -66,11 +66,24 @@ SEM_TAU = 0.40
 _EMPTY_SCHEMA = "vec_id long, cid long, csim double, keep int"
 
 
-def _scored_frame(spark: SparkSession, sf_dir: str):
+def _scored_frame(spark: SparkSession, sf_dir: str, checkpoint: bool = True):
     """Shared preamble for dd19/dd20: normalized+persisted corpus,
     trained centroids, and the (vec_id, vn, cid, csim) frame.
     Returns (persisted_corpus, scored) or (None, None) on an empty
     corpus (no seed vectors -> no centroids).
+
+    r11 (ADVICE r10): the eager checkpoint stores the full `vn`
+    vector per row ON TOP of the persisted `n` that fed centroid
+    training, so corpus vectors were resident twice for the rest of
+    the gate.  The checkpoint is lineage-free once materialized, so
+    `n` is released RIGHT THERE — peak vector residency is one copy
+    plus the training window, and the caller no longer owns an
+    unpersist (checkpoint=True path returns n=None).  dd20 instead
+    passes checkpoint=False and gets the LAZY frame plus the
+    still-persisted `n`: it augments with the csim window rank FIRST
+    and checkpoints once, so the corpus is materialized once, not
+    twice (its old shape checkpointed scored AND the ranked frame —
+    three resident vector copies, two materialization jobs).
 
     r10 (guide §1.2 per-task work + §2.4 shared subplans): the frame
     previously evaluated the KM_K-dot array TWICE per row (once under
@@ -107,8 +120,11 @@ def _scored_frame(spark: SparkSession, sf_dir: str):
             (-F.col("best").getField("ncid")).alias("cid"),
             F.col("best").getField("dot").alias("csim"),
         )
-        .localCheckpoint(eager=True)
     )
+    if checkpoint:
+        scored = scored.localCheckpoint(eager=True)
+        n.unpersist(blocking=False)
+        return None, scored
     return n, scored
 
 
@@ -137,10 +153,8 @@ def _verdict(scored: DataFrame, pairs: DataFrame) -> DataFrame:
 
 def dd19_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cid, csim, keep): the SemDeDup verdict per vector."""
-    from .recursive import finalize_recursion
-
-    n, scored = _scored_frame(spark, sf_dir)
-    if n is None:
+    _, scored = _scored_frame(spark, sf_dir)
+    if scored is None:
         return spark.createDataFrame([], _EMPTY_SCHEMA)
     a, b = scored.alias("a"), scored.alias("b")
     pairs = (
@@ -157,7 +171,10 @@ def dd19_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.csim").alias("cb"),
         )
     )
-    return finalize_recursion(_verdict(scored, pairs), [n])
+    # r11: no trailing finalize_recursion — `n` was already released
+    # at the checkpoint and the verdict is consumed exactly once, so
+    # an extra eager materialization of the output was pure cost.
+    return _verdict(scored, pairs)
 
 
 def _sql_scored_prefix(with_rank: bool = False) -> str:
@@ -249,20 +266,23 @@ def dd20_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     policy (recall floor pinned in tests/test_semdedup.py)."""
     from pyspark.sql import Window
 
-    from .recursive import finalize_recursion
-
-    n, scored = _scored_frame(spark, sf_dir)
-    if n is None:
+    n, scored = _scored_frame(spark, sf_dir, checkpoint=False)
+    if scored is None:
         return spark.createDataFrame([], _EMPTY_SCHEMA)
     w = Window.partitionBy("cid").orderBy(
         F.col("csim").asc(), F.col("vec_id").asc()
     )
     # r10: the rank-augmented frame is referenced three ways below
     # (probe, rank join, verdict) — checkpoint so the corpus-wide
-    # window sort runs once (see _scored_frame's r10 note).
+    # window sort runs once.  r11: this is now the gate's ONLY
+    # corpus materialization — the lazy scored frame folds the
+    # centroid argmax into the window job (one pass instead of the
+    # old scored-ckpt-then-ranked-ckpt pair) and `n` is released as
+    # soon as the blocks exist (see _scored_frame's r11 note).
     scored = scored.withColumn("rk", F.row_number().over(w)).localCheckpoint(
         eager=True
     )
+    n.unpersist(blocking=False)
     probe = scored.select(
         "cid",
         F.col("vec_id").alias("va"),
@@ -282,7 +302,7 @@ def dd20_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("csim").alias("cb"),
         )
     )
-    return finalize_recursion(_verdict(scored, pairs), [n])
+    return _verdict(scored, pairs)
 
 
 def _dd20_oracle() -> str:

@@ -83,7 +83,7 @@ def test_steal_quiet_run_flags_nothing():
 
 def test_steal_storm_inside_one_gate_flags_exactly_it():
     # 60 s gate on 32 cpus = 192k available ticks; 96k stolen = half
-    # the box gone — far past the 20% bar
+    # the box gone — far past the 10% bar
     t = {"fast": 0.4, "victim": 60.0, "after": 2.0}
     s = {"victim": 96_000, "after": 100}
     assert bench._steal_suspects(t, s, cpus=32) == ["victim"]
@@ -105,6 +105,22 @@ def test_steal_absolute_floor_keeps_tiny_tick_counts_out():
     # 12% of a 1.5 s gate is only 576 ticks-available*0.12 = 57 ticks
     # -> under the 500-tick floor, not flagged even over the fraction
     assert bench._steal_suspects({"g": 1.5}, {"g": 480}, cpus=10) == []
+
+
+def test_steal_retry_is_additive_in_history(tmp_path, monkeypatch):
+    # r11 steal re-measure policy: flagged gates get ONE end-of-run
+    # retry reported in `steal_retry`; the original single-shot
+    # `queries` map is untouched (cross-round comparability) and the
+    # retry carries its own steal delta so its cleanliness is visible.
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    timings = {"victim": 60.0, "ok": 1.0}
+    retry = {"victim": {"sec": 4.2, "steal_ticks": 12}}
+    bench._record_history(timings, 0.1, steal_retry=retry)
+    import json
+
+    hist = json.loads((tmp_path / "BENCH_HISTORY.json").read_text())
+    assert hist[-1]["queries"] == timings  # originals untouched
+    assert hist[-1]["steal_retry"] == retry
 
 
 def test_steal_observed_incidents_flagged():
