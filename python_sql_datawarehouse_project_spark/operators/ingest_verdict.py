@@ -67,7 +67,21 @@ def ix1_ingest_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_corpus = ~is_bench & ~_is_new(F.col("doc_id"))
 
     # -- stage 1: Bloom screen of the batch against the benchmark ----
-    grams = _doc_grams(docs).localCheckpoint(eager=True)
+    # r11 (guide §1.2 "don't compute things you throw away"): grams
+    # are consumed ONLY for benchmark docs (the Bloom word table) and
+    # batch docs (the screened counts) — the corpus role (~79% of the
+    # table: the non-bench, non-batch remainder) fed the tokenize +
+    # 8-gram + md5 explode and the checkpoint without a single
+    # downstream read.  Restricting the input to the two consumed
+    # roles is filter-pushdown the optimizer cannot do for us (the
+    # role predicates live above the checkpoint boundary); the
+    # downstream `where(is_bench)` / `where(in_batch)` filters are
+    # conjunctions with the subset, so every consumed row is
+    # unchanged.  Corpus docs still feed `sk` below — the probe needs
+    # their sketches, not their grams.
+    grams = _doc_grams(docs.where(is_bench | in_batch)).localCheckpoint(
+        eager=True
+    )
     bench_h = grams.where(is_bench).select("h").distinct()
     batch_grams = grams.where(in_batch)
     screen = bloom_doc_hits(batch_grams, bloom_words(bench_h))

@@ -136,7 +136,7 @@ def sessions_bounded_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     append mode; returns the materialized emitted rows (closed
     sessions only, by append semantics)."""
     src = table_path(sf_dir, "events")
-    with _scoped_nanos_conf(spark), _scoped_state_partitions(spark):
+    with _scoped_nanos_conf(spark), _scoped_state_partitions(spark, src):
         with _sliced_source_dir(spark, src) as stage:
             return run_available_now(
                 spark,

@@ -504,3 +504,24 @@ def test_sessions_bounded_drain_is_incremental_and_matches(spark, sf_dir):
         "user_id", "session_start", "session_end", "n_events", "total_value"
     )
     assert _rows(got) == _rows(want)
+
+
+def test_state_partitions_scale_with_source_size(tmp_path, monkeypatch):
+    # r11 sizing policy: the r7-measured elbow (4) is the floor at
+    # bench scale, the count grows one partition per _STATE_PART_BYTES
+    # of source beyond it, and the session core budget caps it — so
+    # sf0.1 drains are bit-comparable across rounds while a decade
+    # corpus parallelizes its per-group state work.
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "32")
+    small = tmp_path / "small.parquet"
+    small.write_bytes(b"x" * (2 << 20))  # 2 MB ~ sf0.1 events
+    assert sw._state_partitions(str(small)) == 4
+    big = tmp_path / "big.parquet"
+    big.write_bytes(b"x" * (112 << 20))  # ~ sf10 events
+    assert sw._state_partitions(str(big)) == 28
+    huge = tmp_path / "huge.parquet"
+    huge.write_bytes(b"x" * (300 << 20))
+    assert sw._state_partitions(str(huge)) == 32  # capped at cores
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+    assert sw._state_partitions(str(big)) == 8
+    assert sw._state_partitions(None) == 4  # no source: the floor
