@@ -26,6 +26,7 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+@pytest.mark.slow
 def test_index_served_topk_equals_sim4_gate(spark, sf_dir, ann):
     served = ann.topk_corpus_queries(spark, N_QUERIES)
     assert _rows(served) == _rows(sim4_ivf_kmeans_topk(spark, sf_dir))
@@ -40,12 +41,14 @@ def test_probe_scan_is_dynamically_pruned(spark, ann):
     assert "dynamicpruning" in plan.lower(), plan
 
 
+@pytest.mark.slow
 def test_rebuild_is_idempotent(spark, sf_dir, ann):
     before = _rows(ann.topk_corpus_queries(spark, N_QUERIES))
     ann.build(spark, sf_dir)
     assert _rows(ann.topk_corpus_queries(spark, N_QUERIES)) == before
 
 
+@pytest.mark.slow
 def test_append_vectors_frozen_centroids(spark, sf_dir, tmp_path_factory):
     """Half-corpus build + append of the other half: appended vectors
     land under the FROZEN quantizer (no retrain), are served by the
@@ -112,6 +115,7 @@ def test_topk_accepts_external_queries(spark, ann):
     assert top == {r["vec_id"] + 1000000: r["vec_id"] for r in q.collect()}
 
 
+@pytest.mark.slow
 def test_delete_keys_equals_rebuild_without_keys(
     spark, sf_dir, tmp_path_factory
 ):

@@ -84,6 +84,7 @@ def test_batch_counters_advance_independently(spark, two_client_run):
     assert reg.get("client2").last_batch_id == "BATCH000001"  # untouched
 
 
+@pytest.mark.slow
 def test_restart_reruns_last_batch(spark, two_client_run):
     _, reg, _ = two_client_run
     before = reg.get("client2").last_batch_id
@@ -163,6 +164,7 @@ def test_registry_persists_across_instances(two_client_run):
     )
 
 
+@pytest.mark.slow
 def test_cli_dispatch_runs_single_client(spark, tmp_path, capsys):
     # The reference CLI contract (batch_processing.py:1276-1296):
     # `<client> <mode>` runs one client; main() reuses the active

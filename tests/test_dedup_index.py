@@ -36,6 +36,7 @@ def test_index_fed_cs1_equals_inline_gate(spark, sf_dir, idx):
     )
 
 
+@pytest.mark.slow
 def test_index_fed_variant_pins_cs2_composed_pipeline(spark, sf_dir, idx):
     # Below the occupancy cap dd17 == dd3 bit-for-bit, so the composed
     # capped pipeline gate (cs2, VERDICT r6 #3) must equal BOTH the
@@ -45,18 +46,21 @@ def test_index_fed_variant_pins_cs2_composed_pipeline(spark, sf_dir, idx):
     assert got == _rows(idx.cs1_canonical_selection(spark, sf_dir))
 
 
+@pytest.mark.slow
 def test_index_fed_dd13_equals_inline_gate(spark, sf_dir, idx):
     assert _rows(idx.dd13_ensemble_agreement()) == _rows(
         dd13_ensemble_agreement(spark, sf_dir)
     )
 
 
+@pytest.mark.slow
 def test_index_fed_dd7_equals_inline_gate(spark, sf_dir, idx):
     assert _rows(idx.dd7_dup_clusters()) == _rows(
         dd7_dup_clusters(spark, sf_dir)
     )
 
 
+@pytest.mark.slow
 def test_rebuild_is_idempotent(spark, sf_dir, idx):
     before = _rows(idx.dd13_ensemble_agreement())
     counts = idx.build(spark, sf_dir)  # same snapshot, same batch_id
@@ -65,6 +69,7 @@ def test_rebuild_is_idempotent(spark, sf_dir, idx):
 
 
 # -- incremental append == from-scratch rebuild (the dd11 seam) -------
+@pytest.mark.slow
 def test_append_batch_equals_full_rebuild(spark, sf_dir, tmp_path_factory):
     """Growing the index one batch at a time must land on EXACTLY the
     state a from-scratch rebuild over the union produces: text_pairs
@@ -186,6 +191,7 @@ def test_capped_bands_bound_probe_fanin(spark, sf_dir, tmp_path_factory):
     assert over == 0
 
 
+@pytest.mark.slow
 def test_deferred_cluster_refresh_equals_inline(spark, sf_dir, tmp_path_factory):
     """append_batch(refresh_clusters=False) + refresh_clusters() must
     land exactly the labels the inline path writes — the verdict/

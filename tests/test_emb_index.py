@@ -120,6 +120,7 @@ def test_frozen_width_survives_reopen(spark, built):
     assert reopened.bits() == idx.bits()
 
 
+@pytest.mark.slow
 def test_delete_keys_removes_vector_from_future_verdicts(
     spark, sf_dir, built
 ):

@@ -99,11 +99,13 @@ def _sweep(spark, data_dir):
     return failures
 
 
+@pytest.mark.slow
 def test_every_gate_matches_oracle_on_empty_input(spark, empty_sf_dir):
     failures = _sweep(spark, empty_sf_dir)
     assert not failures, f"empty-input divergences: {failures}"
 
 
+@pytest.mark.slow
 def test_every_gate_matches_oracle_on_one_row_input(spark, one_row_sf_dir):
     failures = _sweep(spark, one_row_sf_dir)
     assert not failures, f"one-row-input divergences: {failures}"

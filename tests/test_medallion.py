@@ -286,6 +286,7 @@ def test_mvs_materialize(pipeline_run):
 
 
 # -- Idempotency (reference README.md:101-107) -----------------------
+@pytest.mark.slow
 def test_rerun_same_batch_identical_state(pipeline_run, spark):
     wh, log, _ = pipeline_run
     before = sorted(

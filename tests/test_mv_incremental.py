@@ -238,6 +238,7 @@ def test_full_only_mvs_refuse_incremental(refreshed):
 # and cast to double exactly once at the end.
 
 
+@pytest.mark.slow
 def test_incremental_equals_full_history_recompute(refreshed):
     from python_sql_datawarehouse_project_spark.plans import mv
 
@@ -282,6 +283,7 @@ def test_history_mode_running_sales_unifies_by_natural_key(refreshed):
     }
 
 
+@pytest.mark.slow
 def test_run_mvs_incremental_auto_resolves_prev_state(spark, tmp_path):
     """With no explicit prev_batch_id, run_mvs resolves the previous
     state snapshot from the state layer's partition listing — the
@@ -304,6 +306,7 @@ def test_run_mvs_incremental_auto_resolves_prev_state(spark, tmp_path):
     assert got == {(100, 180.0), (101, 70.0), (102, 80.0)}
 
 
+@pytest.mark.slow
 def test_run_mvs_incremental_mode_covers_all_nine(spark, tmp_path):
     """Pipeline wiring: mode="incremental" refreshes every registered
     MV (six via state fold, three via history recompute), all SUCCESS,

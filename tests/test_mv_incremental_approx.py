@@ -122,6 +122,7 @@ def test_estimate_error_bounded_at_scale(spark, sf_dir, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_run_mvs_incremental_approx_wiring(spark, tmp_path):
     """mode="incremental_approx" refreshes all nine MVs SUCCESS, with
     only CLV routed through the approx path (its state table exists;

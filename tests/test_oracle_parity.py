@@ -91,6 +91,7 @@ def test_harness_flags_hugeint_oracle(spark, sf_dir):
 
 
 # -- hashed compare (the sf>=1 big-output path, VERDICT r6 #5) --------
+@pytest.mark.slow
 def test_hashed_compare_agrees_with_full_compare(spark, sf_dir):
     """Every HASHED_AT_SCALE gate must pass the in-engine hashed
     compare at sf0.001 — the same verdict the full row compare above

@@ -66,6 +66,7 @@ def test_result_invariant_under_partition_count(name, spark, sf_dir):
     )
 
 
+@pytest.mark.slow
 def test_every_float_gate_is_partition_invariant(spark, sf_dir):
     """The systematic form of the suite above: EVERY non-streaming
     gate whose result schema carries a float/double column re-runs at

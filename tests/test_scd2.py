@@ -120,6 +120,7 @@ def test_close_join_is_broadcast(spark):
     assert "SortMergeJoin" not in p, p
 
 
+@pytest.mark.slow
 def test_streaming_scd2_equals_full_rebuild(spark, tmp_path):
     # CDC files drained through foreachBatch must land on the same
     # dimension as the one-shot rebuild of the concatenated feed.

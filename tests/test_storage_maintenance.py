@@ -353,6 +353,7 @@ def _cdc_schema():
     return "uid int, v string, score double, is_deleted boolean"
 
 
+@pytest.mark.slow
 def test_streaming_merge_equals_sequential_batch_merges(spark, wh, tmp_path):
     import os
     import time
@@ -403,6 +404,7 @@ def test_streaming_merge_equals_sequential_batch_merges(spark, wh, tmp_path):
     assert _rows(got.select("uid")) == [(1,), (2,), (4,), (5,), (6,)]
 
 
+@pytest.mark.slow
 def test_streaming_merge_last_epoch_replay_converges(spark, wh):
     from python_sql_datawarehouse_project_spark.streaming.merge_maintenance import (
         StreamingMergeMaintenance,

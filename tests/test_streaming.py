@@ -5,6 +5,8 @@ path (SURVEY.md §2.9 extension)."""
 
 from __future__ import annotations
 
+import pytest
+
 from python_sql_datawarehouse_project_spark.operators import events as batch_events
 from python_sql_datawarehouse_project_spark.streaming import windows as sw
 
@@ -302,6 +304,7 @@ def test_streaming_mv_maintenance_equals_batch_path(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_streaming_mv_replay_is_idempotent(spark, tmp_path):
     # foreachBatch's delivery guarantee is at-least-once: simulate an
     # epoch replay by invoking the handler twice with the same
@@ -513,15 +516,17 @@ def test_state_partitions_scale_with_source_size(tmp_path, monkeypatch):
     # sf0.1 drains are bit-comparable across rounds while a decade
     # corpus parallelizes its per-group state work.
     monkeypatch.setenv("SPARK_GRAFT_CPUS", "32")
-    small = tmp_path / "small.parquet"
-    small.write_bytes(b"x" * (2 << 20))  # 2 MB ~ sf0.1 events
-    assert sw._state_partitions(str(small)) == 4
-    big = tmp_path / "big.parquet"
-    big.write_bytes(b"x" * (112 << 20))  # ~ sf10 events
-    assert sw._state_partitions(str(big)) == 28
-    huge = tmp_path / "huge.parquet"
-    huge.write_bytes(b"x" * (300 << 20))
-    assert sw._state_partitions(str(huge)) == 32  # capped at cores
+
+    def sparse(name: str, size: int) -> str:
+        p = tmp_path / name
+        with open(p, "wb") as f:
+            f.truncate(size)  # sparse: getsize() sees it, no I/O paid
+        return str(p)
+
+    assert sw._state_partitions(sparse("small", 2 << 20)) == 4  # ~sf0.1
+    big = sparse("big", 112 << 20)  # ~sf10 events
+    assert sw._state_partitions(big) == 28
+    assert sw._state_partitions(sparse("huge", 300 << 20)) == 32  # cap
     monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
     assert sw._state_partitions(str(big)) == 8
     assert sw._state_partitions(None) == 4  # no source: the floor
